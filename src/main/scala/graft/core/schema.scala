@@ -1,0 +1,78 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonical vector record.
+  *
+  * Mirrors the reference's fundamental abstraction — one logical table of
+  * embeddings with metadata (reference: Neighborly/Vector.cs:25-47,
+  * Neighborly/VectorAttributes.cs:9-11):
+  *   - `id`: UUID string (Spark has no UUID type; Guid in the reference)
+  *   - `values`: the float32 embedding
+  *   - `tags`: dictionary-encoded tag ids (VectorTags.cs:16)
+  *   - `original_text`: source text of the embedding
+  *   - `priority`/`user_id`/`org_id`: VectorAttributes multi-tenancy fields
+  *
+  * Deviation (declared in SURVEY §1.4): dimension is enforced per-table at
+  * ingest; the reference checks it only pairwise at distance time
+  * (Vector.cs:451-457).
+  */
+case class VectorRecord(
+    id: String,
+    values: Array[Float],
+    tags: Array[Short] = Array.empty,
+    original_text: String = "",
+    priority: Byte = 0,
+    user_id: Long = 0L,
+    org_id: Long = 0L)
+
+object VectorSchema {
+
+  /** Table-level schema for the vector table. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("values", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("tags", ArrayType(ShortType, containsNull = false), nullable = true),
+    StructField("original_text", StringType, nullable = true),
+    StructField("priority", ByteType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("org_id", LongType, nullable = false)))
+
+  /** ETL record shape: attributes are not round-tripped by the reference's
+    * ETL layer (Neighborly/ETL/Parquet.cs:46-58, Csv.cs:59, JSON.cs:33). */
+  val etlSchema: StructType = StructType(schema.fields.take(4))
+
+  /** Dimension-at-ingest validation (SURVEY §1.4 declared deviation).
+    * Throws IllegalArgumentException if any row's embedding size differs
+    * from `dim`. Runs distributed — no collect.
+    */
+  def validateDimension(df: DataFrame, valuesCol: String, dim: Int): Unit = {
+    val bad = df.filter(size(col(valuesCol)) =!= dim).limit(1).count()
+    require(bad == 0L, s"column '$valuesCol' contains vectors of dimension != $dim")
+  }
+
+  /** Infer the (uniform) dimension of a vector table from its first row. */
+  def dimensionOf(df: DataFrame, valuesCol: String): Int =
+    df.select(size(col(valuesCol))).head().getInt(0)
+}
+
+/** Session factory with scale-appropriate defaults for local testing.
+  * On a real cluster these come from spark-submit; the point is that
+  * nothing in the library assumes local mode.
+  */
+object GraftSession {
+  def local(cores: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

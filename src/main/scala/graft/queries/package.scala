@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+package object queries {
+  /** A driver-runnable query: (session, sf-dir) → result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Load one of the driver-provided parquet tables. */
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** DuckDB SQL fragment: euclidean distance between two FLOAT[] columns,
+    * computed in double with a sequential left-to-right fold — matches
+    * graft.functions.Distances numerics exactly — rounded to 6 decimals. */
+  def sqlEuclid(a: String, b: String): String =
+    s"round(sqrt(list_reduce(list_transform(list_zip($a, $b), " +
+      "p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))), " +
+      "(x,y) -> x+y)), 6)"
+
+  /** DuckDB fragment: sequential-fold sum of an expression over zipped lists. */
+  def sqlZipSum(a: String, b: String, elemExpr: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> $elemExpr), (x,y) -> x+y)"
+
+  val dElem1 = "CAST(p[1] AS DOUBLE)"
+  val dElem2 = "CAST(p[2] AS DOUBLE)"
+}

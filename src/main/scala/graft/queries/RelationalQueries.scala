@@ -2,11 +2,18 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-/** Relational surface: scans, filters, joins, aggregations, top-k —
-  * the Spark-built-in layer every other operator composes with
-  * (SURVEY §2.2-§2.6). Doubles that pass through an aggregate are rounded
-  * on BOTH sides (here and in the oracle) because partial-aggregation sum
-  * order differs between engines in the last bits.
+/** Relational surface: scans, filters, joins, aggregations, top-k, set ops
+  * (SURVEY §2.2-§2.6). The reference exposes no SQL dialect — its analogues
+  * are predicate scans (VectorList.cs:80-88), point lookups
+  * (VectorDatabase.cs:98-109), tag/tenancy filters, the union+distinct of
+  * search results, and the tag-dictionary broadcast join — but the engine
+  * built here treats the full relational layer as first-class so the same
+  * plans carry the 100 TB pipeline operators.
+  *
+  * Numerics policy: any double that passes through an aggregate is rounded
+  * identically on the Spark and oracle sides (partial-aggregation sum order
+  * differs between engines in the last bits). Raw stored doubles compare
+  * exactly.
   */
 object RelationalQueries {
 
@@ -22,7 +29,120 @@ object RelationalQueries {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
-    }))
+    }),
+
+    // TPC-H Q3-shaped 3-way join + grouped agg + top-k by revenue.
+    "q3_shipping" -> ((s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < lit("2000-03-15").cast("timestamp"))
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > lit("2000-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped 6-way join; nation/region/supplier broadcast (small
+    // dims stay broadcast-able at any scale; customer/orders/lineitem
+    // shuffle on their keys and AQE picks the strategy).
+    "q5_join" -> ((s, dir) => {
+      val rev = round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(rev.as("revenue"))
+    }),
+
+    // ORDER BY + LIMIT → TakeOrderedAndProject (distributed bounded heap).
+    "q_topk" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)),
+
+    // Window function: per-customer top-3 orders by price.
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // Set op: EXCEPT (distinct semantics) — customers with open orders but
+    // no filled ones (reference analog: result-set union/except §2.6).
+    "q_setops" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    }),
+
+    // Point lookup — Get-by-id analog (VectorDatabase.cs:98-109). The
+    // predicate pushes to the parquet scan.
+    "q_point_lookup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") === 5979L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))),
+
+    // Prefix-text filter — SearchService.cs:121-127 (case-insensitive
+    // StartsWith fallback for short query texts).
+    "q_prefix_filter" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(lower(col("text")).startsWith("the "))
+        .select(col("doc_id"), col("n_chars"))),
+
+    // Tenancy/tag predicate — array_contains/tag analog over the documents
+    // dims (VectorTags.cs:171-194; attributes filters).
+    "q_tag_filter" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(col("lang") === "en" && col("source").isin("src1", "src2"))
+        .select(col("doc_id"), col("source"))),
+
+    // Distinct aggregation over events.
+    "q_distinct" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))),
+
+    // Left-semi join: customers having at least one urgent order.
+    "q_semi_join" -> ((s, dir) => {
+      val urgent = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      table(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Left-anti join: customers with no urgent orders.
+    "q_anti_join" -> ((s, dir) => {
+      val urgent = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      table(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Event-time tumbling-window aggregation (streaming-compatible shape:
+    // the same plan runs under readStream+watermark, see graft.streaming).
+    "q_events_window" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 6).as("avg_value"))))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -34,5 +154,84 @@ object RelationalQueries {
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l.l_orderkey AS l_orderkey, o.o_orderdate AS o_orderdate,
+        | o.o_orderpriority AS o_orderpriority,
+        | round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '2000-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '2000-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n.n_name AS n_name,
+        | round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n.n_name""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        | l_extendedprice, l_shipdate
+        |FROM lineitem WHERE l_orderkey = 5979""".stripMargin,
+
+    "q_prefix_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE lower(text) LIKE 'the %'""".stripMargin,
+
+    "q_tag_filter" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE lang = 'en' AND source IN ('src1', 'src2')""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n, round(sum(value), 4) AS sum_value,
+        | round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

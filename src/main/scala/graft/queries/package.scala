@@ -10,6 +10,20 @@ package object queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark reads as a
+    * nanos-since-epoch BIGINT under spark.sql.legacy.parquet.nanosAsLong
+    * (set in every session builder here). Normalize to a micros timestamp;
+    * integer `div` avoids double-precision loss at 1e18 magnitudes. */
+  def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   /** DuckDB SQL fragment: euclidean distance between two FLOAT[] columns,
     * computed in double with a sequential left-to-right fold — matches
     * graft.functions.Distances numerics exactly — rounded to 6 decimals. */

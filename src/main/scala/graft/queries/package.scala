@@ -38,4 +38,19 @@ package object queries {
 
   val dElem1 = "CAST(p[1] AS DOUBLE)"
   val dElem2 = "CAST(p[2] AS DOUBLE)"
+
+  def sqlManhattan(a: String, b: String): String =
+    s"round(${sqlZipSum(a, b, s"abs($dElem1 - $dElem2)")}, 6)"
+
+  def sqlChebyshev(a: String, b: String): String =
+    s"round(list_reduce(list_transform(list_zip($a, $b), p -> abs($dElem1 - $dElem2)), (x,y) -> greatest(x,y)), 6)"
+
+  def sqlMinkowski3(a: String, b: String): String =
+    s"round(pow(${sqlZipSum(a, b, s"abs($dElem1 - $dElem2) * abs($dElem1 - $dElem2) * abs($dElem1 - $dElem2)")}, 1.0/3.0), 6)"
+
+  def sqlMagnitude(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE)), (x,y) -> x+y))"
+
+  def sqlCosineSim(a: String, b: String): String =
+    s"round(${sqlZipSum(a, b, s"$dElem1 * $dElem2")} / (${sqlMagnitude(a)} * ${sqlMagnitude(b)}), 6)"
 }

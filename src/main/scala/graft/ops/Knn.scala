@@ -19,12 +19,26 @@ case class Scored(dist: Double, id: Long)
 class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   private val ord: Ordering[Scored] = Ordering.by(s => (s.dist, s.id))
   override def zero: Seq[Scored] = Vector.empty
+  // Buffer stays sorted; each update is an O(k) bounded insertion (the
+  // reference's BoundedPriorityQueue push), not a re-sort.
   override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-    if (b.size < k) (b :+ a).sorted(ord)
-    else if (ord.lt(a, b.last)) (b.init :+ a).sorted(ord)
-    else b
-  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
-    (x ++ y).sorted(ord).take(k)
+    if (b.size >= k && !ord.lt(a, b.last)) b
+    else {
+      val idx = b.indexWhere(s => ord.lt(a, s))
+      val ins = if (idx < 0) b :+ a else (b.take(idx) :+ a) ++ b.drop(idx)
+      if (ins.size > k) ins.take(k) else ins
+    }
+  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = {
+    // merge of two sorted runs, capped at k
+    val out = Vector.newBuilder[Scored]
+    var (i, j, n) = (0, 0, 0)
+    while (n < k && (i < x.size || j < y.size)) {
+      if (j >= y.size || (i < x.size && ord.lteq(x(i), y(j)))) { out += x(i); i += 1 }
+      else { out += y(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
   override def finish(r: Seq[Scored]): Seq[Scored] = r
   override def bufferEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
@@ -41,8 +55,8 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   * structures whose *observable result* is this same exact top-k (recall
   * bar for HNSW aside); on Spark the exact plan IS the brute-force scan —
   * Catalyst rewrites orderBy+limit into `TakeOrderedAndProject` (a
-  * distributed bounded heap). Approximate algorithms (LSH/BQ/PQ) live in
-  * `graft.index`.
+  * distributed bounded heap). Approximate algorithms live in `graft.index`
+  * (Lsh / BinaryQuantization / ProductQuantization).
   */
 object Knn {
 

@@ -1,52 +1,57 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's correctness gate: run Verify's parquet dumps
-against SparkEntry.oracleSql in DuckDB and compare (sorted columns, sorted
-rows, exact value match). Usage: check_oracle.py <sfDir> <verifyOutDir>"""
+"""Local approximation of the driver's correctness gate: run graft.Verify
+output against DuckDB oracles on the same sf dir. Usage:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+  python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
+"""
 import sys, json, glob, os
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def main(sfdir, outdir):
+def norm(df):
+    df = df[sorted(df.columns)]
+    # stringify for stable compare (floats already rounded by queries)
+    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return rows
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    declared = sorted(d for d in os.listdir(outdir)
-                      if os.path.isdir(os.path.join(outdir, d)))
-    failures = 0
-    for name in declared:
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
-        if not files:
-            print(f"[FAIL] {name}: no parquet output"); failures += 1; continue
-        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
-        if name not in oracle:
-            print(f"[rows-only] {name}: rows={len(got)}")
-            if len(got) == 0: failures += 1
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
             continue
+        spark_dir = f"{out}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            want = con.sql(oracle[name]).df()
+            sdf = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
+            odf = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"[FAIL] {name}: oracle SQL error: {e}"); failures += 1; continue
-        gc, wc = sorted(got.columns), sorted(want.columns)
-        if gc != wc:
-            print(f"[FAIL] {name}: columns {gc} != {wc}"); failures += 1; continue
-        g = got[gc].sort_values(gc).reset_index(drop=True)
-        w = want[wc].sort_values(wc).reset_index(drop=True)
-        if len(g) != len(w):
-            print(f"[FAIL] {name}: rows {len(g)} != {len(w)}"); failures += 1; continue
-        if g.equals(w):
-            print(f"[ok] {name}: {len(g)} rows")
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: schema {sorted(sdf.columns)} vs {sorted(odf.columns)}"); n_fail += 1; continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}"); n_fail += 1; continue
+        s, o = norm(sdf), norm(odf)
+        if s != o:
+            bad = [i for i, (a, b) in enumerate(zip(s, o)) if a != b][:3]
+            print(f"FAIL {name}: values differ, first diffs at {bad}")
+            for i in bad[:2]:
+                print(f"  spark : {s[i]}\n  oracle: {o[i]}")
+            n_fail += 1
         else:
-            neq = (g != w) & ~(g.isna() & w.isna())
-            bad = neq.any(axis=1)
-            print(f"[FAIL] {name}: {int(bad.sum())}/{len(g)} rows differ")
-            print("  spark:", g[bad].head(3).to_dict("records"))
-            print("  oracle:", w[bad].head(3).to_dict("records"))
-            failures += 1
-    print(f"\n{len(declared) - failures}/{len(declared)} queries pass")
-    return 1 if failures else 0
+            print(f"pass {name} ({len(sdf)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()

@@ -84,11 +84,22 @@ object Knn {
   def batch(vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, metric: String = "euclidean"): DataFrame = {
-    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     val dist = round(Distances.metric(metric)(col(vecCol), col(queryVecCol)), 6)
-    vectors
-      .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
-      .select(col(queryIdCol), dist.as("dist"), col(idCol).cast("long").as("id"))
+    batchOver(
+      vectors
+        .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+        .withColumn("dist", dist),
+      idCol, queryIdCol, k)
+  }
+
+  /** Per-query bounded top-k over a prepared (queryId, id, dist) frame —
+    * the shared tail of exact-batch and LSH-batch search. Shuffle is
+    * O(#queries × k) thanks to the partial-aggregable bounded heap.
+    * Returns (query_id, rank BIGINT, id, dist). */
+  def batchOver(scored: DataFrame, idCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    scored
+      .select(col(queryIdCol), col("dist"), col(idCol).cast("long").as("id"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("dist"), col("id")).as("nn"))
       .select(col(queryIdCol), posexplode(col("nn")))

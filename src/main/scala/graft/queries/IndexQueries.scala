@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Distances
-import graft.index.BinaryQuantization
+import graft.index.{BinaryQuantization, Lsh, LshParams}
 
 /** Approximate-index query surface (SURVEY §2.8: LSH / BQ / PQ pipelines).
   * Every query here is deterministic end-to-end so the DuckDB oracle can
@@ -33,6 +33,30 @@ object IndexQueries {
       BinaryQuantization.search(e, "vec_id", "embedding", Array.fill(64)(10.0f), k = 10)
     }),
 
+    // LSH single-query kNN with reference-adaptive params (dim 64 → 8
+    // tables × 6 sign-bit functions, seed 42). The oracle replays the FULL
+    // bucket pipeline: the seed-42 hyperplanes are embedded as literals in
+    // the SQL, so candidate selection AND re-rank are both checked.
+    "lsh_knn" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Lsh.search(e, "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10, lshP)
+    }),
+
+    // LSH radius search over the same bucket candidates.
+    "lsh_range" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Lsh.rangeSearch(e, "vec_id", "embedding", embeddingOf(s, dir, 0), radius = 1.4, lshP)
+    }),
+
+    // LSH batch kNN: exploded-code equi-join (shuffle carries only bucket
+    // collisions), bounded per-query top-k.
+    "lsh_knn_batch" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Lsh.searchBatch(e, "vec_id", "embedding", q, "query_id", "qv", k = 5, lshP)
+    }),
+
     // Pure packed-Hamming kernel over integer-derived words (bit_count(xor)
     // on both engines; vectors' own packing is covered by bq_knn above).
     "hamming_packed" -> ((s, dir) => {
@@ -43,6 +67,32 @@ object IndexQueries {
             array(col("l_orderkey").cast("long"), col("l_partkey").cast("long")),
             array(col("l_suppkey").cast("long"), col("l_linenumber").cast("long"))).as("hp"))
     }))
+
+  /** Adaptive params for the 64-dim embeddings table (LSHSearch.cs:228-230:
+    * 8 tables × 6 functions, seed 42). */
+  private val lshP = LshParams.adaptive(64)
+
+  private def dlit(d: Double): String = java.lang.Double.toString(d)
+
+  /** The seed-42 hyperplane constants as a DuckDB VALUES CTE — lets the
+    * oracle recompute every bucket code with identical IEEE double ops. */
+  private lazy val hpCte: String = {
+    val rows = for (t <- 0 until lshP.tableCount; f <- 0 until lshP.hashFunctionCount) yield {
+      val i = t * lshP.hashFunctionCount + f
+      s"($t, $f, [${lshP.projections(i).map(dlit).mkString(",")}], ${dlit(lshP.biases(i))})"
+    }
+    s"hp AS (SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(tbl, f, proj, bias))"
+  }
+
+  /** Bucket code of every embedding per table: bit f set iff
+    * dot(embedding, proj)+bias > 0 — sequential double fold on both engines. */
+  private val vkeysCte: String =
+    """vkeys AS (
+      |  SELECT e.vec_id AS vec_id, hp.tbl AS tbl,
+      |    sum(CASE WHEN list_reduce(list_transform(list_zip(e.embedding, hp.proj),
+      |          p -> CAST(p[1] AS DOUBLE) * p[2]), (x,y) -> x+y) + hp.bias > 0
+      |        THEN (1::BIGINT << hp.f) ELSE 0 END) AS key
+      |  FROM embeddings e, hp GROUP BY 1, 2)""".stripMargin
 
   private val gmCte =
     """gm AS (SELECT avg(CAST(u AS DOUBLE)) AS t
@@ -78,6 +128,46 @@ object IndexQueries {
          |      FROM embeddings e, gm),
          |cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 30)
          |SELECT vec_id, hamming, dist FROM cand ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    "lsh_knn" ->
+      s"""WITH $hpCte,
+         |$vkeysCte,
+         |qk AS (SELECT tbl, key FROM vkeys WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT v.vec_id AS vec_id FROM vkeys v
+         |         JOIN qk ON v.tbl = qk.tbl AND v.key = qk.key),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${sqlEuclid("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    "lsh_range" ->
+      s"""WITH $hpCte,
+         |$vkeysCte,
+         |qk AS (SELECT tbl, key FROM vkeys WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT v.vec_id AS vec_id FROM vkeys v
+         |         JOIN qk ON v.tbl = qk.tbl AND v.key = qk.key),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, dist FROM (
+         |  SELECT e.vec_id AS vec_id, ${sqlEuclid("e.embedding", "q.qv")} AS dist
+         |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q)
+         |WHERE dist <= 1.4 ORDER BY dist, vec_id""".stripMargin,
+
+    "lsh_knn_batch" ->
+      s"""WITH $hpCte,
+         |$vkeysCte,
+         |qk AS (SELECT vec_id AS query_id, tbl, key FROM vkeys WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT qk.query_id AS query_id, v.vec_id AS vec_id
+         |         FROM vkeys v JOIN qk ON v.tbl = qk.tbl AND v.key = qk.key),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT c.query_id AS query_id, c.vec_id AS vec_id,
+         |        ${sqlEuclid("e.embedding", "qv.qv")} AS dist
+         |      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |                  JOIN qv ON qv.query_id = c.query_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
+         |FROM (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |WHERE rank <= 5""".stripMargin,
 
     "hamming_packed" ->
       """SELECT l_orderkey, l_linenumber,

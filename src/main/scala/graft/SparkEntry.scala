@@ -12,7 +12,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
     (VectorQueries.defs, VectorQueries.oracles),
-    (IndexQueries.defs, IndexQueries.oracles))
+    (IndexQueries.defs, IndexQueries.oracles),
+    (EtlQueries.defs, EtlQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -13,7 +13,8 @@ object SparkEntry {
     (RelationalQueries.defs, RelationalQueries.oracles),
     (VectorQueries.defs, VectorQueries.oracles),
     (IndexQueries.defs, IndexQueries.oracles),
-    (EtlQueries.defs, EtlQueries.oracles))
+    (EtlQueries.defs, EtlQueries.oracles),
+    (TextQueries.defs, TextQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

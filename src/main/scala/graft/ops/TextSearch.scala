@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Pluggable text→vector embedding (reference: Neighborly/EmbeddingGenerator.cs).
+  * The production reference chains ML.NET word embeddings or an Ollama HTTP
+  * call with a deterministic hash-seeded fallback; only the fallback is
+  * reproducible without models or network, so it is the default provider
+  * here (EmbeddingGenerator.cs:139-156) and the other two are intentional
+  * extension points.
+  */
+trait EmbeddingProvider extends Serializable {
+  def dimension: Int
+  def embed(text: String): Array[Float]
+}
+
+/** Deterministic hash-seeded provider (EmbeddingGenerator.cs:139-156):
+  * seed = text hash, uniform values in [-1, 1), cached dimension (default
+  * 300 in the reference; configurable here because the vector table's
+  * dimension rules). Deviation (declared): JVM `String.hashCode` replaces
+  * C# `GetHashCode` — both are arbitrary stable hashes.
+  */
+final case class HashEmbeddingProvider(dimension: Int = 300) extends EmbeddingProvider {
+  def embed(text: String): Array[Float] = {
+    val rnd = new java.util.Random(text.hashCode)
+    Array.fill(dimension)((rnd.nextDouble() * 2 - 1).toFloat)
+  }
+}
+
+/** Text-search composition (SearchService.cs:104-131):
+  *  1. effective threshold = caller's or the length heuristic (<5 chars →
+  *     0.9, <20 → 0.8, else 0.5 — `:82-102`);
+  *  2. embed the text, vector kNN, threshold filter incl. the high-dim
+  *     bypass (`:171-189`);
+  *  3. for texts shorter than 20 chars, union case-insensitive
+  *     prefix-matches (first k), values-distinct keeping the earliest
+  *     occurrence (kNN results first — Vector.Equals is values-only,
+  *     Vector.cs:419-435), take k (`:121-127`).
+  *
+  * Determinism normalization (declared): the reference's prefix matches
+  * arrive in insertion order; the distributed analog orders them by id.
+  * Output is (id, ord) where ord = priority*1000 + position — priority 0
+  * for kNN hits in rank order, 1 for prefix matches in id order — so the
+  * oracle can replay the exact union/distinct/take sequence.
+  */
+object TextSearch {
+
+  def search(vectors: DataFrame, idCol: String, vecCol: String, textCol: String,
+      queryText: String, k: Int, provider: EmbeddingProvider,
+      threshold: Option[Double] = None,
+      metric: String = "euclidean"): DataFrame = {
+    require(queryText != null && queryText.trim.nonEmpty, "Text cannot be null or empty")
+    val thr = threshold.getOrElse(ThresholdFilter.defaultThreshold(queryText))
+    val q = provider.embed(queryText)
+
+    val w = org.apache.spark.sql.expressions.Window
+    val knnRanked = Knn.withDistance(vectors, vecCol, typedLit(q), metric)
+      .select(col(idCol), col(vecCol), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .withColumn("ord", row_number().over(w.orderBy(col("dist"), col(idCol))).cast("long"))
+    val knn = ThresholdFilter(knnRanked, "dist", thr, provider.dimension)
+      .select(col(idCol), col(vecCol), col("ord"))
+
+    if (queryText.length >= 20) {
+      knn.select(col(idCol), col("ord")).orderBy(col("ord")).limit(k)
+    } else {
+      val prefix = vectors
+        .filter(lower(col(textCol)).startsWith(lit(queryText.toLowerCase)))
+        .select(col(idCol), col(vecCol))
+        .orderBy(col(idCol))
+        .limit(k)
+        .withColumn("ord", lit(1000L) + row_number().over(w.orderBy(col(idCol))).cast("long"))
+      val both = knn.unionByName(prefix)
+      // values-only Distinct(): keep the earliest occurrence per VALUES
+      // (not per id — two ids with identical floats collapse, Vector.cs:419-435)
+      val firstPerValue = both.groupBy(col(vecCol)).agg(min(col("ord")).as("ord"))
+      both.join(firstPerValue, Seq(vecCol, "ord"))
+        .select(col(idCol), col("ord"))
+        .orderBy(col("ord"))
+        .limit(k)
+    }
+  }
+}

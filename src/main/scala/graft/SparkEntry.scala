@@ -14,7 +14,8 @@ object SparkEntry {
     (VectorQueries.defs, VectorQueries.oracles),
     (IndexQueries.defs, IndexQueries.oracles),
     (EtlQueries.defs, EtlQueries.oracles),
-    (TextQueries.defs, TextQueries.oracles))
+    (TextQueries.defs, TextQueries.oracles),
+    (MetaQueries.defs, MetaQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,188 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{VectorRecord, VectorSchema}
+import graft.functions.Distances
+import graft.index.{Lsh, LshParams, PqModel}
+import graft.index.{BinaryQuantization => BqIndex, ProductQuantization => PqIndex}
+import graft.io.{ContentType, Etl}
+import graft.meta.TagDictionary
+import graft.ops.{EmbeddingProvider, HashEmbeddingProvider, Knn, RangeSearch, TextSearch, ThresholdFilter}
+
+/** Search-algorithm names (reference enum:
+  * Neighborly/Search/SearchAlgorithm.cs:9-19). */
+object SearchAlgorithm extends Enumeration {
+  val BallTree, KDTree, Linear, LSH, HNSW, Range, BinaryQuantization, ProductQuantization = Value
+}
+
+/** The `VectorDatabase` facade re-expressed over a Spark table
+  * (reference: Neighborly/VectorDatabase.cs:37-109,192-307,371-441).
+  *
+  * Observable semantics reproduced:
+  *  - CRUD verbs: add/get/update/remove by id; `updateVector` preserves the
+  *    id but DROPS tags and attributes — the reference constructs the
+  *    replacement from `(values, text)` only (VectorList.cs:184-187);
+  *  - `search(text | vector, k, algorithm, threshold)` dispatching on the
+  *    full `SearchAlgorithm` enum: KDTree/BallTree names serve the same
+  *    exact result as Linear (their observable contract — SURVEY §2.8);
+  *    HNSW is served by recall-tuned LSH (the declared substitution);
+  *    `Range` is not a kNN algorithm and returns an empty result, matching
+  *    the reference's switch default (SearchService.cs:164-166);
+  *  - threshold semantics incl. the high-dim bypass applied post-dispatch
+  *    (SearchService.cs:171-189);
+  *  - `rangeSearch` gated to Linear/Range/KDTree — every other name throws,
+  *    mirroring NotSupportedException (SearchService.cs:246-247);
+  *  - snapshot save/load as parquet (vector table + tag dictionary) —
+  *    Neighborly's gzip'd vectors.bin becomes engine-native columnar
+  *    storage (VectorDatabase.cs:371-499,642-730);
+  *  - import/export through the ETL layer (VectorDatabase.cs:747-800).
+  *
+  * Scale note: point CRUD rebuilds the logical plan (filter + union of a
+  * 1-row frame) — fine for the reference's verb-level API; bulk paths are
+  * `addVectors`/`importData`. Search plans are the library's scale-safe
+  * pipelines unchanged.
+  */
+class NeighborlySpark(val spark: SparkSession, val dimension: Int,
+    val embeddingProvider: EmbeddingProvider = HashEmbeddingProvider()) {
+
+  val tags: TagDictionary = TagDictionary.empty
+
+  private var df: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
+  private var pqModel: Option[PqModel] = None
+
+  def vectors: DataFrame = df
+  def count: Long = df.count()
+
+  private def toRow(r: VectorRecord): DataFrame =
+    spark.createDataFrame(java.util.List.of(Row(
+      r.id, r.values.toSeq, r.tags.toSeq, r.original_text, r.priority, r.user_id, r.org_id)),
+      VectorSchema.schema)
+
+  /** Add one vector; generates a UUID id when blank (Vector.cs:25,56). */
+  def addVector(r: VectorRecord): String = {
+    val id = if (r.id == null || r.id.isEmpty) java.util.UUID.randomUUID().toString else r.id
+    require(r.values.length == dimension,
+      s"dimension ${r.values.length} != table dimension $dimension (enforced at ingest, SURVEY §1.4)")
+    df = df.unionByName(toRow(r.copy(id = id)))
+    id
+  }
+
+  /** Bulk ingest (the scale path). */
+  def addVectors(rows: DataFrame): Unit = {
+    VectorSchema.validateDimension(rows, "values", dimension)
+    df = df.unionByName(rows.select(VectorSchema.schema.fieldNames.map(col): _*))
+  }
+
+  def getVector(id: String): Option[VectorRecord] =
+    df.filter(col("id") === id).collect().headOption.map(rowToRecord)
+
+  private def rowToRecord(r: Row): VectorRecord = VectorRecord(
+    r.getAs[String]("id"),
+    r.getAs[scala.collection.Seq[Float]]("values").toArray,
+    r.getAs[scala.collection.Seq[Short]]("tags").toArray,
+    r.getAs[String]("original_text"),
+    r.getAs[Byte]("priority"), r.getAs[Long]("user_id"), r.getAs[Long]("org_id"))
+
+  /** Update preserves the id but DROPS tags and attributes — the reference
+    * builds the replacement from (values, text) only (VectorList.cs:184-187). */
+  def updateVector(id: String, values: Array[Float], originalText: String = ""): Boolean = {
+    if (getVector(id).isEmpty) false
+    else {
+      df = df.filter(col("id") =!= id)
+        .unionByName(toRow(VectorRecord(id, values, original_text = originalText)))
+      true
+    }
+  }
+
+  def removeVector(id: String): Boolean = {
+    if (getVector(id).isEmpty) false
+    else { df = df.filter(col("id") =!= id); true }
+  }
+
+  /** kNN by raw vector (SearchService.cs:132-190 dispatch + threshold).
+    * Returns (id, dist) ordered by (dist, id). */
+  def search(query: Array[Float], k: Int,
+      algorithm: SearchAlgorithm.Value = SearchAlgorithm.KDTree,
+      similarityThreshold: Double = 0.5): DataFrame = {
+    require(k > 0, "Number of neighbors must be greater than 0")
+    import SearchAlgorithm._
+    val raw = algorithm match {
+      case KDTree | BallTree | Linear =>
+        Knn.single(df, "id", "values", typedLit(query), k)
+      case LSH =>
+        Lsh.search(df, "id", "values", query, k, LshParams.adaptive(dimension))
+      case HNSW => // declared substitution: recall-tuned LSH serves the name
+        Lsh.search(df, "id", "values", query, k, LshParams.serving(dimension))
+      case SearchAlgorithm.BinaryQuantization =>
+        BqIndex.search(df, "id", "values", query, k)
+          .select(col("id"), col("dist"))
+      case SearchAlgorithm.ProductQuantization =>
+        val m = pqModel.getOrElse { val f = PqIndex.fit(df, "values"); pqModel = Some(f); f }
+        PqIndex.search(m, df, "id", "values", query, k)
+      case Range => // not a kNN algorithm: the reference's switch default returns []
+        df.limit(0).select(col("id"), lit(0.0).as("dist"))
+    }
+    ThresholdFilter(raw, "dist", similarityThreshold, dimension)
+  }
+
+  /** kNN by text (SearchService.cs:104-131): default threshold heuristic,
+    * embed, search, prefix-union for short texts. */
+  def search(text: String, k: Int, algorithm: SearchAlgorithm.Value,
+      similarityThreshold: Option[Double]): DataFrame = {
+    require(text != null && text.trim.nonEmpty, "Text cannot be null or empty")
+    TextSearch.search(df, "id", "values", "original_text", text, k,
+      embeddingProvider, similarityThreshold)
+  }
+
+  /** Radius search, gated exactly like the reference: only Linear, Range
+    * and KDTree names support it (SearchService.cs:246-247). */
+  def rangeSearch(query: Array[Float], radius: Double,
+      algorithm: SearchAlgorithm.Value = SearchAlgorithm.Range,
+      metric: String = "euclidean"): DataFrame = {
+    import SearchAlgorithm._
+    algorithm match {
+      case Linear | Range | KDTree =>
+        RangeSearch.single(df, "id", "values", typedLit(query), radius, metric)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"Range search is not supported for algorithm $other (parity with SearchService.cs:246-247)")
+    }
+  }
+
+  /** Fit/refresh index artifacts (VectorDatabase.cs:501-540's rebuild). */
+  def buildAllIndexes(): Unit = {
+    df = df.cache()
+    pqModel = Some(PqIndex.fit(df, "values"))
+  }
+
+  /** Snapshot: parquet vector table + tag dictionary
+    * (VectorDatabase.cs:642-711's SaveAsync analog). */
+  def save(path: String): Unit = {
+    df.write.mode("overwrite").parquet(s"$path/vectors")
+    tags.toDF(spark).write.mode("overwrite").parquet(s"$path/tags")
+  }
+
+  /** LoadAsync analog: restores table + tag dictionary. */
+  def load(path: String): Unit = {
+    df = spark.read.schema(VectorSchema.schema).parquet(s"$path/vectors")
+    val loaded = spark.read.parquet(s"$path/tags").orderBy("tag_id").collect()
+    loaded.foreach(r => tags.add(r.getAs[String]("tag")))
+    pqModel = None
+  }
+
+  /** ETL import (VectorDatabase.cs:747-771): attributes default, matching
+    * the reference's ETL record shape. */
+  def importData(ct: ContentType, path: String): Unit = {
+    val in = Etl.importData(spark, ct, path)
+      .withColumn("priority", lit(0.toByte))
+      .withColumn("user_id", lit(0L))
+      .withColumn("org_id", lit(0L))
+    addVectors(in)
+  }
+
+  def exportData(ct: ContentType, path: String): Unit =
+    Etl.exportData(df, ct, path)
+}

@@ -1,0 +1,106 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.core.VectorRecord
+import graft.meta.TagDictionary
+
+class NeighborlySparkSpec extends SparkSpec {
+
+  private def db(dim: Int = 4): NeighborlySpark = {
+    val d = new NeighborlySpark(spark, dim)
+    d.addVector(VectorRecord("v1", Array(0f, 0f, 0f, 0f), Array(1.toShort), "origin", 2, 7L, 9L))
+    d.addVector(VectorRecord("v2", Array(1f, 0f, 0f, 0f), original_text = "one"))
+    d.addVector(VectorRecord("v3", Array(0f, 2f, 0f, 0f), original_text = "two"))
+    d
+  }
+
+  test("add/get round-trips all fields; blank id gets a uuid") {
+    val d = db()
+    val got = d.getVector("v1").get
+    assert(got.values.toSeq === Seq(0f, 0f, 0f, 0f))
+    assert(got.tags.toSeq === Seq(1.toShort) && got.priority === 2 &&
+      got.user_id === 7L && got.org_id === 9L)
+    val id = d.addVector(VectorRecord("", Array(1f, 1f, 1f, 1f)))
+    assert(id.length === 36 && d.getVector(id).isDefined)
+  }
+
+  test("dimension is enforced at ingest (declared deviation, SURVEY §1.4)") {
+    intercept[IllegalArgumentException](db().addVector(VectorRecord("bad", Array(1f))))
+  }
+
+  test("updateVector preserves id but DROPS tags and attributes (VectorList.cs:184-187)") {
+    val d = db()
+    assert(d.updateVector("v1", Array(9f, 9f, 9f, 9f), "updated"))
+    val got = d.getVector("v1").get
+    assert(got.values.toSeq === Seq(9f, 9f, 9f, 9f) && got.original_text === "updated")
+    assert(got.tags.isEmpty && got.priority === 0 && got.user_id === 0L && got.org_id === 0L)
+    assert(!d.updateVector("missing", Array(1f, 1f, 1f, 1f)))
+  }
+
+  test("removeVector deletes exactly one id") {
+    val d = db()
+    assert(d.removeVector("v2") && !d.removeVector("v2"))
+    assert(d.count === 2)
+  }
+
+  test("search dispatch: every kNN algorithm name answers; Range returns empty (switch default)") {
+    val d = db()
+    val q = Array(0.1f, 0f, 0f, 0f)
+    import SearchAlgorithm._
+    for (algo <- Seq(KDTree, BallTree, Linear, LSH, HNSW, BinaryQuantization, ProductQuantization)) {
+      val out = d.search(q, k = 2, algo, similarityThreshold = 10.0).collect()
+      assert(out.nonEmpty, s"$algo returned nothing")
+      assert(out.head.getAs[String]("id") === "v1", s"$algo nearest mismatch")
+    }
+    assert(d.search(q, 2, Range, 10.0).collect().isEmpty)
+  }
+
+  test("threshold filtering applies post-dispatch (dim <= 50: plain filter)") {
+    val d = db()
+    val out = d.search(Array(0f, 0f, 0f, 0f), k = 3, SearchAlgorithm.Linear, similarityThreshold = 0.5)
+    assert(out.collect().map(_.getAs[String]("id")).toSeq === Seq("v1"))
+  }
+
+  test("rangeSearch works for Linear/Range/KDTree and throws for the rest (SearchService.cs:246-247)") {
+    val d = db()
+    val q = Array(0f, 0f, 0f, 0f)
+    import SearchAlgorithm._
+    for (algo <- Seq(Linear, Range, KDTree)) {
+      val ids = d.rangeSearch(q, radius = 1.5, algo).collect().map(_.getAs[String]("id")).toSeq
+      assert(ids === Seq("v1", "v2"), s"$algo range mismatch")
+    }
+    for (algo <- Seq(BallTree, LSH, HNSW, BinaryQuantization, ProductQuantization)) {
+      intercept[UnsupportedOperationException](d.rangeSearch(q, 1.5, algo))
+    }
+  }
+
+  test("text search routes through the composition (prefix hit for short text)") {
+    val d = db()
+    val out = d.search("one", 2, SearchAlgorithm.KDTree, None).collect()
+    assert(out.map(_.getAs[String]("id")).contains("v2"))
+  }
+
+  test("snapshot save/load round-trips vectors and tags") {
+    val d = db()
+    d.tags.add("Alpha "); d.tags.add("beta")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_facade_snapshot"
+    d.save(path)
+    val d2 = new NeighborlySpark(spark, 4)
+    d2.load(path)
+    assert(d2.count === 3)
+    assert(d2.getVector("v1").get.tags.toSeq === Seq(1.toShort))
+    assert(d2.tags.getId("ALPHA") === 1.toShort && d2.tags.getId("beta") === 2.toShort)
+  }
+
+  test("tag dictionary: normalization, dedup, -1 for missing (VectorTags.cs:26-66)") {
+    val t = TagDictionary.empty
+    assert(t.add("  Foo ") === 1.toShort)
+    assert(t.add("foo") === 1.toShort)
+    assert(t.add("Bar") === 2.toShort)
+    assert(t.getId("FOO") === 1.toShort)
+    assert(t.getId("nope") === (-1).toShort)
+    assert(t(2.toShort) === "bar")
+    assert(t.getRange(Seq(1.toShort, 2.toShort)) === Seq("foo", "bar"))
+    assert(t.count === 2)
+  }
+}

@@ -15,7 +15,8 @@ object SparkEntry {
     (IndexQueries.defs, IndexQueries.oracles),
     (EtlQueries.defs, EtlQueries.oracles),
     (TextQueries.defs, TextQueries.oracles),
-    (MetaQueries.defs, MetaQueries.oracles))
+    (MetaQueries.defs, MetaQueries.oracles),
+    (PipelineQueries.defs, PipelineQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

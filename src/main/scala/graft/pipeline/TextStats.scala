@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (build-brief
+  * extension beyond the reference surface): token counting, quality
+  * scoring, language identification, document fingerprinting. All pure
+  * column expressions — they run inside whole-stage codegen, no UDFs.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column =
+    size(Dedup.tokens(textCol)).cast("long")
+
+  /** BPE-ish subword count: splits on whitespace AND letter/digit/symbol
+    * boundaries (e.g. "spark2.0!" → spark, 2, ., 0, !) — a cheap
+    * tokenizer-free proxy for subword token counts. */
+  def subwordCount(textCol: Column): Column =
+    size(filter(
+      split(lower(trim(textCol)), "(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|(?<=[^a-z0-9\\s])(?=[^\\s])|\\s+"),
+      t => t =!= "")).cast("long")
+
+  /** Ratio of non-alphanumeric, non-whitespace chars to total chars. */
+  def punctRatio(textCol: Column): Column = {
+    val n = length(textCol).cast("double")
+    val punct = (n - length(regexp_replace(textCol, "[^A-Za-z0-9\\s]", ""))).cast("double")
+    when(n === 0.0, lit(0.0)).otherwise(punct / n)
+  }
+
+  /** Ratio of tokens that are (English) stopwords — a classic quality /
+    * fluency signal. */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  def stopwordRatio(textCol: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = Dedup.tokens(textCol)
+    val n = size(toks).cast("double")
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    when(n === 0.0, lit(0.0)).otherwise(hits / n)
+  }
+
+  /** Composite quality score in [0,1]: length in a healthy band, modest
+    * punctuation, nonzero stopword share. Deterministic, documented
+    * weights — a scaffold for corpus filtering, not a learned model. */
+  def qualityScore(textCol: Column): Column = {
+    val nTok = tokenCount(textCol).cast("double")
+    val lengthScore = least(nTok / 20.0, lit(1.0)) * when(nTok > 1000, 0.5).otherwise(1.0)
+    val punctScore = lit(1.0) - least(punctRatio(textCol) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(textCol) * 5.0, lit(1.0))
+    round((lengthScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
+  }
+
+  /** Tiny n-gram/stopword language-ID heuristic: score = stopword-hit
+    * share per language, pick the argmax (ties → alphabetical). "und" when
+    * nothing matches. */
+  val stopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> englishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "del", "para", "en"))
+
+  def languageId(textCol: Column): Column = {
+    val toks = Dedup.tokens(textCol)
+    val n = size(toks).cast("double")
+    val scored = stopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double")
+      struct((when(n === 0.0, 0.0).otherwise(hits / n)).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling 8-char-gram fingerprint: the minimum md5 over all 8-char
+    * windows (one-permutation winnowing). Stable under token reordering
+    * noise at the edges; cheap dedup/citation key. */
+  def fingerprint(textCol: Column, window: Int = 8): Column = {
+    val n = length(textCol)
+    when(n < window, md5(textCol.cast("binary"))).otherwise(
+      array_min(transform(sequence(lit(1), n - (window - 1)),
+        i => md5(substr(textCol, i, lit(window)).cast("binary")))))
+  }
+
+  /** One-call profile: every stat as a column. */
+  def profile(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_subwords", subwordCount(col(textCol)))
+      .withColumn("punct_ratio", round(punctRatio(col(textCol)), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(col(textCol)), 6))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("lang_id", languageId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

@@ -80,7 +80,7 @@ object IndexQueries {
 
   /** Adaptive params for the 64-dim embeddings table (LSHSearch.cs:228-230:
     * 8 tables × 6 functions, seed 42). */
-  private val lshP = LshParams.adaptive(64)
+  private[queries] val lshP = LshParams.adaptive(64)
 
   /** Codebook training is per-dataset, not per-query — memoize like a
     * persisted index (bench reps would otherwise re-fit every run). */
@@ -93,7 +93,7 @@ object IndexQueries {
 
   /** The seed-42 hyperplane constants as a DuckDB VALUES CTE — lets the
     * oracle recompute every bucket code with identical IEEE double ops. */
-  private lazy val hpCte: String = {
+  private[queries] lazy val hpCte: String = {
     val rows = for (t <- 0 until lshP.tableCount; f <- 0 until lshP.hashFunctionCount) yield {
       val i = t * lshP.hashFunctionCount + f
       s"($t, $f, [${lshP.projections(i).map(dlit).mkString(",")}], ${dlit(lshP.biases(i))})"
@@ -103,7 +103,7 @@ object IndexQueries {
 
   /** Bucket code of every embedding per table: bit f set iff
     * dot(embedding, proj)+bias > 0 — sequential double fold on both engines. */
-  private val vkeysCte: String =
+  private[queries] val vkeysCte: String =
     """vkeys AS (
       |  SELECT e.vec_id AS vec_id, hp.tbl AS tbl,
       |    sum(CASE WHEN list_reduce(list_transform(list_zip(e.embedding, hp.proj),

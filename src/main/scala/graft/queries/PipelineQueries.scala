@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, TextStats}
+
+/** LLM-training-data pipeline queries (build-brief extension): exact
+  * dedup, near-dup families, text analysis — each over `documents`, each
+  * with the strongest oracle DuckDB can express (xxhash64-based MinHash /
+  * SimHash internals are Spark-specific, so those two are rows-only here
+  * and verified by planted-duplicate ScalaTests instead).
+  */
+object PipelineQueries {
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup groups: md5(content) → (hash, copies, representative).
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Rows surviving exact dedup, keyed back to full rows.
+    "dedup_exact_keep" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))),
+
+    // Text profile: token counts, quality signals, language id, rolling
+    // fingerprint — all pure codegen column expressions.
+    "text_profile" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextStats.languageId(col("text")).as("lang_id"),
+        TextStats.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // Exact word-3-gram Jaccard over consecutive doc pairs (the verify
+    // kernel of near-dup, checked end-to-end).
+    "jaccard_pairs" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val a = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sa"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), Dedup.shingles(col("text"), 3).as("sb"))
+      a.join(b, "doc_id")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jac"))
+    }),
+
+    // MinHash-LSH near-dup pairs (bucketed; xxhash64 signatures are
+    // engine-internal → rows-only oracle; DedupSpec plants duplicates).
+    "minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.4)),
+
+    // SimHash near-dup pairs (16-bit-word buckets, Hamming verify).
+    "simhash_neardup" -> ((s, dir) =>
+      Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 10)),
+
+    // Embedding near-dup through LSH buckets + exact cosine verify; the
+    // oracle replays the bucket pipeline with the same hyperplane literals.
+    "cosine_neardup" -> ((s, dir) =>
+      Dedup.cosineNearDuplicates(table(s, dir, "embeddings"), "vec_id", "embedding",
+        maxCosineDistance = 0.9, IndexQueries.lshP)))
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
+
+  private def shSql(textExpr: String): String =
+    s"""list_distinct(list_filter(
+       | list_transform(generate_series(1, greatest(len(list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), x -> x != '')) - 2, 0)),
+       |   i -> concat_ws(' ',
+       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), x -> x != '')[i],
+       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), x -> x != '')[i+1],
+       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), x -> x != '')[i+2])),
+       | s -> s != ''))""".stripMargin
+
+  private val stopList = TextStats.englishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        | min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_exact_keep" ->
+      """SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+        |FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        |  ON d.doc_id = k.doc_id""".stripMargin,
+
+    "text_profile" ->
+      s"""SELECT doc_id,
+         | CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         | round(CASE WHEN length(text) = 0 THEN 0.0
+         |   ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+         | round(CASE WHEN len($toksSql) = 0 THEN 0.0
+         |   ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END, 6) AS stopword_ratio,
+         | CASE WHEN len(list_filter($toksSql, t -> list_contains($stopList, t))) > 0 THEN 'en' ELSE 'und' END AS lang_id,
+         | list_min(list_transform(generate_series(1, length(text) - 7),
+         |   i -> md5(substring(text, i, 8)))) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "jaccard_pairs" ->
+      s"""SELECT a.doc_id AS doc_id,
+         | round(CASE WHEN len(list_distinct(list_concat(${shSql("a.text")}, ${shSql("b.text")}))) = 0 THEN 0.0
+         |   ELSE CAST(len(list_intersect(${shSql("a.text")}, ${shSql("b.text")})) AS DOUBLE)
+         |        / len(list_distinct(list_concat(${shSql("a.text")}, ${shSql("b.text")}))) END, 6) AS jac
+         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |WHERE a.doc_id < 100""".stripMargin,
+
+    "cosine_neardup" ->
+      s"""WITH ${IndexQueries.hpCte},
+         |${IndexQueries.vkeysCte},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM vkeys a JOIN vkeys b ON a.tbl = b.tbl AND a.key = b.key
+         |         WHERE a.vec_id < b.vec_id)
+         |SELECT c.id_a AS id_a, c.id_b AS id_b,
+         |  round(1.0 - ${sqlCosineSimRaw("ea.embedding", "eb.embedding")}, 6) AS cos_dist
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE round(1.0 - ${sqlCosineSimRaw("ea.embedding", "eb.embedding")}, 6) <= 0.9""".stripMargin)
+}

@@ -52,5 +52,8 @@ package object queries {
     s"sqrt(list_reduce(list_transform($a, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE)), (x,y) -> x+y))"
 
   def sqlCosineSim(a: String, b: String): String =
-    s"round(${sqlZipSum(a, b, s"$dElem1 * $dElem2")} / (${sqlMagnitude(a)} * ${sqlMagnitude(b)}), 6)"
+    s"round(${sqlCosineSimRaw(a, b)}, 6)"
+
+  def sqlCosineSimRaw(a: String, b: String): String =
+    s"(${sqlZipSum(a, b, s"$dElem1 * $dElem2")} / (${sqlMagnitude(a)} * ${sqlMagnitude(b)}))"
 }

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.index.LshParams
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // planted corpus: 1=2 exact dup; 3 near-dup of 1 (one word changed);
+  // 4 unrelated; 5 shares nothing
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private val near = "the quick brown fox jumps over the lazy cat and runs far away into the woods tonight"
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, near),
+    (4L, "completely different content about spark query engines and distributed joins at scale"),
+    (5L, "short text")).toDF("doc_id", "text").cache()
+
+  test("exact dedup collapses identical content to the minimum id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 4)
+    val dup = groups.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+    val kept = Dedup.exact(docs, "doc_id", "text").select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles are distinct word n-grams; jaccard matches hand computation") {
+    val sh = docs.filter($"doc_id" === 5).select(Dedup.shingles($"text", 2)).head().getSeq[String](0)
+    assert(sh === Seq("short text"))
+    val j = docs.filter($"doc_id" === 1)
+      .crossJoin(docs.filter($"doc_id" === 3).select($"text".as("t2")))
+      .select(Dedup.jaccard(Dedup.shingles($"text", 3), Dedup.shingles($"t2", 3)))
+      .head().getDouble(0)
+    // 15 3-shingles each; one word change breaks 3 shingles -> 12 shared, 18 union
+    assert(math.abs(j - 12.0 / 18.0) < 1e-9)
+  }
+
+  test("minhash-LSH finds the planted near-dup pair and not unrelated pairs") {
+    val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))           // exact dup: jaccard 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dup
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 === 1.0)
+  }
+
+  test("simhash: identical texts collide at hamming 0; near-dups stay close; unrelated far") {
+    val h = docs.select($"doc_id", Dedup.simHash($"text").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+    val pairs = Dedup.simHashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("cosine near-dup finds planted duplicate embeddings through LSH buckets") {
+    val rnd = new scala.util.Random(7)
+    val v1 = Array.fill(64)(rnd.nextFloat())
+    val v1close = v1.clone(); v1close(0) += 0.001f
+    val other = Array.fill(64)(rnd.nextFloat() - 0.9f)
+    val emb = Seq((1L, v1), (2L, v1close), (3L, other)).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDuplicates(emb, "vec_id", "embedding",
+      maxCosineDistance = 0.01, LshParams.serving(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): T =
+    Seq(Tuple1(text)).toDF("t").select(c(col("t"))).head().getAs[T](0)
+
+  test("token and subword counts") {
+    assert(one[Long]("the quick  brown fox", TextStats.tokenCount) === 4L)
+    assert(one[Long]("  ", TextStats.tokenCount) === 0L)
+    // spark2.0! -> spark | 2 | . | 0 | !
+    assert(one[Long]("spark2.0!", TextStats.subwordCount) === 5L)
+  }
+
+  test("punct ratio counts non-alphanumeric non-space chars") {
+    assert(one[Double]("ab,.", c => TextStats.punctRatio(c)) === 0.5)
+    assert(one[Double]("", c => TextStats.punctRatio(c)) === 0.0)
+  }
+
+  test("stopword ratio over the english list") {
+    assert(one[Double]("the cat sat on a mat", c => TextStats.stopwordRatio(c)) === 3.0 / 6.0)
+  }
+
+  test("language id picks the stopword-argmax language; und when nothing hits") {
+    assert(one[String]("the cat is on the mat", TextStats.languageId) === "en")
+    assert(one[String]("der hund ist nicht auf der couch und das ist gut", TextStats.languageId) === "de")
+    assert(one[String]("le chat est dans la maison et il dort", TextStats.languageId) === "fr")
+    assert(one[String]("xyzzy plugh qwerty", TextStats.languageId) === "und")
+  }
+
+  test("fingerprint: stable per content, window-min semantics, short-text fallback") {
+    val a = one[String]("abcdefghij", c => TextStats.fingerprint(c))
+    val b = one[String]("abcdefghij", c => TextStats.fingerprint(c))
+    assert(a === b && a.length === 32)
+    // text shorter than the window hashes whole
+    val s = one[String]("abc", c => TextStats.fingerprint(c))
+    assert(s === one[String]("abc", c => md5(c.cast("binary"))))
+    // appending text can only lower (or keep) the min-hash — monotone window set
+    val ext = one[String]("abcdefghijk", c => TextStats.fingerprint(c))
+    assert(ext <= a)
+  }
+
+  test("quality score lands in [0,1] and ranks fluent text above noise") {
+    val good = one[Double]("the quick brown fox jumps over the lazy dog and then it runs into the woods again today", c => TextStats.qualityScore(c))
+    val noisy = one[Double]("@@!! ## $$$ %% ^^", c => TextStats.qualityScore(c))
+    assert(good > noisy)
+    assert(good >= 0.0 && good <= 1.0 && noisy >= 0.0 && noisy <= 1.0)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Distances
-import graft.index.{BinaryQuantization, Lsh, LshParams, PqModel, ProductQuantization}
+import graft.index.{BinaryQuantization, Ivf, IvfModel, Lsh, LshParams, PqModel, ProductQuantization}
 
 /** Approximate-index query surface (SURVEY §2.8: LSH / BQ / PQ pipelines).
   * Every query here is deterministic end-to-end so the DuckDB oracle can
@@ -67,6 +67,15 @@ object IndexQueries {
         embeddingOf(s, dir, 0), k = 10)
     }),
 
+    // IVF probe-limited kNN (nprobe 4 of 16 coarse clusters — the
+    // partition-pruned scale path; kmeans is engine-internal → rows-only
+    // oracle, IvfSpec carries the correctness claims).
+    "ivf_knn" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Ivf.search(ivfModelFor(s, dir), e, "vec_id", "embedding",
+        embeddingOf(s, dir, 0), k = 10, nprobe = 4)
+    }),
+
     // Pure packed-Hamming kernel over integer-derived words (bit_count(xor)
     // on both engines; vectors' own packing is covered by bq_knn above).
     "hamming_packed" -> ((s, dir) => {
@@ -88,6 +97,11 @@ object IndexQueries {
   private def pqModelFor(s: org.apache.spark.sql.SparkSession, dir: String): PqModel =
     pqModels.computeIfAbsent(dir,
       _ => ProductQuantization.fit(table(s, dir, "embeddings"), "embedding"))
+
+  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+  private def ivfModelFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfModel =
+    ivfModels.computeIfAbsent(dir,
+      _ => Ivf.fit(table(s, dir, "embeddings"), "embedding"))
 
   private def dlit(d: Double): String = java.lang.Double.toString(d)
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, TextStats}
+import graft.pipeline.{Dedup, Multimodal, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -60,7 +60,24 @@ object PipelineQueries {
     // oracle replays the bucket pipeline with the same hyperplane literals.
     "cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDuplicates(table(s, dir, "embeddings"), "vec_id", "embedding",
-        maxCosineDistance = 0.9, IndexQueries.lshP)))
+        maxCosineDistance = 0.9, IndexQueries.lshP)),
+
+    // Multimodal plumbing: binary payload + typed metadata (oracle checks
+    // the schema/derivation; the stubbed decode is covered by its spec).
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.fromDocuments(table(s, dir, "documents")).toDF()
+        .select(col("doc_id"), col("kind"),
+          length(col("media")).cast("long").as("media_len"),
+          col("width"), col("height"), col("sample_rate"))),
+
+    // Feature extraction through the mapPartitions stage (stub decode →
+    // rows-only; MultimodalSpec pins determinism and batch shape).
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromDocuments(table(s, dir, "documents")), dim = 8).toDF()
+        .select(col("doc_id"), col("kind"),
+          size(col("features")).cast("long").as("n_features"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))))
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
@@ -107,6 +124,15 @@ object PipelineQueries {
          |        / len(list_distinct(list_concat(${shSql("a.text")}, ${shSql("b.text")}))) END, 6) AS jac
          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id < 100""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS media_len,
+        | CAST(doc_id % 64 + 16 AS INT) AS width,
+        | CAST(doc_id % 48 + 16 AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
+        |FROM documents""".stripMargin,
 
     "cosine_neardup" ->
       s"""WITH ${IndexQueries.hpCte},

@@ -43,6 +43,25 @@ object VectorQueries {
         .agg(round(avg(col("x")), 6).as("avg_val"))
     }),
 
+    // Max-distance (ball radius) aggregate per label: the BallTree node
+    // radius (BallTree.cs:34,141,152-165) = max distance of members to the
+    // element-wise centroid. Mixed float/double arrays flow through the
+    // same codegen distance kernel.
+    "ball_radius" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val centroid = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("v"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          p => p.getField("v")).as("centroid"))
+      e.join(centroid, "label")
+        .withColumn("d", round(Distances.euclidean(col("embedding"), col("centroid")), 6))
+        .groupBy(col("label"))
+        .agg(max(col("d")).as("radius"))
+    }),
+
     // Global scalar mean of every component — the BQ default threshold
     // (BinaryQuantization.cs:92-109).
     "global_mean" -> ((s, dir) => {
@@ -148,6 +167,17 @@ object VectorQueries {
       """SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val
         |FROM embeddings, generate_series(1, 64) t(i)
         |GROUP BY label, i""".stripMargin,
+
+    "ball_radius" ->
+      """WITH c AS (SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+        |           FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(v ORDER BY pos) AS centroid FROM c GROUP BY label),
+        |d AS (SELECT e.label AS label,
+        |        round(sqrt(list_reduce(list_transform(list_zip(e.embedding, cent.centroid),
+        |          p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+        |          (x,y) -> x+y)), 6) AS dd
+        |      FROM embeddings e JOIN cent ON e.label = cent.label)
+        |SELECT label, max(dd) AS radius FROM d GROUP BY label""".stripMargin,
 
     "global_mean" ->
       """SELECT round(avg(CAST(u AS DOUBLE)), 6) AS global_mean

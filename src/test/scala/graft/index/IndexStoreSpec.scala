@@ -1,0 +1,36 @@
+package graft.index
+
+import graft.SparkSpec
+
+class IndexStoreSpec extends SparkSpec {
+
+  private val dir = s"${System.getProperty("java.io.tmpdir")}/graft_indexstore"
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("LSH params round-trip and regenerate identical projections") {
+    val p = LshParams.adaptive(64)
+    IndexStore.saveLsh(spark, p, dir)
+    val loaded = IndexStore.loadLsh(spark, dir)
+    assert(loaded === p)
+    assert(loaded.projections(0).toSeq === p.projections(0).toSeq)
+  }
+
+  test("BQ threshold round-trips") {
+    IndexStore.saveBqThreshold(spark, 0.123456789, dir)
+    assert(IndexStore.loadBqThreshold(spark, dir) === 0.123456789)
+  }
+
+  test("PQ codebooks round-trip with identical centers and codes") {
+    val m = ProductQuantization.fit(emb, "embedding")
+    IndexStore.savePq(spark, m, dir)
+    val loaded = IndexStore.loadPq(spark, dir)
+    assert(loaded.numSubVectors === m.numSubVectors && loaded.subDim === m.subDim)
+    (0 until m.numSubVectors).foreach { b =>
+      assert(loaded.models(b).clusterCenters.map(_.toArray.toSeq).toSeq ===
+        m.models(b).clusterCenters.map(_.toArray.toSeq).toSeq)
+    }
+    val a = ProductQuantization.quantize(m, emb, "embedding").select("codes").collect()
+    val c = ProductQuantization.quantize(loaded, emb, "embedding").select("codes").collect()
+    assert(a.map(_.getSeq[Int](0)).toSeq === c.map(_.getSeq[Int](0)).toSeq)
+  }
+}

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Post-search similarity-threshold semantics, reproduced exactly from
@@ -9,16 +8,17 @@ import org.apache.spark.sql.functions._
   * the `dist <= threshold` filter is SKIPPED when
   * `dim > 50 && max(result dist) > 5.0 && threshold > 1.5`.
   *
-  * Result sets are k rows (tiny), so the single-partition window computing
-  * the max is O(k) — not a scale concern.
+  * The bypass condition's `max(dist)` is a scalar aggregate broadcast back
+  * onto the rows — a partial-aggregable plan that stays safe at any input
+  * cardinality (an unpartitioned window here would collapse to one
+  * partition if ever applied beyond a k-row result set).
   */
 object ThresholdFilter {
 
   def apply(results: DataFrame, distCol: String, threshold: Double, dim: Int): DataFrame =
     if (dim > 50 && threshold > 1.5) {
-      val w = Window.partitionBy() // global max over the (k-row) result set
-      results
-        .withColumn("_max_dist", max(col(distCol)).over(w))
+      val maxDist = results.agg(max(col(distCol)).as("_max_dist"))
+      results.crossJoin(broadcast(maxDist))
         .filter(col("_max_dist") > 5.0 || col(distCol) <= threshold)
         .drop("_max_dist")
     } else {

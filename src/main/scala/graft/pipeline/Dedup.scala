@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Distances, SimHashExpr}
+import graft.functions.{Distances, MinHashSigExpr, ShingleHashExpr, SimHashExpr}
 import graft.index.{Lsh, LshParams}
 
 /** Deduplication operators for large-scale training-data pipelines —
@@ -61,12 +61,11 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle).
-    * Deterministic (xxhash64 is seed-fixed). */
+  /** MinHash signature: each shingle string-hashes once (xxhash64), then a
+    * one-pass codegen kernel derives all lanes with splitmix64 mixing —
+    * deterministic and ~100× cheaper than per-lane string hashing. */
   def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))
-    }: _*)
+    MinHashSigExpr(transform(shinglesCol, s => xxhash64(s)), numHashes)
 
   /** MinHash-LSH near-duplicate pairs (id_a < id_b, verified Jaccard ≥
     * `threshold`). Signature → `bands` bands of `numHashes/bands` rows;
@@ -78,24 +77,32 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
+    // signature path is all codegen kernels (shingle hashing + lane mixing);
+    // the string shingles are only materialized later, on candidate pairs
     val withSig = df
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col(idCol),
+        MinHashSigExpr(ShingleHashExpr(col(textCol), shingleSize), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
     val banded = withSig.select(
-      col(idCol), col("sh"),
+      col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val left = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+    val candidates = banded.join(
+        banded.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
+      .filter(col(idCol) < col("_id_b"))
+      .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact-Jaccard verify: carry raw texts through the joins and shingle
+    // AFTER them, so the (non-codegen) shingle HOFs run only on the few
+    // candidate rows, not the whole corpus
+    val texts = df.select(col(idCol), col(textCol))
+    candidates
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_t_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_t_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(shingles(col("_t_a"), shingleSize),
+          shingles(col("_t_b"), shingleSize)), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

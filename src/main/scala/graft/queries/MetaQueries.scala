@@ -23,6 +23,16 @@ object MetaQueries {
         .select(col("doc_id"), col("lang_id"), col("source_id"))
     }),
 
+    // tags SHORT[] membership predicate on a vector table —
+    // array_contains is the distributed form of the reference's tag filter
+    // (VectorTags.cs:171-194; SURVEY §2.2 tenancy/tag predicates).
+    "tag_member" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .withColumn("tags", array(
+          (col("label") % 5).cast("short"), (col("vec_id") % 11).cast("short")))
+        .filter(array_contains(col("tags"), lit(3.toShort)))
+        .select(col("vec_id"), col("label"))),
+
     // Inverted tagId → ids map derived by explode (VectorTags.cs:171-194),
     // reduced to per-tag aggregates for an engine-stable result.
     "tag_inverted" -> ((s, dir) => {
@@ -49,6 +59,11 @@ object MetaQueries {
          |FROM documents d
          |JOIN dict tl ON tl.tag = lower(trim(d.lang))
          |JOIN dict ts ON ts.tag = lower(trim(d.source))""".stripMargin,
+
+    "tag_member" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE list_contains([CAST(label % 5 AS SMALLINT), CAST(vec_id % 11 AS SMALLINT)],
+        |                    CAST(3 AS SMALLINT))""".stripMargin,
 
     "tag_inverted" ->
       s"""WITH $dictCte,

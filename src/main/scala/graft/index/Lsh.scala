@@ -141,10 +141,13 @@ object Lsh {
       .select(col(idCol), col(vecCol), explode(col("codes")).as("code"))
     val qCoded = withCodes(queries, queryVecCol, params)
       .select(col(queryIdCol), col(queryVecCol), explode(col("codes")).as("code"))
+    // distance computed inside the (broadcast) join projection, so the
+    // multi-table dedup shuffles only (query, id, dist) scalars — never the
+    // embedding arrays (every duplicate pair carries the identical dist)
     val pairs = coded.join(broadcast(qCoded), "code")
+      .select(col(queryIdCol), col(idCol),
+        round(Distances.metric(metric)(col(vecCol), col(queryVecCol)), 6).as("dist"))
       .dropDuplicates(queryIdCol, idCol)
-    Knn.batchOver(
-      pairs.withColumn("dist", round(Distances.metric(metric)(col(vecCol), col(queryVecCol)), 6)),
-      idCol, queryIdCol, k)
+    Knn.batchOver(pairs, idCol, queryIdCol, k)
   }
 }

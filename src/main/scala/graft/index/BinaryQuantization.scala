@@ -29,9 +29,11 @@ object BinaryQuantization {
 
   /** Global scalar mean of every component of every vector
     * (BinaryQuantization.cs:92-109) — the default quantization threshold. */
-  def globalMean(vectors: DataFrame, vecCol: String): Double =
-    vectors.select(explode(col(vecCol)).as("x"))
-      .agg(avg(col("x").cast("double"))).head().getDouble(0)
+  def globalMean(vectors: DataFrame, vecCol: String): Double = {
+    val r = vectors.select(explode(col(vecCol)).as("x"))
+      .agg(avg(col("x").cast("double"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0) // empty table → 0.0f (BinaryQuantization.cs:79-82)
+  }
 
   /** Add the packed sign-bit column (the persistable BQ "index"). */
   def quantize(vectors: DataFrame, vecCol: String, threshold: Double,

@@ -73,7 +73,9 @@ object ProductQuantization {
       numSubVectors: Option[Int] = None, numCentroids: Int = 256,
       maxIter: Int = 50, seed: Long = 42): PqModel = {
     require(numCentroids <= 256, "Number of centroids cannot exceed 256 (byte limit)")
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val firstRow = vectors.select(size(col(vecCol))).limit(1).collect()
+    if (firstRow.isEmpty) return PqModel(Array.empty, 1) // empty input → inert model (ProductQuantization.cs:113-119)
+    val dim = firstRow.head.getInt(0)
     val m = numSubVectors.getOrElse(optimalSubVectors(dim))
     require(dim % m == 0,
       s"Vector dimensions ($dim) must be evenly divisible by number of sub-vectors ($m)")
@@ -109,6 +111,8 @@ object ProductQuantization {
   def search(model: PqModel, vectors: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, metric: String = "euclidean",
       candidateFactor: Int = 10): DataFrame = {
+    if (model.numSubVectors == 0)
+      return vectors.limit(0).select(col(idCol), lit(0.0).as("dist"))
     val tables = model.adcTables(query)
     quantize(model, vectors, vecCol)
       .withColumn("adc", AdcExpr(col("codes"), tables))

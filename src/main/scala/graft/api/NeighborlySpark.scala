@@ -152,6 +152,14 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     }
   }
 
+  /** Radius search by text (SearchService.cs RangeSearch(text, …): embed
+    * then range, same algorithm gating). */
+  def rangeSearch(text: String, radius: Double,
+      algorithm: SearchAlgorithm.Value, metric: String): DataFrame = {
+    require(text != null && text.trim.nonEmpty, "Text cannot be null or empty")
+    rangeSearch(embeddingProvider.embed(text), radius, algorithm, metric)
+  }
+
   /** Fit/refresh index artifacts (VectorDatabase.cs:501-540's rebuild). */
   def buildAllIndexes(): Unit = {
     df = df.cache()

@@ -101,6 +101,16 @@ object VectorQueries {
       Knn.single(e.crossJoin(broadcast(q)), "vec_id", "embedding", col("qv"), k = 10, metric = "manhattan")
     }),
 
+    // Brute-force cosine ANN baseline (build brief: similarity search over
+    // an embedding column) — the CORRECTED 1-cos metric, ascending, so
+    // nearest-first; the reference-quirk variant is knn_cosine above.
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Knn.single(e.crossJoin(broadcast(q)), "vec_id", "embedding", col("qv"),
+        k = 10, metric = "cosine_distance")
+    }),
+
     // Magnitude of every vector (Vector.cs:270-273).
     "vec_magnitude" -> ((s, dir) =>
       table(s, dir, "embeddings")
@@ -199,6 +209,13 @@ object VectorQueries {
 
     "knn_manhattan" ->
       s"""SELECT e.vec_id AS vec_id, ${sqlManhattan("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // `+ 0` folds IEEE -0.0 (self-match, cos microscopically above 1) to
+    // +0.0, matching Spark's round output
+    "ann_cosine_topk" ->
+      s"""SELECT e.vec_id AS vec_id, round(1.0 - ${sqlCosineSimRaw("e.embedding", "q.qv")}, 6) + 0 AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 

@@ -14,17 +14,17 @@ class StreamingIngestSpec extends SparkSpec {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${System.nanoTime()}"
     val source = MemoryStream[Rec]
     var batches = 0
+    // AvailableNow snapshots the end offset at start — enqueue BEFORE starting
+    source.addData(Rec("a", Array(1f), "first"), Rec("b", Array(2f), "b"))
     val q = StreamingIngest.start(source.toDF(), s"$dir/table", s"$dir/ckpt",
       trigger = Trigger.AvailableNow(), // test form of the 5 s cadence
       onBatch = (_, _) => batches += 1)
-
-    source.addData(Rec("a", Array(1f), "first"), Rec("b", Array(2f), "b"))
     q.processAllAvailable(); q.awaitTermination()
 
     // second run: update "a" (last write wins) and insert "c"
+    source.addData(Rec("a", Array(9f), "updated"), Rec("c", Array(3f), "c"))
     val q2 = StreamingIngest.start(source.toDF(), s"$dir/table", s"$dir/ckpt",
       trigger = Trigger.AvailableNow(), onBatch = (_, _) => batches += 1)
-    source.addData(Rec("a", Array(9f), "updated"), Rec("c", Array(3f), "c"))
     q2.processAllAvailable(); q2.awaitTermination()
 
     val table = spark.read.parquet(s"$dir/table").collect()

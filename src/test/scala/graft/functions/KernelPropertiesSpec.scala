@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+/** Property checks for the index/pipeline kernels (pack, Hamming, MinHash,
+  * SimHash, shingles) over seeded random cases — invariants a refactor
+  * must not break. */
+class KernelPropertiesSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def floatArr(): Array[Float] =
+    Array.fill(1 + rnd.nextInt(130))(rnd.nextFloat() * 20f - 10f)
+
+  test("packLocal: popcount equals count of components >= threshold") {
+    for (_ <- 1 to 60) {
+      val v = floatArr(); val t = rnd.nextDouble() * 10 - 5
+      val packed = PackBitsExpr.packLocal(v, t)
+      val pop = packed.map(java.lang.Long.bitCount).sum
+      assert(pop === v.count(_.toDouble >= t))
+      assert(packed.length === (v.length + 63) / 64)
+    }
+  }
+
+  test("hamming(pack(a), pack(a)) == 0; hamming is symmetric and bounded by dim") {
+    for (_ <- 1 to 10) {
+      val v = floatArr()
+      val p = PackBitsExpr.packLocal(v, 0.0)
+      val flipped = PackBitsExpr.packLocal(v.map(-_), 0.0)
+      val df = Seq((p, p, flipped)).toDF("a", "b", "c")
+      val r = df.select(
+        Distances.hammingPacked($"a", $"b"),
+        Distances.hammingPacked($"a", $"c"),
+        Distances.hammingPacked($"c", $"a")).head()
+      assert(r.getLong(0) === 0L)
+      assert(r.getLong(1) === r.getLong(2))
+      assert(r.getLong(1) <= v.length.toLong)
+    }
+  }
+
+  test("ShingleHash: count is tokens-n+1, stable, and whitespace-normalization-invariant") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "Zeta")
+    for (_ <- 1 to 40) {
+      val ws = Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+      val text = ws.mkString(" ")
+      val h1 = ShingleHash.compute(UTF8String.fromString(text), 3)
+      val h2 = ShingleHash.compute(UTF8String.fromString("  " + ws.mkString("\t") + " \n"), 3)
+      assert(h1.length === math.max(ws.length - 2, 0))
+      assert(h1.toSeq === h2.toSeq, "hash must ignore whitespace shape")
+      val upper = ShingleHash.compute(UTF8String.fromString(text.toUpperCase), 3)
+      assert(h1.toSeq === upper.toSeq, "hash must be case-insensitive")
+    }
+  }
+
+  test("MinHash signatures: equal shingle sets give equal signatures; permutation-invariant") {
+    val base = Seq("a b c d e f g h i j")
+    val perm = Seq("f g h i j a b c d e") // different shingles — differs
+    val df = (base ++ base ++ perm).zipWithIndex.map(_.swap).toDF("id", "t")
+      .select($"id", Dedup.minHashSignature(ShingleHashExpr($"t", 2), 32).as("sig"))
+    val sigs = df.orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+  }
+
+  test("SimHash: single-token text hashes to that token's bit pattern direction") {
+    // with one token every counter is +1/-1 exactly per the token hash bits
+    val df = Seq(Tuple1("lonely")).toDF("t")
+    val sh = df.select(Dedup.simHash($"t")).head().getLong(0)
+    val tok = df.select(element_at(transform(Dedup.tokens($"t"), w => xxhash64(w)), 1)).head().getLong(0)
+    assert(sh === tok)
+  }
+
+  test("jaccard is 1 for identical shingle sets, 0 for disjoint, monotone under overlap") {
+    val df = Seq(
+      ("a b c d", "a b c d"),
+      ("a b c d", "x y z w"),
+      ("a b c d e", "c d e f g")).toDF("x", "y")
+      .select(Dedup.jaccard(Dedup.shingles($"x", 2), Dedup.shingles($"y", 2)).as("j"))
+    val js = df.collect().map(_.getDouble(0))
+    assert(js(0) === 1.0)
+    assert(js(1) === 0.0)
+    assert(js(2) > 0.0 && js(2) < 1.0)
+  }
+}

@@ -76,6 +76,22 @@ object IndexQueries {
         embeddingOf(s, dir, 0), k = 10, nprobe = 4)
     }),
 
+    // Index ↔ table equi-join (SURVEY §2.3: the reference's HNSW load joins
+    // persisted node ids back to vectors, HNSW.cs:392-418): the LSH codes
+    // column is persisted as a standalone index table, re-read, and
+    // equi-joined to the vector table; the oracle recomputes every code
+    // from the hyperplane literals.
+    "index_join" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_index_join_${new java.io.File(dir).getName}"
+      Lsh.withCodes(table(s, dir, "embeddings"), "embedding", lshP)
+        .select(col("vec_id"), col("codes"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("vec_id"), explode(col("codes")).as("code"))
+        .join(table(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"), col("code"), col("label"))
+    }),
+
     // Pure packed-Hamming kernel over integer-derived words (bit_count(xor)
     // on both engines; vectors' own packing is covered by bq_knn above).
     "hamming_packed" -> ((s, dir) => {
@@ -210,6 +226,14 @@ object IndexQueries {
       s"""SELECT e.vec_id AS vec_id, $knnDistSql AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    "index_join" ->
+      s"""WITH $hpCte,
+         |$vkeysCte
+         |SELECT v.vec_id AS vec_id,
+         |  (CAST(v.tbl AS BIGINT) << 32) | CAST(v.key AS BIGINT) AS code,
+         |  e.label AS label
+         |FROM vkeys v JOIN embeddings e ON e.vec_id = v.vec_id""".stripMargin,
 
     "hamming_packed" ->
       """SELECT l_orderkey, l_linenumber,

@@ -21,7 +21,8 @@ object IndexQueries {
     // itself, so the <= min(dim/4,64)=16 prefilter always has candidates.
     "bq_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      BinaryQuantization.search(e, "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10)
+      BinaryQuantization.search(e, "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10,
+        threshold = Some(bqThresholdFor(s, dir)))
     }),
 
     // BQ fallback path: a constant far-off query (all components 10.0 >>
@@ -30,7 +31,8 @@ object IndexQueries {
     // fallback (BinaryQuantization.cs:167-174) is exercised.
     "bq_knn_fallback" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      BinaryQuantization.search(e, "vec_id", "embedding", Array.fill(64)(10.0f), k = 10)
+      BinaryQuantization.search(e, "vec_id", "embedding", Array.fill(64)(10.0f), k = 10,
+        threshold = Some(bqThresholdFor(s, dir)))
     }),
 
     // LSH single-query kNN with reference-adaptive params (dim 64 → 8
@@ -118,6 +120,13 @@ object IndexQueries {
   private def ivfModelFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfModel =
     ivfModels.computeIfAbsent(dir,
       _ => Ivf.fit(table(s, dir, "embeddings"), "embedding"))
+
+  // The BQ global-mean threshold is an index-build artifact, not a
+  // per-query computation — memoize it per dataset like the models.
+  private val bqThresholds = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def bqThresholdFor(s: org.apache.spark.sql.SparkSession, dir: String): Double =
+    bqThresholds.computeIfAbsent(dir,
+      _ => BinaryQuantization.globalMean(table(s, dir, "embeddings"), "embedding"))
 
   private def dlit(d: Double): String = java.lang.Double.toString(d)
 

@@ -135,6 +135,33 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // Skew-salted equi-join: lineitem salted 8 ways on a row-unique hash,
+    // supplier replicated 8x, joined on (s_suppkey, salt) — result must
+    // equal the plain join, which is exactly what the oracle computes.
+    "q_salted_join" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .withColumnRenamed("l_suppkey", "s_suppkey")
+      graft.ops.Skew.saltedJoin(l, table(s, dir, "supplier"), "s_suppkey",
+          salts = 8, saltSrc = col("l_orderkey") * 8 + col("l_linenumber"))
+        .groupBy(col("s_nationkey"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Exact percentiles per group (the quantile surface of the engine).
+    "q_percentile" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"))),
+
+    // HLL sketch distinct counts (approximate → rows-only oracle; the
+    // spec asserts the 5% relative-error envelope vs exact).
+    "q_sketch_distinct" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
     // Event-time tumbling-window aggregation (streaming-compatible shape:
     // the same plan runs under readStream+watermark, see graft.streaming).
     "q_events_window" -> ((s, dir) =>
@@ -228,6 +255,18 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT s.s_nationkey AS s_nationkey,
+        | round(sum(l.l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -43,11 +43,14 @@ object BinaryQuantization {
   /** BQ kNN search. `threshold` defaults to the global mean (one aggregate
     * job); the candidate-existence probe is a short-circuit `limit(1)` scan.
     */
+  /** `assumeCandidates = true` skips the fallback existence probe (one
+    * Spark job) — sound whenever the query is known to pass the prefilter,
+    * e.g. it is a row of the table (self-Hamming 0 ≤ min(dim/4, 64)). */
   def search(vectors: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int,
       threshold: Option[Double] = None,
       maxHammingDistance: Option[Int] = None,
-      metric: String = "euclidean"): DataFrame = {
+      metric: String = "euclidean", assumeCandidates: Boolean = false): DataFrame = {
     val t = threshold.getOrElse(globalMean(vectors, vecCol))
     val dim = query.length
     val maxHamming = maxHammingDistance.getOrElse(math.min(dim / 4, 64))
@@ -58,7 +61,7 @@ object BinaryQuantization {
       .withColumn("hamming", Distances.hammingPacked(col("packed"), typedLit(qPacked)))
 
     val within = packed.filter(col("hamming") <= maxHamming)
-    val hasCandidates = within.limit(1).count() > 0
+    val hasCandidates = assumeCandidates || within.limit(1).count() > 0
     val candidates =
       if (hasCandidates) within
       else packed.orderBy(col("hamming"), col(idCol)).limit(k * 3)

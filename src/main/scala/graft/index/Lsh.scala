@@ -98,13 +98,16 @@ object Lsh {
 
   /** Single-query approximate kNN: bucket-union candidates, exact re-rank.
     * Returns (id, dist) ordered by (dist, id). */
+  /** `assumeCandidates = true` skips the empty-bucket existence probe (one
+    * Spark job) — sound whenever the query is known to collide, e.g. it is
+    * a row of the indexed table (self-collision in every hash table). */
   def search(vectors: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, params: LshParams,
-      metric: String = "euclidean"): DataFrame = {
+      metric: String = "euclidean", assumeCandidates: Boolean = false): DataFrame = {
     val qCodes = params.codesLocal(query)
     val coded = withCodes(vectors, vecCol, params)
     val hits = coded.filter(arrays_overlap(col("codes"), typedLit(qCodes)))
-    val hasCandidates = hits.limit(1).count() > 0
+    val hasCandidates = assumeCandidates || hits.limit(1).count() > 0
     val candidates =
       if (hasCandidates) hits
       else coded.orderBy(xxhash64(col(idCol), lit(params.seed))).limit(k * 10)

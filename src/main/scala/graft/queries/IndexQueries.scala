@@ -22,7 +22,7 @@ object IndexQueries {
     "bq_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       BinaryQuantization.search(e, "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10,
-        threshold = Some(bqThresholdFor(s, dir)))
+        threshold = Some(bqThresholdFor(s, dir)), assumeCandidates = true)
     }),
 
     // BQ fallback path: a constant far-off query (all components 10.0 >>
@@ -41,7 +41,8 @@ object IndexQueries {
     // the SQL, so candidate selection AND re-rank are both checked.
     "lsh_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Lsh.search(e, "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10, lshP)
+      Lsh.search(e, "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10, lshP,
+        assumeCandidates = true)
     }),
 
     // LSH radius search over the same bucket candidates.

@@ -52,6 +52,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   private var df: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
   private var pqModel: Option[PqModel] = None
+  private var bqThreshold: Option[Double] = None
 
   def vectors: DataFrame = df
   def count: Long = df.count()
@@ -117,7 +118,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       case HNSW => // declared substitution: recall-tuned LSH serves the name
         Lsh.search(df, "id", "values", query, k, LshParams.serving(dimension))
       case SearchAlgorithm.BinaryQuantization =>
-        BqIndex.search(df, "id", "values", query, k)
+        BqIndex.search(df, "id", "values", query, k, threshold = bqThreshold)
           .select(col("id"), col("dist"))
       case SearchAlgorithm.ProductQuantization =>
         val m = pqModel.getOrElse { val f = PqIndex.fit(df, "values"); pqModel = Some(f); f }
@@ -160,9 +161,13 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     rangeSearch(embeddingProvider.embed(text), radius, algorithm, metric)
   }
 
-  /** Fit/refresh index artifacts (VectorDatabase.cs:501-540's rebuild). */
+  /** Fit/refresh every index artifact — the facade analog of the
+    * reference's debounced BuildAllIndexes (VectorDatabase.cs:501-540):
+    * BQ global-mean threshold, PQ codebooks; LSH projections are pure
+    * functions of (dim, seed) and need no fitting. */
   def buildAllIndexes(): Unit = {
     df = df.cache()
+    bqThreshold = Some(BqIndex.globalMean(df, "values"))
     pqModel = Some(PqIndex.fit(df, "values"))
   }
 
@@ -171,6 +176,10 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   def save(path: String): Unit = {
     df.write.mode("overwrite").parquet(s"$path/vectors")
     tags.toDF(spark).write.mode("overwrite").parquet(s"$path/tags")
+    // V1-snapshot analog: persist fitted index artifacts alongside the table
+    // (SearchService.cs:285-342 serializes indexes into the snapshot)
+    bqThreshold.foreach(t => graft.index.IndexStore.saveBqThreshold(spark, t, s"$path/indexes"))
+    pqModel.foreach(m => graft.index.IndexStore.savePq(spark, m, s"$path/indexes"))
   }
 
   /** LoadAsync analog: restores table + tag dictionary. */
@@ -178,7 +187,12 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     df = spark.read.schema(VectorSchema.schema).parquet(s"$path/vectors")
     val loaded = spark.read.parquet(s"$path/tags").orderBy("tag_id").collect()
     loaded.foreach(r => tags.add(r.getAs[String]("tag")))
-    pqModel = None
+    bqThreshold =
+      try Some(graft.index.IndexStore.loadBqThreshold(spark, s"$path/indexes"))
+      catch { case _: Exception => None }
+    pqModel =
+      try Some(graft.index.IndexStore.loadPq(spark, s"$path/indexes"))
+      catch { case _: Exception => None }
   }
 
   /** ETL import (VectorDatabase.cs:747-771): attributes default, matching

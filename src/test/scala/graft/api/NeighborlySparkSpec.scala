@@ -92,6 +92,21 @@ class NeighborlySparkSpec extends SparkSpec {
     assert(d2.tags.getId("ALPHA") === 1.toShort && d2.tags.getId("beta") === 2.toShort)
   }
 
+  test("buildAllIndexes fits artifacts; save/load round-trips them (V1 snapshot analog)") {
+    val d = db()
+    d.buildAllIndexes()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_facade_indexes"
+    d.save(path)
+    val d2 = new NeighborlySpark(spark, 4)
+    d2.load(path)
+    // BQ search on the restored facade reuses the persisted threshold (no refit)
+    val out = d2.search(Array(0f, 0f, 0f, 0f), 2, SearchAlgorithm.BinaryQuantization, 10.0).collect()
+    assert(out.nonEmpty && out.head.getAs[String]("id") === "v1")
+    // PQ codebooks restored: search answers without refitting
+    val pq = d2.search(Array(0f, 0f, 0f, 0f), 2, SearchAlgorithm.ProductQuantization, 10.0).collect()
+    assert(pq.nonEmpty && pq.head.getAs[String]("id") === "v1")
+  }
+
   test("tag dictionary: normalization, dedup, -1 for missing (VectorTags.cs:26-66)") {
     val t = TagDictionary.empty
     assert(t.add("  Foo ") === 1.toShort)

@@ -36,6 +36,23 @@ class IvfSpec extends SparkSpec {
     assert(out.head.getAs[Double]("dist") === 0.0)
   }
 
+  test("cluster-partitioned storage prunes the scan to the probed partitions") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_part"
+    Ivf.assign(model, emb, "embedding").write
+      .partitionBy("cluster").mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    val q = emb.filter($"vec_id" === 0).head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val probes = model.probes(q, 4)
+    val pruned = stored.filter($"cluster".isin(probes: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cluster"),
+      s"partition filter missing:\n${plan.take(800)}")
+    // the pruned scan reads only the probed clusters' rows
+    val expected = Ivf.assign(model, emb, "embedding")
+      .filter($"cluster".isin(probes: _*)).count()
+    assert(pruned.count() === expected)
+  }
+
   test("probe-limited recall is far above the scanned-fraction baseline") {
     val queries = emb.filter($"vec_id" < 10).collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray)

@@ -27,6 +27,16 @@ object VectorQueries {
       Knn.batch(e, "vec_id", "embedding", q, "query_id", "qv", k = 5)
     }),
 
+    // Batch amortization at 100 queries: the per-query cost of the bounded
+    // -heap plan is what the engine's throughput contract rests on
+    // (BASELINE.md spark_approach; single-query latency is job overhead).
+    "knn_batch_100" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Knn.batch(e, "vec_id", "embedding", q, "query_id", "qv", k = 10)
+    }),
+
     // Exact range (radius) search, ordered by (dist, id).
     "range_euclidean" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
@@ -166,6 +176,16 @@ object VectorQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
          |      FROM d)
          |WHERE rank <= 5""".stripMargin,
+
+    "knn_batch_100" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 100),
+         |d AS (SELECT q.query_id AS query_id, e.vec_id AS vec_id, ${sqlEuclid("e.embedding", "q.qv")} AS dist
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
+         |FROM (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |WHERE rank <= 10""".stripMargin,
 
     "range_euclidean" ->
       s"""SELECT vec_id, dist FROM (

@@ -135,6 +135,31 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // ROLLUP hierarchy totals (subtotal + grand-total rows with NULL keys).
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))),
+
+    // Left outer join preserving customers without orders (null-side agg).
+    "q_outer_join" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total"))),
+
+    // Running (cumulative) sum per user — ordered-frame window aggregation.
+    "q_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsTable(s, dir)
+        .withColumn("running", round(sum(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("running"))
+    }),
+
     // Skew-salted equi-join: lineitem salted 8 ways on a row-unique hash,
     // supplier replicated 8x, joined on (s_suppkey, salt) — result must
     // equal the plain join, which is exactly what the oracle computes.
@@ -255,6 +280,23 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS n_orders,
+        | round(coalesce(sum(o.o_totalprice), 0.0), 4) AS total
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running
+        |FROM events""".stripMargin,
 
     "q_salted_join" ->
       """SELECT s.s_nationkey AS s_nationkey,

@@ -135,6 +135,21 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // As-of join: every event picks the same user's most recent 'click' at
+    // or before its timestamp — composed as union + running last (one hash
+    // partition, no inequality join); oracle = DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val e = eventsTable(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.ops.AsOfJoin.asof(
+          e.select(col("event_id"), col("user_id"), col("ts")),
+          clicks, "user_id", "ts", "ts", Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          round(col("click_value"), 6).as("click_value"))
+    }),
+
     // ROLLUP hierarchy totals (subtotal + grand-total rows with NULL keys).
     "q_rollup" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -280,6 +295,14 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id AS event_id, e.user_id AS user_id,
+        | c.click_id AS click_id, round(c.click_value, 6) AS click_value
+        |FROM events e
+        |ASOF JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |           FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -150,6 +150,22 @@ object RelationalQueries {
           round(col("click_value"), 6).as("click_value"))
     }),
 
+    // Bucketed range join: lineitem quantities against nation-derived
+    // intervals [2k, 2k+3) — an equi-join on buckets + boundary filter, so
+    // the plan never degrades to a nested loop; the oracle runs the plain
+    // inequality join.
+    "q_interval_join" -> ((s, dir) => {
+      val intervals = table(s, dir, "nation")
+        .select(col("n_nationkey"),
+          (col("n_nationkey") * 2.0).as("lo"),
+          (col("n_nationkey") * 2.0 + 3.0).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(
+          table(s, dir, "lineitem").select(col("l_quantity")),
+          "l_quantity", intervals, "lo", "hi", width = 4.0)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_q"))
+    }),
+
     // ROLLUP hierarchy totals (subtotal + grand-total rows with NULL keys).
     "q_rollup" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -295,6 +311,14 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT n.n_nationkey AS n_nationkey, count(*) AS n,
+        | round(sum(l.l_quantity), 4) AS sum_q
+        |FROM lineitem l JOIN nation n
+        |  ON l.l_quantity >= n.n_nationkey * 2.0
+        | AND l.l_quantity <  n.n_nationkey * 2.0 + 3.0
+        |GROUP BY 1""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id AS event_id, e.user_id AS user_id,

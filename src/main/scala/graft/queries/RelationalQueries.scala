@@ -218,6 +218,18 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // Gap-based sessionization (session_window, 30-minute gap) — the
+    // oracle rebuilds sessions with lag + cumulative-start-count, the
+    // portable definition of the same semantics. Session start is
+    // formatted to micros so both engines stringify identically.
+    "q_session_window" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n"), col("sum_value"))),
+
     // Event-time tumbling-window aggregation (streaming-compatible shape:
     // the same plan runs under readStream+watermark, see graft.streaming).
     "q_events_window" -> ((s, dir) =>
@@ -356,6 +368,20 @@ object RelationalQueries {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS s
+        |  FROM events),
+        |y AS (SELECT *, sum(s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM y GROUP BY user_id, sid""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -218,6 +218,14 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // Semi-structured JSON column: extract a typed field from the props
+    // payload and aggregate on it (get_json_object ↔ json_extract).
+    "q_json_extract" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"))),
+
     // Gap-based sessionization (session_window, 30-minute gap) — the
     // oracle rebuilds sessions with lag + cumulative-start-count, the
     // portable definition of the same semantics. Session start is
@@ -368,6 +376,12 @@ object RelationalQueries {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | count(*) AS n,
+        | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_session_window" ->
       """WITH x AS (

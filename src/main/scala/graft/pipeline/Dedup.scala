@@ -83,11 +83,14 @@ object Dedup {
       .select(col(idCol),
         MinHashSigExpr(ShingleHashExpr(col(textCol), shingleSize), numHashes).as("sig"))
       .filter(size(col("sig")) > 0)
+    // persist: both sides of the bucket self-join reference this frame —
+    // without it the full-corpus signature scan runs twice
     val banded = withSig.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.join(
         banded.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
       .filter(col(idCol) < col("_id_b"))

@@ -62,6 +62,18 @@ object PipelineQueries {
       Dedup.cosineNearDuplicates(table(s, dir, "embeddings"), "vec_id", "embedding",
         maxCosineDistance = 0.9, IndexQueries.lshP)),
 
+    // The composed corpus-cleaning pipeline: quality gate → language gate →
+    // exact dedup, one declarative plan. The oracle replays the full
+    // quality formula and the dedup in SQL.
+    "pipeline_clean" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("lang_id", TextStats.languageId(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_id") === "en")
+      Dedup.exact(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata (oracle checks
     // the schema/derivation; the stubbed decode is covered by its spec).
     "multimodal_meta" -> ((s, dir) =>
@@ -124,6 +136,25 @@ object PipelineQueries {
          |        / len(list_distinct(list_concat(${shSql("a.text")}, ${shSql("b.text")}))) END, 6) AS jac
          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id < 100""".stripMargin,
+
+    "pipeline_clean" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |    round(
+         |      least(CAST(len($toksSql) AS DOUBLE) / 20.0, 1.0)
+         |        * (CASE WHEN len($toksSql) > 1000 THEN 0.5 ELSE 1.0 END) * 0.4
+         |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 1.0)) * 0.3
+         |      + least((CASE WHEN len($toksSql) = 0 THEN 0.0
+         |           ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END) * 5.0, 1.0) * 0.3
+         |    , 6) AS quality,
+         |    CASE WHEN len(list_filter($toksSql, t -> list_contains($stopList, t))) > 0
+         |         THEN 'en' ELSE 'und' END AS lang_id
+         |  FROM documents),
+         |kept AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.5 AND lang_id = 'en')
+         |SELECT k.doc_id AS doc_id, k.quality AS quality
+         |FROM kept k JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) d
+         |  ON k.doc_id = d.doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

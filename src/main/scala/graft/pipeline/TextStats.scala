@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TokenProfileExpr
+
 /** Text-analysis operators for training-data pipelines (build-brief
   * extension beyond the reference surface): token counting, quality
   * scoring, language identification, document fingerprinting. All pure
@@ -10,9 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** Languages in the profile kernel, alphabetical; the profile array is
+    * [n_tokens, punct_chars, n_chars, hits_de, hits_en, hits_es, hits_fr]. */
+  private lazy val langsSorted: Seq[(String, Seq[String])] = stopwordsByLang.toSeq.sortBy(_._1)
+
+  /** Shared one-pass token-profile column. Every derived stat below reads
+    * from a structurally-equal copy of this expression, so whole-stage
+    * codegen's subexpression elimination computes the scan once per row. */
+  private def profile(textCol: Column): Column =
+    TokenProfileExpr(textCol, langsSorted.map(_._2))
+
+  private def nTokens(textCol: Column): Column = element_at(profile(textCol), 1)
+  private def punctChars(textCol: Column): Column = element_at(profile(textCol), 2)
+  private def nChars(textCol: Column): Column = element_at(profile(textCol), 3)
+  private def langHits(textCol: Column, i: Int): Column = element_at(profile(textCol), 4 + i)
+
   /** Whitespace token count. */
-  def tokenCount(textCol: Column): Column =
-    size(Dedup.tokens(textCol)).cast("long")
+  def tokenCount(textCol: Column): Column = nTokens(textCol)
 
   /** BPE-ish subword count: splits on whitespace AND letter/digit/symbol
     * boundaries (e.g. "spark2.0!" → spark, 2, ., 0, !) — a cheap
@@ -24,9 +40,8 @@ object TextStats {
 
   /** Ratio of non-alphanumeric, non-whitespace chars to total chars. */
   def punctRatio(textCol: Column): Column = {
-    val n = length(textCol).cast("double")
-    val punct = (n - length(regexp_replace(textCol, "[^A-Za-z0-9\\s]", ""))).cast("double")
-    when(n === 0.0, lit(0.0)).otherwise(punct / n)
+    val n = nChars(textCol).cast("double")
+    when(n === 0.0, lit(0.0)).otherwise(punctChars(textCol).cast("double") / n)
   }
 
   /** Ratio of tokens that are (English) stopwords — a classic quality /
@@ -36,10 +51,11 @@ object TextStats {
     "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
 
   def stopwordRatio(textCol: Column, stopwords: Seq[String] = englishStopwords): Column = {
-    val toks = Dedup.tokens(textCol)
-    val n = size(toks).cast("double")
-    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
-    when(n === 0.0, lit(0.0)).otherwise(hits / n)
+    val n = nTokens(textCol).cast("double")
+    val hits =
+      if (stopwords == englishStopwords) langHits(textCol, langsSorted.indexWhere(_._1 == "en"))
+      else element_at(TokenProfileExpr(textCol, Seq(stopwords)), 4)
+    when(n === 0.0, lit(0.0)).otherwise(hits.cast("double") / n)
   }
 
   /** Composite quality score in [0,1]: length in a healthy band, modest
@@ -63,10 +79,9 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "del", "para", "en"))
 
   def languageId(textCol: Column): Column = {
-    val toks = Dedup.tokens(textCol)
-    val n = size(toks).cast("double")
-    val scored = stopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double")
+    val n = nTokens(textCol).cast("double")
+    val scored = langsSorted.zipWithIndex.map { case ((lang, _), i) =>
+      val hits = langHits(textCol, i).cast("double")
       struct((when(n === 0.0, 0.0).otherwise(hits / n)).as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)

@@ -66,10 +66,16 @@ object PipelineQueries {
     // exact dedup, one declarative plan. The oracle replays the full
     // quality formula and the dedup in SQL.
     "pipeline_clean" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      // persist the profiled stage: the projection computes the token
+      // kernel once per row (Project-level CSE); the filter and both sides
+      // of the dedup join then read the materialized columns instead of
+      // re-inlining the kernel (a Filter predicate gets no subexpression
+      // elimination). At scale this stage would be written out anyway.
+      val profiled = table(s, dir, "documents")
         .withColumn("quality", TextStats.qualityScore(col("text")))
         .withColumn("lang_id", TextStats.languageId(col("text")))
-        .filter(col("quality") >= 0.5 && col("lang_id") === "en")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val d = profiled.filter(col("quality") >= 0.5 && col("lang_id") === "en")
       Dedup.exact(d, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
     }),

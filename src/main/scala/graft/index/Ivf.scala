@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -11,22 +11,34 @@ import graft.functions.Distances
   * coarse-quantizer scale path for embedding search (build-brief
   * extension; the reference has no IVF, its ANN family is LSH/BQ/PQ).
   *
-  * fit: k-means coarse centroids (seed 42, single coalesced partition for
-  * cross-session determinism — sample-based training is standard at
-  * scale). assign: nearest-centroid cluster id per row — the partition
-  * key you'd bucket/partition the table by at 100 TB, so a probe scans
-  * only `nprobe/nlist` of the data. search: pick the `nprobe` nearest
-  * centroids driver-side, scan only those clusters, exact top-k.
+  * Two coarse-quantizer fits:
+  *  - `fit`: MLlib k-means on a bounded seeded sample
+  *    ([[Sampling.seededSample]] — the 100 TB-safe path; the single
+  *    training partition never holds more than `trainSample` rows);
+  *  - `fitSampledCentroids`: centroids are actual table rows picked by a
+  *    multiplicative hash of the id — plain integer/float arithmetic that
+  *    a SQL oracle can replay end-to-end (centroid selection, assignment,
+  *    probe choice AND top-k), the strongest correctness check available
+  *    for an approximate index. Using data points as coarse centroids is
+  *    a standard IVF variant (random-subset coarse quantizer).
+  *
+  * The model holds raw float centers; `assign` computes the
+  * nearest-centroid id with the codegen distance kernel + an
+  * `array_min` over (dist, idx) structs — no MLlib, no UDF on the scan
+  * path, whole-stage-codegen friendly. `cluster` is the partition key
+  * you'd bucket the table by at 100 TB, so a probe scans only
+  * `nprobe/nlist` of the data.
   */
-final case class IvfModel(km: KMeansModel) {
-  def nlist: Int = km.clusterCenters.length
+final case class IvfModel(centers: Array[Array[Float]]) {
+  def nlist: Int = centers.length
 
-  /** Nearest `nprobe` centroid ids to the query, by euclidean. */
+  /** Nearest `nprobe` centroid ids to the query, by euclidean,
+    * ties broken by centroid id. */
   def probes(query: Array[Float], nprobe: Int): Seq[Int] =
-    km.clusterCenters.zipWithIndex.map { case (c, i) =>
+    centers.zipWithIndex.map { case (c, i) =>
       var s = 0.0; var j = 0
-      while (j < math.min(query.length, c.size)) {
-        val d = query(j).toDouble - c(j); s += d * d; j += 1
+      while (j < math.min(query.length, c.length)) {
+        val d = query(j).toDouble - c(j).toDouble; s += d * d; j += 1
       }
       (s, i)
     }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
@@ -34,25 +46,51 @@ final case class IvfModel(km: KMeansModel) {
 
 object Ivf {
 
-  private def features(vecCol: String) = array_to_vector(col(vecCol)).as("_ivf_f")
-
+  /** k-means coarse centroids (seed 42) on a bounded deterministic sample;
+    * the sample (not the table) is coalesced to one partition so the fit
+    * is identical across sessions AND bounded at scale. */
   def fit(vectors: DataFrame, vecCol: String, nlist: Int = 16, seed: Long = 42,
-      maxIter: Int = 20): IvfModel = {
+      maxIter: Int = 20, trainSample: Int = 1 << 18): IvfModel = {
     val n = vectors.count()
-    val k = math.min(nlist.toLong, n).toInt
-    val train = vectors.select(features(vecCol)).coalesce(1).cache()
+    val k = math.min(math.min(nlist.toLong, n), trainSample.toLong).toInt
+    val train = Sampling.seededSample(vectors, vecCol, n, trainSample, seed)
+      .select(array_to_vector(col(vecCol)).as("_ivf_f")).coalesce(1).cache()
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_ivf_f").setPredictionCol("_ivf_c").fit(train)
     train.unpersist()
-    IvfModel(km)
+    IvfModel(km.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 
-  /** Append the coarse cluster id (the IVF partition key). */
+  /** Knuth multiplicative hash of the row id — 2654435761 = ⌊2³²/φ⌋.
+    * Chosen because `(id * 2654435761) % 4294967296` is exactly
+    * replayable as BIGINT arithmetic in any SQL engine. */
+  private def idHash(idCol: String) =
+    (col(idCol).cast("long") * lit(2654435761L)) % lit(4294967296L)
+
+  /** Coarse centroids = the `nlist` table rows ranked first by the
+    * multiplicative id hash. Deterministic, partition-independent, and —
+    * unlike k-means — SQL-replayable, so `ivf_knn` gets a full
+    * hash-match oracle. The collect is `nlist` rows (16ish), not data. */
+  def fitSampledCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16): IvfModel = {
+    val centers = vectors
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .orderBy(idHash("_id"), col("_id"))
+      .limit(nlist)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("_v").toArray)
+    IvfModel(centers)
+  }
+
+  /** Append the coarse cluster id (the IVF partition key): argmin over
+    * per-centroid codegen euclidean distances, ties to the lower centroid
+    * id via struct ordering. */
   def assign(model: IvfModel, vectors: DataFrame, vecCol: String,
       outCol: String = "cluster"): DataFrame = {
-    val withF = vectors.withColumn("_ivf_f", array_to_vector(col(vecCol)))
-    model.km.setPredictionCol("_ivf_c").transform(withF)
-      .withColumn(outCol, col("_ivf_c")).drop("_ivf_f", "_ivf_c")
+    val scored = model.centers.zipWithIndex.map { case (c, i) =>
+      struct(Distances.euclidean(col(vecCol), typedLit(c)).as("d"), lit(i).as("i"))
+    }
+    vectors.withColumn(outCol, array_min(array(scored.toIndexedSeq: _*)).getField("i"))
   }
 
   /** Probe-limited exact kNN: scans only the `nprobe` clusters nearest the

@@ -25,9 +25,12 @@ import graft.functions.{AdcExpr, Distances}
   * and typically identical to exact kNN — the reference returns raw
   * ADC-ordered vectors.
   *
-  * Scale shape: training runs once (on a single coalesced partition for
-  * cross-session determinism — at 100 TB you'd train on a sample, which is
-  * standard PQ practice); `quantize` is a distributed column append (the
+  * Scale shape: training runs on a bounded seeded sample (`trainSample`
+  * rows picked by `xxhash64(vector, seed)` order — deterministic across
+  * sessions and cluster sizes, standard PQ practice), coalesced to one
+  * partition only AFTER the limit so the single training task never sees
+  * more than `trainSample` rows regardless of table size;
+  * `quantize` is a distributed column append (the
   * 8-bit codes are the persisted index, 32×subDim:1 compression,
   * GetCompressionRatio `:385-393`); search is a codegen table-lookup scan +
   * TakeOrderedAndProject — no shuffle beyond the bounded top-k.
@@ -66,12 +69,19 @@ object ProductQuantization {
   private def blockCol(vecCol: String, b: Int, subDim: Int) =
     array_to_vector(slice(col(vecCol), b * subDim + 1, subDim)).as(s"_pq_f$b")
 
-  /** Train one codebook per block. `coalesce(1)` pins partitioning so the
-    * fitted centers are identical across sessions with different
-    * parallelism (the oracle depends on it). */
+  /** Train one codebook per block on a bounded deterministic sample.
+    *
+    * Tables larger than `trainSample` rows are cut down by seeded hash
+    * order (`orderBy(xxhash64(vector, seed)).limit(trainSample)` — a
+    * TakeOrderedAndProject, so only `trainSample` rows ever reach the
+    * driver-side single training partition no matter the table size).
+    * Smaller tables keep the plain `coalesce(1)` path so fitted centers
+    * stay identical across sessions with different parallelism (the
+    * oracle depends on it). */
   def fit(vectors: DataFrame, vecCol: String,
       numSubVectors: Option[Int] = None, numCentroids: Int = 256,
-      maxIter: Int = 50, seed: Long = 42): PqModel = {
+      maxIter: Int = 50, seed: Long = 42,
+      trainSample: Int = 1 << 18): PqModel = {
     require(numCentroids <= 256, "Number of centroids cannot exceed 256 (byte limit)")
     val firstRow = vectors.select(size(col(vecCol))).limit(1).collect()
     if (firstRow.isEmpty) return PqModel(Array.empty, 1) // empty input → inert model (ProductQuantization.cs:113-119)
@@ -81,8 +91,8 @@ object ProductQuantization {
       s"Vector dimensions ($dim) must be evenly divisible by number of sub-vectors ($m)")
     val subDim = dim / m
     val n = vectors.count()
-    val k = math.min(numCentroids.toLong, n).toInt
-    val train = vectors
+    val k = math.min(math.min(numCentroids.toLong, n), trainSample.toLong).toInt
+    val train = Sampling.seededSample(vectors, vecCol, n, trainSample, seed)
       .select((0 until m).map(b => blockCol(vecCol, b, subDim)): _*)
       .coalesce(1).cache()
     val models = (0 until m).map { b =>

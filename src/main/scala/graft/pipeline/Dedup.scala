@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Distances, MinHashSigExpr, ShingleHashExpr, SimHashExpr}
@@ -11,10 +12,24 @@ import graft.index.{Lsh, LshParams}
   * values-equality `.Distinct()` of search results, Vector.cs:419-435);
   * built here as first-class 100 TB operators per the build brief.
   *
-  * Scale discipline: every near-dup path is BUCKETED — candidates come
-  * from an equi-join on a hash bucket (MinHash band, SimHash word, LSH
-  * code), never an all-pairs product. The verify step touches only
-  * candidate pairs.
+  * Scale discipline, in order of defense:
+  *  1. every near-dup path is BUCKETED — candidates come from an
+  *     equi-join on a hash bucket (MinHash band, SimHash word, LSH
+  *     code), never an all-pairs product;
+  *  2. identical content is collapsed to one representative BEFORE any
+  *     signature work (the dominant real-corpus hot bucket: B identical
+  *     boilerplate docs share every band and would emit B² candidate
+  *     pairs; after the collapse they contribute ONE row). The
+  *     member-level pair clique is re-expanded after verification as
+  *     pure output materialization — no signature, shuffle-of-content
+  *     or verify cost scales with the duplicate count;
+  *  3. a deterministic per-bucket cap (`maxBucket`, smallest ids kept)
+  *     bounds the residual quadratic term for buckets of *distinct*
+  *     near-boilerplate; capped-away rows lose recall, never precision
+  *     (`logDroppedBuckets` reports the drop count);
+  *  4. the verify step touches only candidate pairs, and joins content
+  *     (texts / embeddings) back BY ID after scalar candidate dedup, so
+  *     wide payloads never ride through the bucket shuffle.
   */
 object Dedup {
 
@@ -59,6 +74,63 @@ object Dedup {
     when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
   }
 
+  // ------------------------------------------- shared group-collapse bits
+
+  /** (id, _ch) for every row — the skinny membership frame (a 16-byte
+    * hash, never the content) that re-expands rep-level pairs. */
+  private def memberFrame(df: DataFrame, idCol: String, contentCol: Column) =
+    df.select(col(idCol), md5(contentCol.cast("binary")).as("_ch"))
+
+  /** One representative row (minimum id) per distinct content. */
+  private def repFrame(df: DataFrame, idCol: String, keepCols: Seq[String],
+      contentCol: Column): DataFrame =
+    df.withColumn("_ch", md5(contentCol.cast("binary")))
+      .groupBy(col("_ch"))
+      .agg(min(col(idCol)).as(idCol),
+        keepCols.map(c => min_by(col(c), col(idCol)).as(c)): _*)
+
+  /** Deterministic per-bucket cap: keep the `maxBucket` smallest ids in
+    * each bucket. The window shuffles by the same key the candidate
+    * self-join uses, so the exchange is computed once and reused. */
+  private def capBuckets(banded: DataFrame, bucketKeys: Seq[String], idCol: String,
+      maxBucket: Int): DataFrame =
+    banded.withColumn("_rn", row_number().over(
+        Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(idCol))))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+
+  private def logDrops(name: String, banded: DataFrame, bucketKeys: Seq[String],
+      idCol: String, maxBucket: Int, enabled: Boolean): Unit =
+    if (enabled) {
+      val dropped = banded.withColumn("_rn", row_number().over(
+          Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(idCol))))
+        .filter(col("_rn") > maxBucket).count()
+      if (dropped > 0)
+        println(s"[dedup] $name: bucket cap $maxBucket dropped $dropped banded rows (recall, not precision)")
+    }
+
+  /** Expand verified rep-level pairs to all member-level pairs (groups
+    * are disjoint, so each unordered member pair appears exactly once).
+    * Joins carry only ids + the 16-byte content hash. */
+  private def expandCross(repPairs: DataFrame, repCh: DataFrame, members: DataFrame,
+      idCol: String, valueCols: Seq[String]): DataFrame =
+    repPairs
+      .join(repCh.select(col(idCol).as("id_a"), col("_ch").as("_cha")), "id_a")
+      .join(repCh.select(col(idCol).as("id_b"), col("_ch").as("_chb")), "id_b")
+      .join(members.select(col("_ch").as("_cha"), col(idCol).as("_ma")), "_cha")
+      .join(members.select(col("_ch").as("_chb"), col(idCol).as("_mb")), "_chb")
+      .select(least(col("_ma"), col("_mb")).as("id_a") +:
+        greatest(col("_ma"), col("_mb")).as("id_b") +: valueCols.map(col): _*)
+
+  /** All intra-group member pairs (id_a < id_b) for eligible groups,
+    * tagged with the group's self-similarity value. */
+  private def expandIntra(groupValues: DataFrame, members: DataFrame,
+      idCol: String, valueCols: Seq[String]): DataFrame =
+    groupValues
+      .join(members.select(col("_ch"), col(idCol).as("_ma")), "_ch")
+      .join(members.select(col("_ch"), col(idCol).as("_mb")), "_ch")
+      .filter(col("_ma") < col("_mb"))
+      .select(col("_ma").as("id_a") +: col("_mb").as("id_b") +: valueCols.map(col): _*)
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: each shingle string-hashes once (xxhash64), then a
@@ -71,28 +143,41 @@ object Dedup {
     * `threshold`). Signature → `bands` bands of `numHashes/bands` rows;
     * a shared band bucket makes a candidate pair; candidates (and only
     * candidates) are verified with exact Jaccard over distinct shingles.
-    */
+    *
+    * Signatures, banding, the bucket join and the verify all run on
+    * exact-dedup REPRESENTATIVES; identical docs re-enter afterwards via
+    * clique expansion (same output, no quadratic candidate blow-up —
+    * see the object scaladoc). Docs with fewer than `shingleSize` tokens
+    * have no shingles, hence no Jaccard evidence, and are excluded
+    * (previously they all shared the degenerate empty signature).
+    * `expandDuplicates = false` returns rep-level pairs only — the
+    * shape to use at 100 TB where the clique itself is the blow-up. */
   def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Int = 4096, expandDuplicates: Boolean = true,
+      logDroppedBuckets: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
-    // signature path is all codegen kernels (shingle hashing + lane mixing);
-    // the string shingles are only materialized later, on candidate pairs
-    val withSig = df
-      .select(col(idCol),
-        MinHashSigExpr(ShingleHashExpr(col(textCol), shingleSize), numHashes).as("sig"))
-      .filter(size(col("sig")) > 0)
-    // persist: both sides of the bucket self-join reference this frame —
-    // without it the full-corpus signature scan runs twice
+    val members = memberFrame(df, idCol, col(textCol))
+    val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
+    // signature path is all codegen kernels (shingle hashing + lane
+    // mixing); eligibility = at least one shingle (filter on the SHINGLE
+    // array — every signature has numHashes lanes regardless)
+    val withSig = reps
+      .select(col(idCol), col("_ch"),
+        ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idCol), col("_ch"), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
     val banded = withSig.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = banded.join(
-        banded.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
+    logDrops("minhash", banded, Seq("band", "bucket"), idCol, maxBucket, logDroppedBuckets)
+    val capped = capBuckets(banded, Seq("band", "bucket"), idCol, maxBucket)
+    val candidates = capped.join(
+        capped.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
       .filter(col(idCol) < col("_id_b"))
       .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -100,13 +185,22 @@ object Dedup {
     // AFTER them, so the (non-codegen) shingle HOFs run only on the few
     // candidate rows, not the whole corpus
     val texts = df.select(col(idCol), col(textCol))
-    candidates
+    val repPairs = candidates
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_t_a")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_t_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(jaccard(shingles(col("_t_a"), shingleSize),
           shingles(col("_t_b"), shingleSize)), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (!expandDuplicates) repPairs
+    else {
+      val repCh = withSig.select(col(idCol), col("_ch"))
+      // identical texts with shingles: Jaccard(t, t) is exactly 1.0
+      val groupValues = repCh.select(col("_ch"), lit(1.0).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      expandCross(repPairs, repCh, members, idCol, Seq("jaccard"))
+        .unionByName(expandIntra(groupValues, members, idCol, Seq("jaccard")))
+    }
   }
 
   // -------------------------------------------------------------- simhash
@@ -117,40 +211,89 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: bucket by the hash's 16-bit words (a
     * pair within Hamming distance ≤ 3 of 64 bits shares at least one of 4
-    * words — pigeonhole), verify with exact packed Hamming ≤ `maxHamming`. */
+    * words — pigeonhole), verify with exact packed Hamming ≤ `maxHamming`.
+    * Same representative/expansion discipline as MinHash (identical
+    * texts share a SimHash, so intra-group Hamming is exactly 0). */
   def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol), simHash(col(textCol)).as("sh64"))
+      maxHamming: Int = 3, maxBucket: Int = 4096,
+      expandDuplicates: Boolean = true,
+      logDroppedBuckets: Boolean = false): DataFrame = {
+    val members = memberFrame(df, idCol, col(textCol))
+    val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
+    val hashed = reps.select(col(idCol), col("_ch"), simHash(col(textCol)).as("sh64"))
     val words = array((0 until 4).map(w =>
       shiftrightunsigned(col("sh64"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val banded = hashed.select(col(idCol), col("sh64"), posexplode(words))
       .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
-    val left = banded.select(col("word"), col("bucket"), col(idCol).as("id_a"), col("sh64").as("ha"))
-    val right = banded.select(col("word"), col("bucket"), col(idCol).as("id_b"), col("sh64").as("hb"))
-    left.join(right, Seq("word", "bucket"))
+    logDrops("simhash", banded, Seq("word", "bucket"), idCol, maxBucket, logDroppedBuckets)
+    val capped = capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
+    val left = capped.select(col("word"), col("bucket"), col(idCol).as("id_a"), col("sh64").as("ha"))
+    val right = capped.select(col("word"), col("bucket"), col(idCol).as("id_b"), col("sh64").as("hb"))
+    val repPairs = left.join(right, Seq("word", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Distances.hammingPacked(array(col("ha")), array(col("hb"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+    if (!expandDuplicates) repPairs
+    else {
+      val repCh = hashed.select(col(idCol), col("_ch"))
+      val groupValues = repCh.select(col("_ch"), lit(0L).as("hamming"))
+      expandCross(repPairs, repCh, members, idCol, Seq("hamming"))
+        .unionByName(expandIntra(groupValues, members, idCol, Seq("hamming")))
+    }
   }
 
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates share
     * an LSH code; verified with true cosine distance (1 - similarity) ≤
-    * `maxCosineDistance`. */
+    * `maxCosineDistance`.
+    *
+    * The bucket self-join carries ONLY (code, id) — candidate pairs are
+    * deduplicated as scalars first and the float arrays join back BY ID
+    * for the verify, so embeddings never ride the bucket shuffle.
+    * Identical vectors collapse to a representative (grouped on the
+    * values themselves — no hashing approximation) and re-expand after
+    * verification; the intra-group distance is computed from the shared
+    * vector (not assumed 0), preserving edge semantics such as NaN for
+    * zero-magnitude vectors. */
   def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      maxCosineDistance: Double, params: LshParams): DataFrame = {
-    val coded = Lsh.withCodes(df, vecCol, params)
-      .select(col(idCol), col(vecCol), explode(col("codes")).as("code"))
-    val left = coded.select(col("code"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val right = coded.select(col("code"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    left.join(right, "code")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(Distances.cosineDistance(col("va"), col("vb")), 6).as("cos_dist"))
+      maxCosineDistance: Double, params: LshParams,
+      maxBucket: Int = 4096, expandDuplicates: Boolean = true,
+      logDroppedBuckets: Boolean = false): DataFrame = {
+    // group on the vector VALUES: exact, collision-free; the one shuffle
+    // of vectors in this plan (skinny id+vector rows, once per input row)
+    val reps = df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol))
+    val members = df.select(col(idCol), col(vecCol))
+    val coded = Lsh.withCodes(reps, vecCol, params)
+      .select(col(idCol), explode(col("codes")).as("code"))
+    logDrops("cosine", coded, Seq("code"), idCol, maxBucket, logDroppedBuckets)
+    val capped = capBuckets(coded, Seq("code"), idCol, maxBucket)
+    val candidates = capped.join(
+        capped.withColumnRenamed(idCol, "_id_b"), "code")
+      .filter(col(idCol) < col("_id_b"))
+      .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol), col(vecCol))
+    val repPairs = candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_v_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Distances.cosineDistance(col("_v_a"), col("_v_b")), 6).as("cos_dist"))
       .filter(col("cos_dist") <= maxCosineDistance)
+    if (!expandDuplicates) repPairs
+    else {
+      // vector-valued "content hash": the vector itself keys the groups
+      val repCh = reps.select(col(idCol), col(vecCol).as("_ch"))
+      val memCh = members.select(col(idCol), col(vecCol).as("_ch"))
+      val groupValues = reps
+        .select(col(vecCol).as("_ch"),
+          round(Distances.cosineDistance(col(vecCol), col(vecCol)), 6).as("cos_dist"))
+        .filter(col("cos_dist") <= maxCosineDistance)
+      expandCross(repPairs, repCh, memCh, idCol, Seq("cos_dist"))
+        .unionByName(expandIntra(groupValues, memCh, idCol, Seq("cos_dist")))
+    }
   }
 }

@@ -71,8 +71,12 @@ object IndexQueries {
     }),
 
     // IVF probe-limited kNN (nprobe 4 of 16 coarse clusters — the
-    // partition-pruned scale path; kmeans is engine-internal → rows-only
-    // oracle, IvfSpec carries the correctness claims).
+    // partition-pruned scale path). The coarse quantizer here is the
+    // sampled-centroid variant (centroids = multiplicative-hash-ranked
+    // table rows, Ivf.fitSampledCentroids), so the oracle replays the
+    // ENTIRE pipeline — centroid selection, nearest-centroid assignment,
+    // probe choice and the final top-k — in SQL. The k-means fit keeps
+    // its own coverage in IvfSpec.
     "ivf_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Ivf.search(ivfModelFor(s, dir), e, "vec_id", "embedding",
@@ -120,7 +124,7 @@ object IndexQueries {
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
   private def ivfModelFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfModel =
     ivfModels.computeIfAbsent(dir,
-      _ => Ivf.fit(table(s, dir, "embeddings"), "embedding"))
+      _ => Ivf.fitSampledCentroids(table(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16))
 
   // The BQ global-mean threshold is an index-build artifact, not a
   // per-query computation — memoize it per dataset like the models.
@@ -236,6 +240,33 @@ object IndexQueries {
       s"""SELECT e.vec_id AS vec_id, $knnDistSql AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // Full IVF pipeline replay: the centroid CTE reproduces
+    // Ivf.fitSampledCentroids (Knuth-hash-ranked rows), assignment and
+    // probe choice compare raw squared distances with identical
+    // sequential-double folds, and only then does the exact top-k run on
+    // the probed clusters.
+    "ivf_knn" -> {
+      val hashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY $hashExpr, vec_id) - 1 AS cid,
+         |         embedding AS cv
+         |  FROM embeddings ORDER BY $hashExpr, vec_id LIMIT 16),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cid AS cid FROM cent c, q
+         |          ORDER BY ${sqlEuclidSq("c.cv", "q.qv")}, c.cid LIMIT 4),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id AS vec_id, c.cid AS cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+         |SELECT e.vec_id AS vec_id, ${sqlEuclid("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e
+         |JOIN assign a ON a.vec_id = e.vec_id
+         |JOIN probe p ON p.cid = a.cid, q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+    },
 
     "index_join" ->
       s"""WITH $hpCte,

@@ -32,6 +32,13 @@ package object queries {
       "p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))), " +
       "(x,y) -> x+y)), 6)"
 
+  /** Raw (unrounded, un-sqrt'd) squared euclidean — for argmin / probe
+    * ORDER BY comparisons where only the ordering is consumed (sqrt is
+    * strictly monotone, so squared ordering == distance ordering). */
+  def sqlEuclidSq(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"p -> ($dElem1 - $dElem2)*($dElem1 - $dElem2)), (x,y) -> x+y)"
+
   /** DuckDB fragment: sequential-fold sum of an expression over zipped lists. */
   def sqlZipSum(a: String, b: String, elemExpr: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> $elemExpr), (x,y) -> x+y)"

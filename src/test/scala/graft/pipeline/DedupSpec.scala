@@ -58,6 +58,51 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("hot-bucket skew: 10k identical docs collapse to one rep — zero rep-level candidates") {
+    val boiler = (1L to 10000L).map(i => (i, base)).toDF("doc_id", "text")
+    // rep-level shape (the 100 TB contract): one representative survives
+    // the collapse, so the bucket join sees ONE row and the verify zero
+    // candidate pairs — not the ~5e7 a naive bucket self-join would emit
+    val repPairs = Dedup.minHashNearDuplicates(boiler, "doc_id", "text",
+      threshold = 0.4, expandDuplicates = false)
+    assert(repPairs.count() === 0L)
+    val groups = Dedup.exactGroups(boiler, "doc_id", "text").collect()
+    assert(groups.length === 1 && groups.head.getAs[Long]("n_copies") === 10000L)
+  }
+
+  test("clique expansion reproduces member-level pairs from rep-level verification") {
+    val group = (1L to 200L).map(i => (i, base)) :+ (500L, near)
+    val df = group.toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDuplicates(df, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // C(200,2) intra pairs at jaccard 1.0 + 200 cross pairs to the near-dup
+    assert(pairs.length === 200 * 199 / 2 + 200)
+    assert(pairs.count(_._3 == 1.0) === 200 * 199 / 2)
+    assert(pairs.count(p => p._2 == 500L) === 200)
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("bucket cap drops overflow deterministically (recall, not precision)") {
+    // cap 1: every (band, bucket) keeps only its smallest rep id, so the
+    // distinct near-dup pair (1,3) loses its shared buckets, while the
+    // exact-dup clique (1,2) survives via group expansion
+    val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      threshold = 0.4, maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash skew: identical docs contribute one rep; clique re-expands") {
+    val df = ((1L to 100L).map(i => (i, base)) :+ (500L, near)).toDF("doc_id", "text")
+    val repPairs = Dedup.simHashNearDuplicates(df, "doc_id", "text",
+      maxHamming = 10, expandDuplicates = false)
+    // only the (rep=1, 500) pair is verified at rep level
+    assert(repPairs.count() <= 1L)
+    val full = Dedup.simHashNearDuplicates(df, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.count(_._3 == 0L) === 100 * 99 / 2) // intra clique at hamming 0
+  }
+
   test("cosine near-dup finds planted duplicate embeddings through LSH buckets") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(64)(rnd.nextFloat())

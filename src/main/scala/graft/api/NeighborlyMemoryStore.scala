@@ -1,0 +1,127 @@
+package graft.api
+
+import graft.core.VectorRecord
+
+/** Semantic-Kernel `MemoryRecord` shape, minus the SK runtime types
+  * (Adapters.SemanticKernel/NeighborlyMemoryStore.cs builds
+  * `MemoryRecordMetadata(isReference, id, text, description, …)`). */
+final case class MemoryRecordMeta(isReference: Boolean, id: String, text: String,
+    description: String = "", externalSourceName: String = "", additionalMetadata: String = "")
+
+final case class MemoryRecord(metadata: MemoryRecordMeta, embedding: Array[Float],
+    key: String, timestamp: Option[java.time.Instant] = None)
+
+/** The Semantic-Kernel memory-store adapter's observable contract over the
+  * facade (reference: Adapters.SemanticKernel/NeighborlyMemoryStore.cs:16-230).
+  * Collections are vector TAGS — creating/checking/deleting a collection
+  * manipulates the tag dictionary, nothing else.
+  *
+  * Reference quirks reproduced deliberately (all observable behavior,
+  * asserted by `NeighborlyMemoryStoreSpec`):
+  *  - `store(key, record)` registers the record's description tags but
+  *    does NOT persist the vector — the reference calls
+  *    `Vectors.FirstOrDefault(vector)`, a LINQ query, not an add (`:43`);
+  *  - `upsert` never updates: it always inserts a NEW vector with a fresh
+  *    id (`:133-145` only consults the existing table when the key is NOT
+  *    a valid Guid), returns the caller's key when it parsed, else the
+  *    new id — so upserting the same record twice grows the store;
+  *  - `upsert`/`get`/`remove`/`getNearestMatches` ignore `collectionName`
+  *    entirely (no tag filter in the reference);
+  *  - relevance scores are `Double.NegativeInfinity` (`:201,216`);
+  *  - `get(key)` throws on a non-UUID key (`:49-52`).
+  */
+class NeighborlyMemoryStore(val db: NeighborlySpark,
+    val algorithm: SearchAlgorithm.Value = SearchAlgorithm.KDTree) {
+
+  private def parseUuid(key: String): java.util.UUID =
+    try java.util.UUID.fromString(key)
+    catch { case _: IllegalArgumentException =>
+      throw new IllegalArgumentException(s"Invalid Guid format: $key") }
+
+  private def toRecord(r: VectorRecord): MemoryRecord = MemoryRecord(
+    MemoryRecordMeta(isReference = true, id = r.id, text = r.original_text),
+    r.values, key = r.id)
+
+  // ------------------------------------------------------------ flat verbs
+
+  /** StoreAsync parity (`:30-45`): registers description tags; the vector
+    * itself is NOT stored (the reference's FirstOrDefault is a query). */
+  def store(key: String, record: MemoryRecord): Unit =
+    Option(record.metadata.description).filter(_.nonEmpty)
+      .foreach(_.split(',').foreach(db.tags.add))
+
+  /** GetAsync parity (`:47-70`): throws on a malformed key, None when
+    * absent. */
+  def get(key: String): Option[MemoryRecord] = {
+    parseUuid(key)
+    db.getVector(key).map(toRecord)
+  }
+
+  def remove(key: String): Unit = { parseUuid(key); db.removeVector(key); () }
+
+  def getKeys: Seq[String] =
+    db.vectors.select("id").collect().map(_.getString(0)).toSeq
+
+  def getVectors: Seq[MemoryRecord] =
+    db.vectors.collect().map(r => toRecord(rowToRecord(r))).toSeq
+
+  private def rowToRecord(r: org.apache.spark.sql.Row): VectorRecord = VectorRecord(
+    r.getAs[String]("id"),
+    r.getAs[scala.collection.Seq[Float]]("values").toArray,
+    r.getAs[scala.collection.Seq[Short]]("tags").toArray,
+    r.getAs[String]("original_text"),
+    r.getAs[Byte]("priority"), r.getAs[Long]("user_id"), r.getAs[Long]("org_id"))
+
+  // ---------------------------------------------------------- collections
+
+  /** Collections ARE tags (`:101-131`). */
+  def createCollection(name: String): Unit = { db.tags.add(name); () }
+  def getCollections: Seq[String] = db.tags.all
+  def doesCollectionExist(name: String): Boolean = db.tags.contains(name)
+  def deleteCollection(name: String): Unit = { db.tags.remove(db.tags.getId(name)); () }
+
+  // ---------------------------------------------------- collection-scoped
+
+  /** UpsertAsync parity (`:133-145`): ALWAYS inserts a new vector with a
+    * fresh id; returns the caller's key when it was a valid Guid, else
+    * the generated id. `collectionName` is ignored (reference does). */
+  def upsert(collectionName: String, record: MemoryRecord): String = {
+    val requestHadValidId =
+      try { java.util.UUID.fromString(record.key); true }
+      catch { case _: IllegalArgumentException => false }
+    val newId = db.addVector(VectorRecord("", record.embedding,
+      original_text = record.metadata.text))
+    if (requestHadValidId) record.key else newId
+  }
+
+  def upsertBatch(collectionName: String, records: Seq[MemoryRecord]): Seq[String] =
+    records.map(upsert(collectionName, _))
+
+  def get(collectionName: String, key: String, withEmbedding: Boolean = false): Option[MemoryRecord] =
+    db.getVector(key).map(toRecord)
+
+  def getBatch(collectionName: String, keys: Seq[String],
+      withEmbeddings: Boolean = false): Seq[MemoryRecord] = {
+    val keySet = keys.toSet
+    getVectors.filter(r => keySet.contains(r.key))
+  }
+
+  def removeFromCollection(collectionName: String, key: String): Unit =
+    { db.removeVector(key); () }
+
+  def removeBatch(collectionName: String, keys: Seq[String]): Unit =
+    keys.foreach(k => db.removeVector(k))
+
+  /** GetNearestMatchesAsync parity (`:199-202`): facade search with the
+    * adapter's algorithm; `minRelevanceScore` unused and every score is
+    * -∞, exactly like the reference. */
+  def getNearestMatches(collectionName: String, embedding: Array[Float], limit: Int,
+      minRelevanceScore: Double = 0, withEmbeddings: Boolean = false): Seq[(MemoryRecord, Double)] =
+    db.search(embedding, limit, algorithm).collect().toSeq
+      .flatMap(r => db.getVector(r.getAs[String]("id")))
+      .map(v => (toRecord(v), Double.NegativeInfinity))
+
+  def getNearestMatch(collectionName: String, embedding: Array[Float],
+      minRelevanceScore: Double = 0, withEmbedding: Boolean = false): Option[(MemoryRecord, Double)] =
+    getNearestMatches(collectionName, embedding, 1, minRelevanceScore).headOption
+}

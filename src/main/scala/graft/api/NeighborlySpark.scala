@@ -41,11 +41,15 @@ object SearchAlgorithm extends Enumeration {
   *
   * Scale note: point CRUD rebuilds the logical plan (filter + union of a
   * 1-row frame) — fine for the reference's verb-level API; bulk paths are
-  * `addVectors`/`importData`. Search plans are the library's scale-safe
+  * `addVectors`/`importData`. To keep long interactive sessions honest,
+  * every `checkpointEvery` point mutations the plan is truncated with an
+  * eager `localCheckpoint` (analysis time stays O(1) instead of growing
+  * with the mutation count). Search plans are the library's scale-safe
   * pipelines unchanged.
   */
 class NeighborlySpark(val spark: SparkSession, val dimension: Int,
-    val embeddingProvider: EmbeddingProvider = HashEmbeddingProvider()) {
+    val embeddingProvider: EmbeddingProvider = HashEmbeddingProvider(),
+    val checkpointEvery: Int = 32) {
 
   val tags: TagDictionary = TagDictionary.empty
 
@@ -56,6 +60,16 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
 
   def vectors: DataFrame = df
   def count: Long = df.count()
+
+  private var mutations = 0
+
+  /** Plan-growth guard: after `checkpointEvery` point mutations, replace
+    * the ever-growing union/filter lineage with its materialized result. */
+  private def noteMutation(): Unit = {
+    mutations += 1
+    if (checkpointEvery > 0 && mutations % checkpointEvery == 0)
+      df = df.localCheckpoint(true)
+  }
 
   private def toRow(r: VectorRecord): DataFrame =
     spark.createDataFrame(java.util.List.of(Row(
@@ -68,6 +82,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     require(r.values.length == dimension,
       s"dimension ${r.values.length} != table dimension $dimension (enforced at ingest, SURVEY §1.4)")
     df = df.unionByName(toRow(r.copy(id = id)))
+    noteMutation()
     id
   }
 
@@ -94,13 +109,22 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     else {
       df = df.filter(col("id") =!= id)
         .unionByName(toRow(VectorRecord(id, values, original_text = originalText)))
+      noteMutation()
       true
     }
   }
 
   def removeVector(id: String): Boolean = {
     if (getVector(id).isEmpty) false
-    else { df = df.filter(col("id") =!= id); true }
+    else { df = df.filter(col("id") =!= id); noteMutation(); true }
+  }
+
+  /** Vectors.Clear parity (VectorService.cs:100-110): drops every row;
+    * fitted index artifacts stay until the next buildAllIndexes, like the
+    * reference's stale indexes after a clear. */
+  def clear(): Unit = {
+    df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
+    mutations = 0
   }
 
   /** kNN by raw vector (SearchService.cs:132-190 dispatch + threshold).
@@ -130,12 +154,35 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   }
 
   /** kNN by text (SearchService.cs:104-131): default threshold heuristic,
-    * embed, search, prefix-union for short texts. */
+    * embed, then the embedded query goes through the SAME algorithm
+    * dispatch as a raw-vector search (Search(text) → Search(query, k,
+    * method) in the reference), then the short-text prefix-union tail.
+    * `Range` contributes an empty kNN stage (the switch default), so a
+    * short text still gets its prefix matches and a long text none. */
   def search(text: String, k: Int, algorithm: SearchAlgorithm.Value,
       similarityThreshold: Option[Double]): DataFrame = {
     require(text != null && text.trim.nonEmpty, "Text cannot be null or empty")
+    import SearchAlgorithm._
+    // exact names use TextSearch's inline linear path; the rest dispatch
+    val knnFn: Option[(Array[Float], Int) => DataFrame] = algorithm match {
+      case KDTree | BallTree | Linear => None
+      case LSH => Some((q, kk) =>
+        Lsh.search(df, "id", "values", q, kk, LshParams.adaptive(dimension))
+          .select(col("id"), col("dist")))
+      case HNSW => Some((q, kk) =>
+        Lsh.search(df, "id", "values", q, kk, LshParams.serving(dimension))
+          .select(col("id"), col("dist")))
+      case SearchAlgorithm.BinaryQuantization => Some((q, kk) =>
+        BqIndex.search(df, "id", "values", q, kk, threshold = bqThreshold)
+          .select(col("id"), col("dist")))
+      case SearchAlgorithm.ProductQuantization => Some((q, kk) => {
+        val m = pqModel.getOrElse { val f = PqIndex.fit(df, "values"); pqModel = Some(f); f }
+        PqIndex.search(m, df, "id", "values", q, kk)
+      })
+      case Range => Some((_, _) => df.limit(0).select(col("id"), lit(0.0).as("dist")))
+    }
     TextSearch.search(df, "id", "values", "original_text", text, k,
-      embeddingProvider, similarityThreshold)
+      embeddingProvider, similarityThreshold, knnFn = knnFn)
   }
 
   /** Radius search, gated exactly like the reference: only Linear, Range

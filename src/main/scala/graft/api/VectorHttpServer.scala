@@ -1,0 +1,189 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import graft.core.VectorRecord
+
+/** The reference's served-API surface over the facade
+  * (API.gRPC/Services/RestServices.cs:15-92 routes;
+  * API.gRPC/Protos/Vector.proto:31-38 +
+  * API.gRPC/Services/VectorService.cs:18-110 method semantics).
+  *
+  * Transport substitution (declared): the reference serves gRPC
+  * (protobuf/HTTP2) and REST side by side from ASP.NET. This build has no
+  * protobuf/grpc dependency surface, so BOTH are served as JSON over the
+  * JDK's built-in HTTP server; every gRPC rpc maps to a route with the
+  * same observable semantics:
+  *
+  * | rpc / REST route            | here                          |
+  * |-----------------------------|-------------------------------|
+  * | GetVectors                  | GET    /vectors               |
+  * | AddVector / POST /vector    | POST   /vector  → 201+Location|
+  * | GetVectorById / GET /vector/{id} | GET /vector/{id} → 200/404|
+  * | UpdateVector / PUT /vector/{id}  | PUT /vector/{id} → 200/404|
+  * | (delete)  DELETE /vector/{id}    | DELETE /vector/{id} → 204/404|
+  * | SearchNearest / POST /vectors/searchNearest?k= | same → 200  |
+  * | ClearVectors / DELETE /db/clear  | same → 204               |
+  *
+  * DTO shape: `{id, values[], tags[], originalText}`; search responses add
+  * `dist`. Update drops tags/attributes exactly like the facade
+  * (VectorList.cs:184-187 quirk). Search uses the facade's default
+  * algorithm + threshold, like `_db.Search(query, k)` in VectorService
+  * (`:74-84`).
+  *
+  * Serving note: this is a driver-embedded control-plane API (the Spark
+  * driver is the single writer, exactly like the reference's in-process
+  * VectorDatabase); the data plane stays the distributed query surface.
+  */
+class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(null) // serial dispatch: the facade is single-writer
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  // ----------------------------------------------------------- dispatch
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path) match {
+        case ("GET", "/vectors")                   => getVectors(ex)
+        case ("POST", "/vector")                   => addVector(ex)
+        case ("GET", VectorId(id))                 => getVectorById(ex, id)
+        case ("PUT", VectorId(id))                 => updateVector(ex, id)
+        case ("DELETE", VectorId(id))              => deleteVector(ex, id)
+        case ("POST", "/vectors/searchNearest")    => searchNearest(ex)
+        case ("DELETE", "/db/clear")               => clearVectors(ex)
+        case _                                     => respond(ex, 404, None)
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        val err = mapper.createObjectNode(); err.put("error", e.getMessage)
+        respond(ex, 400, Some(err))
+      case scala.util.control.NonFatal(e) =>
+        val err = mapper.createObjectNode(); err.put("error", String.valueOf(e))
+        respond(ex, 500, Some(err))
+    } finally ex.close()
+
+  private object VectorId {
+    def unapply(path: String): Option[String] =
+      if (path.startsWith("/vector/") && path.length > 8) Some(path.drop(8)) else None
+  }
+
+  // ------------------------------------------------------------- routes
+
+  /** GetVectors (VectorService.cs:18-37): the whole table. */
+  private def getVectors(ex: HttpExchange): Unit = {
+    val arr = mapper.createArrayNode()
+    db.vectors.collect().foreach { r =>
+      arr.add(recordNode(VectorHttpServer.rowToRecord(r), None))
+    }
+    respond(ex, 200, Some(arr))
+  }
+
+  /** POST /vector (RestServices.cs:15-23): 201 + Location, echoes the DTO. */
+  private def addVector(ex: HttpExchange): Unit = {
+    val dto = mapper.readTree(ex.getRequestBody)
+    val id = db.addVector(parseDto(dto))
+    ex.getResponseHeaders.set("Location", s"/vector/$id")
+    respond(ex, 201, Some(recordNode(db.getVector(id).get, None)))
+  }
+
+  /** GET /vector/{id} (RestServices.cs:25-40): 200 or 404. */
+  private def getVectorById(ex: HttpExchange, id: String): Unit =
+    db.getVector(id) match {
+      case Some(r) => respond(ex, 200, Some(recordNode(r, None)))
+      case None => respond(ex, 404, None)
+    }
+
+  /** PUT /vector/{id} (RestServices.cs:42-56): update keeps the id, drops
+    * tags/attributes (the facade's VectorList.Update parity); 200/404. */
+  private def updateVector(ex: HttpExchange, id: String): Unit = {
+    val dto = parseDto(mapper.readTree(ex.getRequestBody))
+    if (db.updateVector(id, dto.values, dto.original_text))
+      respond(ex, 200, Some(recordNode(db.getVector(id).get, None)))
+    else respond(ex, 404, None)
+  }
+
+  /** DELETE /vector/{id} (RestServices.cs:58-71): 204 or 404. */
+  private def deleteVector(ex: HttpExchange, id: String): Unit =
+    if (db.removeVector(id)) respond(ex, 204, None) else respond(ex, 404, None)
+
+  /** POST /vectors/searchNearest?k= (RestServices.cs:73-87 /
+    * VectorService.cs:74-84): facade default dispatch, full records +
+    * dist in result order. */
+  private def searchNearest(ex: HttpExchange): Unit = {
+    val k = Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&').toSeq).collectFirst {
+        case q if q.startsWith("k=") => q.drop(2).toInt
+      }.getOrElse(10)
+    val dto = parseDto(mapper.readTree(ex.getRequestBody))
+    val hits = db.search(dto.values, k).collect()
+    val arr = mapper.createArrayNode()
+    hits.foreach { h =>
+      val id = h.getAs[String]("id")
+      db.getVector(id).foreach(r => arr.add(recordNode(r, Some(h.getAs[Double]("dist")))))
+    }
+    respond(ex, 200, Some(arr))
+  }
+
+  /** DELETE /db/clear (RestServices.cs:89-92 / ClearVectors :100-110). */
+  private def clearVectors(ex: HttpExchange): Unit = { db.clear(); respond(ex, 204, None) }
+
+  // ---------------------------------------------------------------- dto
+
+  private def parseDto(n: JsonNode): VectorRecord = {
+    require(n != null && n.has("values") && n.get("values").isArray,
+      "body must be a vector DTO with a float 'values' array")
+    val vs = n.get("values").asInstanceOf[ArrayNode]
+    val values = Array.tabulate(vs.size())(i => vs.get(i).floatValue())
+    val tags: Array[Short] =
+      if (n.has("tags") && n.get("tags").isArray) {
+        val ts = n.get("tags").asInstanceOf[ArrayNode]
+        Array.tabulate(ts.size())(i => ts.get(i).shortValue())
+      } else Array.empty
+    VectorRecord(
+      if (n.hasNonNull("id")) n.get("id").asText() else "",
+      values, tags,
+      if (n.hasNonNull("originalText")) n.get("originalText").asText() else "")
+  }
+
+  private def recordNode(r: VectorRecord, dist: Option[Double]): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("id", r.id)
+    val vs = n.putArray("values"); r.values.foreach(vs.add)
+    val ts = n.putArray("tags"); r.tags.foreach(t => ts.add(t.toInt))
+    n.put("originalText", r.original_text)
+    dist.foreach(d => n.put("dist", d))
+    n
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: Option[JsonNode]): Unit =
+    body match {
+      case None => ex.sendResponseHeaders(code, -1)
+      case Some(n) =>
+        val bytes = mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+    }
+}
+
+object VectorHttpServer {
+  private[api] def rowToRecord(r: org.apache.spark.sql.Row): VectorRecord = VectorRecord(
+    r.getAs[String]("id"),
+    r.getAs[scala.collection.Seq[Float]]("values").toArray,
+    r.getAs[scala.collection.Seq[Short]]("tags").toArray,
+    r.getAs[String]("original_text"),
+    r.getAs[Byte]("priority"), r.getAs[Long]("user_id"), r.getAs[Long]("org_id"))
+}

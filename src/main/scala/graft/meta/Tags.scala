@@ -31,7 +31,14 @@ final class TagDictionary private (initial: Seq[String]) extends Serializable {
 
   def add(tag: String): Short = {
     require(byTag.size < Short.MaxValue, "Maximum number of tags reached")
-    byTag.getOrElseUpdate(norm(tag), (byTag.size + 1).toShort)
+    byTag.get(norm(tag)) match {
+      case Some(id) => id
+      case None =>
+        val nid = (byTag.size + 1).toShort
+        require(!byTag.values.exists(_ == nid),
+          s"tag id $nid already in use after a removal (VectorTags.Add parity: Dictionary.Add throws)")
+        byTag.update(norm(tag), nid); nid
+    }
   }
 
   /** -1 when absent (VectorTags.cs:26-34). */
@@ -43,6 +50,17 @@ final class TagDictionary private (initial: Seq[String]) extends Serializable {
   def contains(tag: String): Boolean = byTag.contains(norm(tag))
   def count: Int = byTag.size
   def entries: Seq[(Short, String)] = byTag.toSeq.map { case (t, i) => (i, t) }
+  def all: Seq[String] = byTag.keys.toSeq
+
+  /** Remove by id (VectorTags.cs:205-210). Quirk preserved: ids are
+    * allocated as `count + 1` (VectorTags.cs:61), so an add AFTER a remove
+    * can collide with a live id — the reference's `Dictionary.Add` throws
+    * there, and so does `add` here. */
+  def remove(tagId: Short): Boolean =
+    byTag.find(_._2 == tagId) match {
+      case Some((t, _)) => byTag.remove(t); true
+      case None => false
+    }
 
   /** Dimension-table form: (tag_id SMALLINT, tag STRING). */
   def toDF(spark: SparkSession): DataFrame = {

@@ -7,8 +7,10 @@ import org.apache.spark.sql.{Encoder, Encoders}
 
 import graft.functions.Distances
 
-/** A (distance, id) candidate used by the bounded top-k aggregation. */
-case class Scored(dist: Double, id: Long)
+/** A (distance, id) candidate used by the bounded top-k aggregation;
+  * generic in the id type so string-keyed tables (the facade's UUIDs)
+  * keep their native ids instead of silently nulling through a cast. */
+case class Scored[I](dist: Double, id: I)
 
 /** Bounded top-k by (dist, id) — the distributed form of the reference's
   * `BoundedPriorityQueue` (Neighborly/Search/KDTree.cs:58-116). Used as a
@@ -16,21 +18,22 @@ case class Scored(dist: Double, id: Long)
   * group instead of shuffling the whole candidate set — at 100 TB the
   * shuffle is O(queries × k), not O(vectors × queries).
   */
-class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-  private val ord: Ordering[Scored] = Ordering.by(s => (s.dist, s.id))
-  override def zero: Seq[Scored] = Vector.empty
+class TopKAgg[I: scala.reflect.runtime.universe.TypeTag](k: Int)(implicit idOrd: Ordering[I])
+    extends Aggregator[Scored[I], Seq[Scored[I]], Seq[Scored[I]]] {
+  private val ord: Ordering[Scored[I]] = Ordering.by(s => (s.dist, s.id))
+  override def zero: Seq[Scored[I]] = Vector.empty
   // Buffer stays sorted; each update is an O(k) bounded insertion (the
   // reference's BoundedPriorityQueue push), not a re-sort.
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+  override def reduce(b: Seq[Scored[I]], a: Scored[I]): Seq[Scored[I]] =
     if (b.size >= k && !ord.lt(a, b.last)) b
     else {
       val idx = b.indexWhere(s => ord.lt(a, s))
       val ins = if (idx < 0) b :+ a else (b.take(idx) :+ a) ++ b.drop(idx)
       if (ins.size > k) ins.take(k) else ins
     }
-  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = {
+  override def merge(x: Seq[Scored[I]], y: Seq[Scored[I]]): Seq[Scored[I]] = {
     // merge of two sorted runs, capped at k
-    val out = Vector.newBuilder[Scored]
+    val out = Vector.newBuilder[Scored[I]]
     var (i, j, n) = (0, 0, 0)
     while (n < k && (i < x.size || j < y.size)) {
       if (j >= y.size || (i < x.size && ord.lteq(x(i), y(j)))) { out += x(i); i += 1 }
@@ -39,10 +42,10 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     }
     out.result()
   }
-  override def finish(r: Seq[Scored]): Seq[Scored] = r
-  override def bufferEncoder: Encoder[Seq[Scored]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
-  override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
+  override def finish(r: Seq[Scored[I]]): Seq[Scored[I]] = r
+  override def bufferEncoder: Encoder[Seq[Scored[I]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored[I]]]()
+  override def outputEncoder: Encoder[Seq[Scored[I]]] = bufferEncoder
 }
 
 /** Exact (brute-force) k-nearest-neighbor search — the reference's
@@ -97,9 +100,19 @@ object Knn {
     * O(#queries × k) thanks to the partial-aggregable bounded heap.
     * Returns (query_id, rank BIGINT, id, dist). */
   def batchOver(scored: DataFrame, idCol: String, queryIdCol: String, k: Int): DataFrame = {
-    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    import org.apache.spark.sql.types._
+    // ids keep their native family: integral widens to long (as before),
+    // strings stay strings; anything else fails loudly instead of nulling
+    val (idExpr, topk) = scored.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(idCol).cast("long"), udaf(new TopKAgg[Long](k), Encoders.product[Scored[Long]]))
+      case StringType =>
+        (col(idCol), udaf(new TopKAgg[String](k), Encoders.product[Scored[String]]))
+      case dt => throw new IllegalArgumentException(
+        s"batch kNN id column '$idCol' must be integral or string, got $dt")
+    }
     scored
-      .select(col(queryIdCol), col("dist"), col(idCol).cast("long").as("id"))
+      .select(col(queryIdCol), col("dist"), idExpr.as("id"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("dist"), col("id")).as("nn"))
       .select(col(queryIdCol), posexplode(col("nn")))

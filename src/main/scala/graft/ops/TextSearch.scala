@@ -48,20 +48,37 @@ final case class HashEmbeddingProvider(dimension: Int = 300) extends EmbeddingPr
   */
 object TextSearch {
 
+  /** `knnFn`, when given, supplies the vector-search stage — (query, k) →
+    * (id, dist) candidates — so the facade can dispatch the embedded query
+    * through its `SearchAlgorithm` family (LSH/HNSW/BQ/PQ/Range), exactly
+    * as the reference's Search(text) calls Search(query, k, method)
+    * (SearchService.cs:104-131). Default: the exact linear scan. */
   def search(vectors: DataFrame, idCol: String, vecCol: String, textCol: String,
       queryText: String, k: Int, provider: EmbeddingProvider,
       threshold: Option[Double] = None,
-      metric: String = "euclidean"): DataFrame = {
+      metric: String = "euclidean",
+      knnFn: Option[(Array[Float], Int) => DataFrame] = None): DataFrame = {
     require(queryText != null && queryText.trim.nonEmpty, "Text cannot be null or empty")
     val thr = threshold.getOrElse(ThresholdFilter.defaultThreshold(queryText))
     val q = provider.embed(queryText)
 
     val w = org.apache.spark.sql.expressions.Window
-    val knnRanked = Knn.withDistance(vectors, vecCol, typedLit(q), metric)
-      .select(col(idCol), col(vecCol), col("dist"))
-      .orderBy(col("dist"), col(idCol))
-      .limit(k)
-      .withColumn("ord", row_number().over(w.orderBy(col("dist"), col(idCol))).cast("long"))
+    val knnRanked = knnFn match {
+      case None =>
+        Knn.withDistance(vectors, vecCol, typedLit(q), metric)
+          .select(col(idCol), col(vecCol), col("dist"))
+          .orderBy(col("dist"), col(idCol))
+          .limit(k)
+          .withColumn("ord", row_number().over(w.orderBy(col("dist"), col(idCol))).cast("long"))
+      case Some(f) =>
+        // dispatched stage returns (id, dist); fetch values back by id for
+        // the values-distinct union below
+        f(q, k)
+          .join(vectors.select(col(idCol), col(vecCol)), idCol)
+          .orderBy(col("dist"), col(idCol))
+          .limit(k)
+          .withColumn("ord", row_number().over(w.orderBy(col("dist"), col(idCol))).cast("long"))
+    }
     val knn = ThresholdFilter(knnRanked, "dist", thr, provider.dimension)
       .select(col(idCol), col(vecCol), col("ord"))
 

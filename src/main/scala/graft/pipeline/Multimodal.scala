@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * operators as `mapPartitions` stages.
   *
   * The Spark-side plumbing — schema, encoders, per-partition batch shape,
-  * partition preservation — is real and tested. The DECODE step is a
-  * clearly-marked STUB (`stubDecode`): real image/audio codecs are not in
-  * this container, so a deterministic byte-derived feature stands in;
-  * swapping in a real codec only replaces that one function.
+  * partition preservation — is real and tested. The IMAGE decode path is
+  * real (JDK `javax.imageio`, PNG/JPEG/GIF/BMP → pixel statistics +
+  * luminance histogram); payloads imageio cannot parse, and the audio /
+  * video kinds (no codec in the JDK), fall back to the clearly-marked
+  * deterministic STUB (`stubDecode`) — swapping in a real codec replaces
+  * only that one function.
   */
 object Multimodal {
 
@@ -53,12 +55,59 @@ object Multimodal {
     out
   }
 
+  /** Real image decode: PNG/JPEG/GIF/BMP payload → pixels via the JDK's
+    * `javax.imageio` (None when the bytes are not a parseable image). */
+  def decodeImage(media: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Pixel features of a decoded image, `dim ≥ 5` floats in [0, 1]:
+    *   f0..f3  mean R, G, B, A over all pixels (/255);
+    *   f4..    `dim-4`-bin luminance histogram (integer luma = (r+g+b)/3,
+    *           bin = luma·nbins/256 clamped, normalized by pixel count).
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    require(dim >= 5, s"image feature dim must be >= 5, got $dim")
+    val w = img.getWidth; val h = img.getHeight
+    val nbins = dim - 4
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    val bins = new Array[Long](nbins)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        val a = (argb >>> 24) & 0xFF; val r = (argb >>> 16) & 0xFF
+        val g = (argb >>> 8) & 0xFF; val b = argb & 0xFF
+        sr += r; sg += g; sb += b; sa += a
+        val luma = (r + g + b) / 3
+        bins(math.min(luma * nbins / 256, nbins - 1)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    val out = new Array[Float](dim)
+    out(0) = sr / n / 255f; out(1) = sg / n / 255f
+    out(2) = sb / n / 255f; out(3) = sa / n / 255f
+    var j = 0
+    while (j < nbins) { out(4 + j) = bins(j) / n; j += 1 }
+    out
+  }
+
+  /** Decode dispatch: real pixel features for parseable `image` payloads,
+    * deterministic stub for everything else (audio/video codecs are not
+    * in the JDK). */
+  def decode(kind: String, media: Array[Byte], dim: Int): Array[Float] =
+    if (kind == "image") decodeImage(media).map(imageFeatures(_, dim)).getOrElse(stubDecode(media, dim))
+    else stubDecode(media, dim)
+
   /** Feature extraction as a partition-wise batch stage: one iterator pass
     * per partition (the shape a Pandas-UDF/mapInPandas stage has), no
     * shuffle, partitioning preserved. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] =
     media.mapPartitions(_.map(r =>
-      MediaFeatures(r.doc_id, r.kind, stubDecode(r.media, dim))))(
+      MediaFeatures(r.doc_id, r.kind, decode(r.kind, r.media, dim))))(
       Encoders.product[MediaFeatures])
 
   /** STUB resize: truncates/pads the payload to the target pixel count and

@@ -80,6 +80,40 @@ class NeighborlySparkSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("id")).contains("v2"))
   }
 
+  test("text search dispatches the embedded query through the algorithm (ADVICE r2)") {
+    val d = db()
+    // LSH path answers (approximate pipeline, small table → full recall here)
+    val lsh = d.search("one", 2, SearchAlgorithm.LSH, Some(10.0)).collect()
+    assert(lsh.nonEmpty)
+    // Range: empty kNN stage (reference switch default) — a short text
+    // still collects its prefix matches…
+    val shortRange = d.search("one", 2, SearchAlgorithm.Range, Some(10.0)).collect()
+    assert(shortRange.map(_.getAs[String]("id")).toSeq === Seq("v2"))
+    // …and a ≥20-char text gets nothing at all
+    val longRange = d.search("definitely twenty plus characters here", 2,
+      SearchAlgorithm.Range, Some(10.0)).collect()
+    assert(longRange.isEmpty)
+    // exact and BQ paths agree on this small table
+    val bq = d.search("one", 2, SearchAlgorithm.BinaryQuantization, Some(10.0)).collect()
+    assert(bq.nonEmpty)
+  }
+
+  test("plan-growth guard: 1000 point mutations stay flat (localCheckpoint every N)") {
+    val d = new NeighborlySpark(spark, 2, checkpointEvery = 32)
+    val t0 = System.nanoTime()
+    (1 to 1000).foreach(i => d.addVector(VectorRecord(s"id$i", Array(i.toFloat, 0f))))
+    val addSecs = (System.nanoTime() - t0) / 1e9
+    assert(d.count === 1000L)
+    // lineage is truncated: the live plan holds at most checkpointEvery
+    // stacked unions, not 1000 (a full-lineage plan would blow the
+    // analyzer stack / take minutes)
+    val planLines = d.vectors.queryExecution.analyzed.toString.linesIterator.size
+    assert(planLines < 200, s"plan grew to $planLines lines")
+    assert(addSecs < 120.0, f"1000 adds took $addSecs%.1f s")
+    // guard preserves contents
+    assert(d.getVector("id1000").isDefined && d.getVector("id1").isDefined)
+  }
+
   test("snapshot save/load round-trips vectors and tags") {
     val d = db()
     d.tags.add("Alpha "); d.tags.add("beta")

@@ -1,0 +1,78 @@
+package graft.api
+
+import graft.SparkSpec
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** In-process round-trip over the served API — the analog of
+  * Tests/Integration/RestTests.cs / GrpcTests.cs (add → get → search →
+  * update → delete → clear). */
+class VectorHttpServerSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def req(base: String, method: String, path: String, body: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+    val r = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("REST/gRPC-parity round-trip: add, get, list, search, update, delete, clear") {
+    val db = new NeighborlySpark(spark, 2)
+    val srv = new VectorHttpServer(db)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      // AddVector → 201 + Location (RestServices.cs:15-23)
+      val add = req(base, "POST", "/vector",
+        """{"id":"v1","values":[0.0,0.0],"tags":[1],"originalText":"origin"}""")
+      assert(add.statusCode() === 201)
+      assert(add.headers().firstValue("Location").get === "/vector/v1")
+
+      req(base, "POST", "/vector", """{"id":"v2","values":[3.0,0.0],"originalText":"far"}""")
+
+      // GetVectorById → 200 with DTO; unknown id → 404 (RestServices.cs:25-40)
+      val got = req(base, "GET", "/vector/v1")
+      assert(got.statusCode() === 200)
+      assert(got.body().contains("\"origin\"") && got.body().contains("\"tags\":[1]"))
+      assert(req(base, "GET", "/vector/nope").statusCode() === 404)
+
+      // GetVectors → whole table (VectorService.cs:18-37)
+      val all = req(base, "GET", "/vectors")
+      assert(all.statusCode() === 200)
+      assert(all.body().contains("\"v1\"") && all.body().contains("\"v2\""))
+
+      // SearchNearest: facade default dispatch + threshold (VectorService.cs:74-84)
+      val hits = req(base, "POST", "/vectors/searchNearest?k=2",
+        """{"values":[0.1,0.0]}""")
+      assert(hits.statusCode() === 200)
+      assert(hits.body().contains("\"v1\"") && hits.body().contains("\"dist\""))
+      assert(!hits.body().contains("\"v2\"")) // dist 2.9 > default threshold 0.5
+
+      // UpdateVector: keeps id, drops tags (VectorList.cs:184-187 quirk); 404 for unknown
+      val upd = req(base, "PUT", "/vector/v1",
+        """{"values":[1.0,1.0],"originalText":"moved"}""")
+      assert(upd.statusCode() === 200)
+      val after = req(base, "GET", "/vector/v1")
+      assert(after.body().contains("\"moved\"") && after.body().contains("\"tags\":[]"))
+      assert(req(base, "PUT", "/vector/nope", """{"values":[1.0,1.0]}""").statusCode() === 404)
+
+      // malformed body → 400, not a hung connection
+      assert(req(base, "POST", "/vector", """{"nope":true}""").statusCode() === 400)
+
+      // DELETE → 204 then 404 (RestServices.cs:58-71)
+      assert(req(base, "DELETE", "/vector/v2").statusCode() === 204)
+      assert(req(base, "DELETE", "/vector/v2").statusCode() === 404)
+
+      // ClearVectors → 204, table empties (VectorService.cs:100-110)
+      assert(req(base, "DELETE", "/db/clear").statusCode() === 204)
+      assert(db.count === 0L)
+      assert(req(base, "GET", "/vectors").body() === "[]")
+    } finally srv.stop()
+  }
+}

@@ -39,6 +39,14 @@ class KnnSpec extends SparkSpec {
     assert(q10 === Seq(1L, 2L))
   }
 
+  test("batch kNN carries string ids natively (no silent long cast to null)") {
+    val df = plane5.map { case (i, v) => (s"uuid-$i", v) }.toDF("id", "values")
+    val queries = Seq((11L, Array(-0.9f, -0.9f))).toDF("query_id", "qv")
+    val got = Knn.batch(df, "id", "values", queries, "query_id", "qv", k = 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[String]("id")).toSeq === Seq("uuid-5", "uuid-1"))
+  }
+
   test("range search keeps only rows within radius, ordered by (dist, id)") {
     val df = plane5.toDF("id", "values")
     val got = RangeSearch.single(df, "id", "values", typedLit(Array(0f, 0f)), radius = 1.0)
@@ -49,11 +57,11 @@ class KnnSpec extends SparkSpec {
   }
 
   test("TopKAgg keeps the k smallest with (dist,id) tie-break") {
-    val agg = new TopKAgg(3)
-    val items = Seq(Scored(2.0, 1), Scored(1.0, 2), Scored(3.0, 3), Scored(1.0, 1), Scored(0.5, 9))
+    val agg = new TopKAgg[Long](3)
+    val items = Seq(Scored(2.0, 1L), Scored(1.0, 2L), Scored(3.0, 3L), Scored(1.0, 1L), Scored(0.5, 9L))
     val res = items.foldLeft(agg.zero)(agg.reduce)
-    assert(res === Seq(Scored(0.5, 9), Scored(1.0, 1), Scored(1.0, 2)))
-    val merged = agg.merge(res, Seq(Scored(0.1, 7)))
-    assert(merged === Seq(Scored(0.1, 7), Scored(0.5, 9), Scored(1.0, 1)))
+    assert(res === Seq(Scored(0.5, 9L), Scored(1.0, 1L), Scored(1.0, 2L)))
+    val merged = agg.merge(res, Seq(Scored(0.1, 7L)))
+    assert(merged === Seq(Scored(0.1, 7L), Scored(0.5, 9L), Scored(1.0, 1L)))
   }
 }

@@ -36,6 +36,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("real PNG payloads decode to hand-computed pixel features") {
+    // 2x2 PNG: black, white / red, blue
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, 0xFF000000)          // black
+    img.setRGB(1, 0, 0xFFFFFFFF)          // white
+    img.setRGB(0, 1, 0xFFFF0000)          // red
+    img.setRGB(1, 1, 0xFF0000FF)          // blue
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val ds = Seq(Multimodal.MediaRecord(1L, "image", png, 2, 2, 0),
+      Multimodal.MediaRecord(2L, "audio", png, 0, 0, 16000))
+      .toDS()
+    val out = Multimodal.extractFeatures(ds, dim = 16).collect().sortBy(_.doc_id)
+
+    val f = out.head.features
+    // means: R=(0+255+255+0)/4/255=0.5  G=255/4/255=0.25  B=(255+255)/4/255=0.5  A=1
+    assert(math.abs(f(0) - 0.5f) < 1e-6); assert(math.abs(f(1) - 0.25f) < 1e-6)
+    assert(math.abs(f(2) - 0.5f) < 1e-6); assert(math.abs(f(3) - 1.0f) < 1e-6)
+    // 12-bin luma histogram: lumas 0,255,85,85 -> bins 0, 11, 3, 3
+    val hist = f.drop(4)
+    assert(math.abs(hist(0) - 0.25f) < 1e-6)
+    assert(math.abs(hist(3) - 0.5f) < 1e-6)
+    assert(math.abs(hist(11) - 0.25f) < 1e-6)
+    assert(math.abs(hist.sum - 1.0f) < 1e-6)
+    // audio kind ignores imageio and keeps the deterministic stub
+    assert(out(1).features.toSeq === Multimodal.stubDecode(png, 16).toSeq)
+  }
+
+  test("unparseable image payloads fall back to the stub (query output stability)") {
+    val junk = "not an image".getBytes("UTF-8")
+    val ds = Seq(Multimodal.MediaRecord(9L, "image", junk, 4, 3, 0)).toDS()
+    val out = Multimodal.extractFeatures(ds, dim = 16).head()
+    assert(out.features.toSeq === Multimodal.stubDecode(junk, 16).toSeq)
+  }
+
   test("resize rewrites payload size and metadata") {
     val out = Multimodal.resize(media, 32, 32).collect()
     assert(out.forall(r => r.media.length === 32 * 32 && r.width === 32 && r.height === 32))

@@ -39,6 +39,16 @@ object SearchAlgorithm extends Enumeration {
   *    storage (VectorDatabase.cs:371-499,642-730);
   *  - import/export through the ETL layer (VectorDatabase.cs:747-800).
   *
+  * Concurrency (documented divergence): the reference wraps VectorList in
+  * reader/writer locks and ships a deterministic scripted-schedule test
+  * framework (Tests/ConcurrencyTestFramework.cs:10-50,
+  * DeterministicConcurrencyTests.cs:30-226). This facade is SINGLE-WRITER
+  * by design — the Spark driver owns the table variable, exactly one
+  * mutator at a time (the served API dispatches serially,
+  * `VectorHttpServer`); reads are immutable DataFrame snapshots, so
+  * readers never observe partial mutations — the lock-free equivalent of
+  * the reference's guarantee. Multi-writer coordination is out of scope.
+  *
   * Scale note: point CRUD rebuilds the logical plan (filter + union of a
   * 1-row frame) — fine for the reference's verb-level API; bulk paths are
   * `addVectors`/`importData`. To keep long interactive sessions honest,

@@ -30,6 +30,70 @@ final case class HashEmbeddingProvider(dimension: Int = 300) extends EmbeddingPr
   }
 }
 
+/** HTTP embedding provider — the Spark analog of the reference's Ollama
+  * client (Neighborly/EmbeddingGenerator.cs:36-100: POST {"model","prompt"}
+  * to /api/embeddings, read {"embedding":[...]}; the reference falls back
+  * to the hash provider when the endpoint fails, `:84-99`).
+  *
+  * Same wire contract here, on the JDK HTTP client (no extra deps):
+  * per-call on the driver for query embedding, and `embedAll` for the
+  * distributed corpus path — a `mapPartitions` stage that reuses ONE
+  * client per partition and walks the iterator in order (the batched
+  * shape a real embedding service wants; no shuffle, partitioning
+  * preserved). Failures fall back to the deterministic hash embedding,
+  * reference-parity.
+  */
+final case class HttpEmbeddingProvider(endpoint: String, model: String,
+    dimension: Int = 300, timeoutMs: Int = 10000) extends EmbeddingProvider {
+
+  @transient private lazy val fallback = HashEmbeddingProvider(dimension)
+
+  def embed(text: String): Array[Float] =
+    try {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong)).build()
+      requestOne(client, text)
+    } catch { case scala.util.control.NonFatal(_) => fallback.embed(text) }
+
+  private def requestOne(client: java.net.http.HttpClient, text: String): Array[Float] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val body = mapper.createObjectNode()
+    body.put("model", model); body.put("prompt", text)
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"embedding endpoint returned ${resp.statusCode()}")
+    val arr = mapper.readTree(resp.body()).get("embedding")
+    require(arr != null && arr.isArray, "embedding endpoint response missing 'embedding' array")
+    Array.tabulate(arr.size())(i => arr.get(i).floatValue())
+  }
+
+  /** Distributed corpus embedding: one HTTP client per partition, rows in
+    * iterator order — append `outCol ARRAY<FLOAT>`. */
+  def embedAll(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val self = this
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType), nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(self.timeoutMs.toLong)).build()
+      it.map { row =>
+        val vec =
+          try self.requestOne(client, row.getString(idx))
+          catch { case scala.util.control.NonFatal(_) => self.fallback.embed(row.getString(idx)) }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ vec.toSeq)
+      }
+    }(enc)
+  }
+}
+
 /** Text-search composition (SearchService.cs:104-131):
   *  1. effective threshold = caller's or the length heuristic (<5 chars →
   *     0.9, <20 → 0.8, else 0.5 — `:82-102`);

@@ -164,11 +164,15 @@ object Dedup {
     // signature path is all codegen kernels (shingle hashing + lane
     // mixing); eligibility = at least one shingle (filter on the SHINGLE
     // array — every signature has numHashes lanes regardless)
+    // eager localCheckpoint: the kernel pass runs ONCE for the bucket
+    // join's two sides and the expansion frames, and its blocks are freed
+    // by the ContextCleaner when unreferenced (no persist leak — r2 nit)
     val withSig = reps
       .select(col(idCol), col("_ch"),
         ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .select(col(idCol), col("_ch"), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
+      .localCheckpoint(true)
     val banded = withSig.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -220,7 +224,10 @@ object Dedup {
       logDroppedBuckets: Boolean = false): DataFrame = {
     val members = memberFrame(df, idCol, col(textCol))
     val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
+    // eager localCheckpoint: one kernel pass feeds both join sides + the
+    // expansion frames; blocks are ContextCleaner-freed when unreferenced
     val hashed = reps.select(col(idCol), col("_ch"), simHash(col(textCol)).as("sh64"))
+      .localCheckpoint(true)
     val words = array((0 until 4).map(w =>
       shiftrightunsigned(col("sh64"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val banded = hashed.select(col(idCol), col("sh64"), posexplode(words))
@@ -264,8 +271,11 @@ object Dedup {
       logDroppedBuckets: Boolean = false): DataFrame = {
     // group on the vector VALUES: exact, collision-free; the one shuffle
     // of vectors in this plan (skinny id+vector rows, once per input row)
+    // eager localCheckpoint: the value-collapse shuffle runs once for the
+    // coding, verification and expansion stages (blocks GC-cleaned)
     val reps = df.groupBy(col(vecCol))
       .agg(min(col(idCol)).as(idCol))
+      .localCheckpoint(true)
     val members = df.select(col(idCol), col(vecCol))
     val coded = Lsh.withCodes(reps, vecCol, params)
       .select(col(idCol), explode(col("codes")).as("code"))

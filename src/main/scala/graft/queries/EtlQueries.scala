@@ -12,6 +12,10 @@ import graft.io.{ContentType, Etl}
   * precision or content loss in the round-trip hash-mismatches. This is the
   * distributed analog of the reference's ETL golden tests
   * (Tests/ETLTest.cs:8-49).
+  *
+  * Bench label: these queries measure EXPORT + IMPORT + reduce — the write
+  * is inside the timed body by design (it IS the operator under test), so
+  * their bench numbers are round-trip times, not scan times.
   */
 object EtlQueries {
 

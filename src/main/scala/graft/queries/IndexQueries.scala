@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Distances
-import graft.index.{BinaryQuantization, Ivf, IvfModel, Lsh, LshParams, PqModel, ProductQuantization}
+import graft.index.{BinaryQuantization, Ivf, IvfModel, LocalAnn, LocalNormIndex, Lsh, LshParams, PqModel, ProductQuantization}
 
 /** Approximate-index query surface (SURVEY §2.8: LSH / BQ / PQ pipelines).
   * Every query here is deterministic end-to-end so the DuckDB oracle can
@@ -83,11 +83,21 @@ object IndexQueries {
         embeddingOf(s, dir, 0), k = 10, nprobe = 4)
     }),
 
+    // Single-query exact kNN answered from the persisted per-partition
+    // norm index (LocalAnn — the mapPartitions KD-tree analog): warm
+    // in-heap arrays + triangle-inequality pruning, no parquet rescan.
+    // Exact by construction, so the oracle is plain exact kNN.
+    "local_ann_knn" -> ((s, dir) => {
+      LocalAnn.search(localAnnFor(s, dir), s, embeddingOf(s, dir, 0), k = 10, "vec_id")
+    }),
+
     // Index ↔ table equi-join (SURVEY §2.3: the reference's HNSW load joins
     // persisted node ids back to vectors, HNSW.cs:392-418): the LSH codes
     // column is persisted as a standalone index table, re-read, and
     // equi-joined to the vector table; the oracle recomputes every code
-    // from the hyperplane literals.
+    // from the hyperplane literals. Bench label: the index WRITE is inside
+    // the timed body by design (persist→load→join is the operator under
+    // test), so its bench number is a round-trip time, not a join time.
     "index_join" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_index_join_${new java.io.File(dir).getName}"
       Lsh.withCodes(table(s, dir, "embeddings"), "embedding", lshP)
@@ -120,6 +130,11 @@ object IndexQueries {
   private def pqModelFor(s: org.apache.spark.sql.SparkSession, dir: String): PqModel =
     pqModels.computeIfAbsent(dir,
       _ => ProductQuantization.fit(table(s, dir, "embeddings"), "embedding"))
+
+  private val localAnnIdx = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.rdd.RDD[LocalNormIndex]]()
+  private def localAnnFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    localAnnIdx.computeIfAbsent(dir,
+      _ => LocalAnn.build(table(s, dir, "embeddings"), "vec_id", "embedding"))
 
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
   private def ivfModelFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfModel =
@@ -237,6 +252,13 @@ object IndexQueries {
     // (non-determinism, bad training) the margin would leak a wrong
     // candidate and this hash-mismatch.
     "pq_knn" ->
+      s"""SELECT e.vec_id AS vec_id, $knnDistSql AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // LocalAnn is exact (lossless norm pruning) — the oracle is the same
+    // exact top-k the brute-force scan answers.
+    "local_ann_knn" ->
       s"""SELECT e.vec_id AS vec_id, $knnDistSql AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,

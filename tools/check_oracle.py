@@ -25,6 +25,20 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only queries (output dir, no oracle SQL): still require non-empty
+    # output, like the driver's weaker check
+    rows_only = [d for d in sorted(os.listdir(out))
+                 if os.path.isdir(f"{out}/{d}") and d not in oracles]
+    for name in rows_only:
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        n = (con.execute(f"SELECT count(*) FROM read_parquet('{out}/{name}/*.parquet')")
+             .fetchone()[0] if files else 0)
+        if n > 0:
+            print(f"pass {name} ({n} rows, rows-only)"); n_pass += 1
+        else:
+            print(f"FAIL {name}: rows-only query produced no output"); n_fail += 1
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue

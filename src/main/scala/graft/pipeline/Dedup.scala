@@ -81,13 +81,16 @@ object Dedup {
   private def memberFrame(df: DataFrame, idCol: String, contentCol: Column) =
     df.select(col(idCol), md5(contentCol.cast("binary")).as("_ch"))
 
-  /** One representative row (minimum id) per distinct content. */
+  /** One representative row (minimum id) per distinct content, with the
+    * group size `_n` (lets the intra-group expansion touch ONLY duplicate
+    * groups — on a dup-free corpus it degenerates to an empty join). */
   private def repFrame(df: DataFrame, idCol: String, keepCols: Seq[String],
       contentCol: Column): DataFrame =
     df.withColumn("_ch", md5(contentCol.cast("binary")))
       .groupBy(col("_ch"))
       .agg(min(col(idCol)).as(idCol),
-        keepCols.map(c => min_by(col(c), col(idCol)).as(c)): _*)
+        (keepCols.map(c => min_by(col(c), col(idCol)).as(c)) :+
+          count(lit(1)).as("_n")): _*)
 
   /** Deterministic per-bucket cap: keep the `maxBucket` smallest ids in
     * each bucket. The window shuffles by the same key the candidate
@@ -121,15 +124,19 @@ object Dedup {
       .select(least(col("_ma"), col("_mb")).as("id_a") +:
         greatest(col("_ma"), col("_mb")).as("id_b") +: valueCols.map(col): _*)
 
-  /** All intra-group member pairs (id_a < id_b) for eligible groups,
-    * tagged with the group's self-similarity value. */
+  /** All intra-group member pairs (id_a < id_b) for the given groups,
+    * tagged with the group's self-similarity value. Callers pass only
+    * DUPLICATE groups (`_n > 1`), so a dup-free corpus never self-joins
+    * its membership frame. */
   private def expandIntra(groupValues: DataFrame, members: DataFrame,
-      idCol: String, valueCols: Seq[String]): DataFrame =
+      idCol: String, valueCols: Seq[String]): DataFrame = {
+    val dupMembers = members.join(groupValues.select(col("_ch")), "_ch")
     groupValues
-      .join(members.select(col("_ch"), col(idCol).as("_ma")), "_ch")
-      .join(members.select(col("_ch"), col(idCol).as("_mb")), "_ch")
+      .join(dupMembers.select(col("_ch"), col(idCol).as("_ma")), "_ch")
+      .join(dupMembers.select(col("_ch"), col(idCol).as("_mb")), "_ch")
       .filter(col("_ma") < col("_mb"))
       .select(col("_ma").as("id_a") +: col("_mb").as("id_b") +: valueCols.map(col): _*)
+  }
 
   // -------------------------------------------------------------- minhash
 
@@ -168,10 +175,10 @@ object Dedup {
     // join's two sides and the expansion frames, and its blocks are freed
     // by the ContextCleaner when unreferenced (no persist leak — r2 nit)
     val withSig = reps
-      .select(col(idCol), col("_ch"),
+      .select(col(idCol), col("_ch"), col("_n"),
         ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
       .filter(size(col("_sh")) > 0)
-      .select(col(idCol), col("_ch"), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
+      .select(col(idCol), col("_ch"), col("_n"), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
       .localCheckpoint(true)
     val banded = withSig.select(
       col(idCol),
@@ -200,7 +207,8 @@ object Dedup {
     else {
       val repCh = withSig.select(col(idCol), col("_ch"))
       // identical texts with shingles: Jaccard(t, t) is exactly 1.0
-      val groupValues = repCh.select(col("_ch"), lit(1.0).as("jaccard"))
+      val groupValues = withSig.filter(col("_n") > 1)
+        .select(col("_ch"), lit(1.0).as("jaccard"))
         .filter(col("jaccard") >= threshold)
       expandCross(repPairs, repCh, members, idCol, Seq("jaccard"))
         .unionByName(expandIntra(groupValues, members, idCol, Seq("jaccard")))
@@ -226,7 +234,7 @@ object Dedup {
     val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
     // eager localCheckpoint: one kernel pass feeds both join sides + the
     // expansion frames; blocks are ContextCleaner-freed when unreferenced
-    val hashed = reps.select(col(idCol), col("_ch"), simHash(col(textCol)).as("sh64"))
+    val hashed = reps.select(col(idCol), col("_ch"), col("_n"), simHash(col(textCol)).as("sh64"))
       .localCheckpoint(true)
     val words = array((0 until 4).map(w =>
       shiftrightunsigned(col("sh64"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
@@ -245,7 +253,8 @@ object Dedup {
     if (!expandDuplicates) repPairs
     else {
       val repCh = hashed.select(col(idCol), col("_ch"))
-      val groupValues = repCh.select(col("_ch"), lit(0L).as("hamming"))
+      val groupValues = hashed.filter(col("_n") > 1)
+        .select(col("_ch"), lit(0L).as("hamming"))
       expandCross(repPairs, repCh, members, idCol, Seq("hamming"))
         .unionByName(expandIntra(groupValues, members, idCol, Seq("hamming")))
     }
@@ -274,7 +283,7 @@ object Dedup {
     // eager localCheckpoint: the value-collapse shuffle runs once for the
     // coding, verification and expansion stages (blocks GC-cleaned)
     val reps = df.groupBy(col(vecCol))
-      .agg(min(col(idCol)).as(idCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_n"))
       .localCheckpoint(true)
     val members = df.select(col(idCol), col(vecCol))
     val coded = Lsh.withCodes(reps, vecCol, params)
@@ -298,7 +307,7 @@ object Dedup {
       // vector-valued "content hash": the vector itself keys the groups
       val repCh = reps.select(col(idCol), col(vecCol).as("_ch"))
       val memCh = members.select(col(idCol), col(vecCol).as("_ch"))
-      val groupValues = reps
+      val groupValues = reps.filter(col("_n") > 1)
         .select(col(vecCol).as("_ch"),
           round(Distances.cosineDistance(col(vecCol), col(vecCol)), 6).as("cos_dist"))
         .filter(col("cos_dist") <= maxCosineDistance)

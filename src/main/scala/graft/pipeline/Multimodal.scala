@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, encoders, per-partition batch shape,
   * partition preservation — is real and tested. The IMAGE decode path is
   * real (JDK `javax.imageio`, PNG/JPEG/GIF/BMP → pixel statistics +
-  * luminance histogram); payloads imageio cannot parse, and the audio /
-  * video kinds (no codec in the JDK), fall back to the clearly-marked
-  * deterministic STUB (`stubDecode`) — swapping in a real codec replaces
-  * only that one function.
+  * luminance histogram), and the AUDIO path is real for the JDK-native
+  * container formats (`javax.sound.sampled`, WAV/AIFF/AU PCM → amplitude
+  * statistics + RMS histogram). Payloads neither stack can parse, and the
+  * video kind (no codec in the JDK), fall back to the clearly-marked
+  * deterministic STUB (`stubDecode`) — swapping in a richer codec
+  * replaces only that one function.
   */
 object Multimodal {
 
@@ -95,12 +97,83 @@ object Multimodal {
     out
   }
 
-  /** Decode dispatch: real pixel features for parseable `image` payloads,
-    * deterministic stub for everything else (audio/video codecs are not
-    * in the JDK). */
-  def decode(kind: String, media: Array[Byte], dim: Int): Array[Float] =
-    if (kind == "image") decodeImage(media).map(imageFeatures(_, dim)).getOrElse(stubDecode(media, dim))
-    else stubDecode(media, dim)
+  /** Real audio decode: WAV/AIFF/AU payload → 16-bit PCM samples
+    * normalized to [-1, 1] (None when the bytes are not a parseable
+    * JDK-native audio container). */
+  def decodeAudio(media: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(media)))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Float](n)
+          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN
+          val buf = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          var i = 0
+          while (i < n) { out(i) = buf.get(i) / 32768f; i += 1 }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Sample features of decoded audio, `dim ≥ 3` floats:
+    *   f0  mean amplitude; f1 RMS; f2 zero-crossing rate;
+    *   f3.. `dim-3`-bin |amplitude| histogram (bin = |a|·nbins clamped,
+    *        normalized by sample count).
+    */
+  def audioFeatures(samples: Array[Float], dim: Int): Array[Float] = {
+    require(dim >= 3, s"audio feature dim must be >= 3, got $dim")
+    val n = samples.length
+    if (n == 0) return new Array[Float](dim)
+    val nbins = dim - 3
+    var sum = 0.0; var sq = 0.0; var zc = 0
+    val bins = new Array[Long](math.max(nbins, 1))
+    var i = 0
+    while (i < n) {
+      val a = samples(i)
+      sum += a; sq += a.toDouble * a
+      if (i > 0 && (samples(i - 1) >= 0) != (a >= 0)) zc += 1
+      if (nbins > 0) bins(math.min((math.abs(a) * nbins).toInt, nbins - 1)) += 1
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    out(0) = (sum / n).toFloat
+    out(1) = math.sqrt(sq / n).toFloat
+    out(2) = if (n > 1) zc.toFloat / (n - 1) else 0f
+    var j = 0
+    while (j < nbins) { out(3 + j) = bins(j).toFloat / n; j += 1 }
+    out
+  }
+
+  /** Container magic bytes the JDK stacks can actually open — a byte
+    * check gates the (exception-driven, reader-probing) codec attempts so
+    * non-media payloads cost nothing extra on the hot path. */
+  private def looksLikeImage(b: Array[Byte]): Boolean = b.length >= 4 && (
+    (b(0) == 0x89.toByte && b(1) == 'P'.toByte) ||                  // PNG
+    (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                 // JPEG
+    (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) || // GIF
+    (b(0) == 'B'.toByte && b(1) == 'M'.toByte))                     // BMP
+
+  private def looksLikeAudio(b: Array[Byte]): Boolean = b.length >= 4 && (
+    (b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte) || // WAV
+    (b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte && b(3) == 'M'.toByte) || // AIFF
+    (b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte && b(3) == 'd'.toByte))   // AU
+
+  /** Decode dispatch: real pixel/sample features for parseable image and
+    * audio payloads, deterministic stub for everything else (video codecs
+    * are not in the JDK). */
+  def decode(kind: String, media: Array[Byte], dim: Int): Array[Float] = kind match {
+    case "image" if looksLikeImage(media) =>
+      decodeImage(media).map(imageFeatures(_, dim)).getOrElse(stubDecode(media, dim))
+    case "audio" if looksLikeAudio(media) =>
+      decodeAudio(media).map(audioFeatures(_, dim)).getOrElse(stubDecode(media, dim))
+    case _ => stubDecode(media, dim)
+  }
 
   /** Feature extraction as a partition-wise batch stage: one iterator pass
     * per partition (the shape a Pandas-UDF/mapInPandas stage has), no

@@ -66,6 +66,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).features.toSeq === Multimodal.stubDecode(png, 16).toSeq)
   }
 
+  test("real WAV payloads decode to hand-computed sample features") {
+    import javax.sound.sampled._
+    // 4 mono 16-bit samples: +0.5, -0.5, 0, +0.25
+    val pcm = Array[Byte](0x00, 0x40, 0x00, 0xC0.toByte, 0x00, 0x00, 0x00, 0x20)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 4)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+
+    val ds = Seq(Multimodal.MediaRecord(1L, "audio", baos.toByteArray, 0, 0, 8000)).toDS()
+    val f = Multimodal.extractFeatures(ds, dim = 16).head().features
+    assert(math.abs(f(0) - 0.0625f) < 1e-6)            // mean
+    assert(math.abs(f(1) - 0.375f) < 1e-6)             // RMS
+    assert(math.abs(f(2) - 2f / 3f) < 1e-6)            // zero-crossing rate
+    // 13-bin |amp| histogram: 0→bin0, 0.25→bin3, 0.5→bin6 (x2)
+    val hist = f.drop(3)
+    assert(math.abs(hist(0) - 0.25f) < 1e-6)
+    assert(math.abs(hist(3) - 0.25f) < 1e-6)
+    assert(math.abs(hist(6) - 0.5f) < 1e-6)
+    assert(math.abs(hist.sum - 1.0f) < 1e-6)
+  }
+
   test("unparseable image payloads fall back to the stub (query output stability)") {
     val junk = "not an image".getBytes("UTF-8")
     val ds = Seq(Multimodal.MediaRecord(9L, "image", junk, 4, 3, 0)).toDS()

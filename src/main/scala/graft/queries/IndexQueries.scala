@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Distances
-import graft.index.{BinaryQuantization, Ivf, IvfModel, LocalAnn, LocalNormIndex, Lsh, LshParams, PqModel, ProductQuantization}
+import graft.index.{BinaryQuantization, HnswGraph, Ivf, IvfModel, LocalAnn, LocalHnsw, LocalNormIndex, Lsh, LshParams, PqModel, ProductQuantization}
 
 /** Approximate-index query surface (SURVEY §2.8: LSH / BQ / PQ pipelines).
   * Every query here is deterministic end-to-end so the DuckDB oracle can
@@ -91,6 +91,16 @@ object IndexQueries {
       LocalAnn.search(localAnnFor(s, dir), s, embeddingOf(s, dir, 0), k = 10, "vec_id")
     }),
 
+    // True-graph HNSW (arXiv:1603.09320), one graph per partition. The
+    // build hash-repartitions by id, so graphs — and results — are
+    // deterministic for a given dataset regardless of input splits; the
+    // result is approximate (graph search), hence rows-only with
+    // LocalHnswSpec carrying the recall ≥ 0.8 claim (the reference's own
+    // HNSW bar).
+    "hnsw_knn" -> ((s, dir) => {
+      LocalHnsw.search(hnswFor(s, dir), s, embeddingOf(s, dir, 0), k = 10, "vec_id")
+    }),
+
     // Index ↔ table equi-join (SURVEY §2.3: the reference's HNSW load joins
     // persisted node ids back to vectors, HNSW.cs:392-418): the LSH codes
     // column is persisted as a standalone index table, re-read, and
@@ -135,6 +145,11 @@ object IndexQueries {
   private def localAnnFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     localAnnIdx.computeIfAbsent(dir,
       _ => LocalAnn.build(table(s, dir, "embeddings"), "vec_id", "embedding"))
+
+  private val hnswIdx = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.rdd.RDD[HnswGraph]]()
+  private def hnswFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    hnswIdx.computeIfAbsent(dir, _ => LocalHnsw.build(
+      table(s, dir, "embeddings").repartition(4, col("vec_id")), "vec_id", "embedding"))
 
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
   private def ivfModelFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfModel =

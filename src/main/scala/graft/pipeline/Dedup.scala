@@ -83,14 +83,19 @@ object Dedup {
 
   /** One representative row (minimum id) per distinct content, with the
     * group size `_n` (lets the intra-group expansion touch ONLY duplicate
-    * groups — on a dup-free corpus it degenerates to an empty join). */
+    * groups — on a dup-free corpus it degenerates to an empty join).
+    *
+    * Shuffle discipline: the aggregate runs over (16-byte hash, id) ONLY —
+    * content never rides the collapse shuffle. Rep rows then rejoin the
+    * table by id; the (id, _ch, _n) side is skinny, so AQE broadcasts it
+    * and the content columns stay map-side. */
   private def repFrame(df: DataFrame, idCol: String, keepCols: Seq[String],
-      contentCol: Column): DataFrame =
-    df.withColumn("_ch", md5(contentCol.cast("binary")))
+      contentCol: Column): DataFrame = {
+    val groups = df.select(col(idCol), md5(contentCol.cast("binary")).as("_ch"))
       .groupBy(col("_ch"))
-      .agg(min(col(idCol)).as(idCol),
-        (keepCols.map(c => min_by(col(c), col(idCol)).as(c)) :+
-          count(lit(1)).as("_n")): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_n"))
+    df.select(col(idCol) +: keepCols.map(col): _*).join(groups, idCol)
+  }
 
   /** Deterministic per-bucket cap: keep the `maxBucket` smallest ids in
     * each bucket. The window shuffles by the same key the candidate

@@ -34,6 +34,22 @@ object IndexStore {
   def loadBqThreshold(spark: SparkSession, path: String): Double =
     spark.read.parquet(s"$path/bq_threshold").head().getAs[Double]("threshold")
 
+  /** IVF coarse centroids as a tiny parquet (cid, center) — the raw-center
+    * model needs no MLlib machinery to restore. */
+  def saveIvf(spark: SparkSession, model: IvfModel, path: String): Unit = {
+    import spark.implicits._
+    model.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "center")
+      .write.mode("overwrite").parquet(s"$path/ivf_centers")
+  }
+
+  def loadIvf(spark: SparkSession, path: String): IvfModel = {
+    val centers = spark.read.parquet(s"$path/ivf_centers")
+      .orderBy("cid").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("center").toArray)
+    IvfModel(centers)
+  }
+
   def savePq(spark: SparkSession, model: PqModel, path: String): Unit = {
     import spark.implicits._
     Seq((model.numSubVectors, model.subDim)).toDF("num_sub_vectors", "sub_dim")

@@ -82,16 +82,14 @@ object Ivf {
     IvfModel(centers)
   }
 
-  /** Append the coarse cluster id (the IVF partition key): argmin over
-    * per-centroid codegen euclidean distances, ties to the lower centroid
-    * id via struct ordering. */
+  /** Append the coarse cluster id (the IVF partition key): one codegen
+    * argmin kernel over the centroid matrix ([[graft.functions.ArgMinDistExpr]] —
+    * squared-euclidean, ties to the lower centroid id), O(1) codegen size
+    * at any `nlist`. */
   def assign(model: IvfModel, vectors: DataFrame, vecCol: String,
-      outCol: String = "cluster"): DataFrame = {
-    val scored = model.centers.zipWithIndex.map { case (c, i) =>
-      struct(Distances.euclidean(col(vecCol), typedLit(c)).as("d"), lit(i).as("i"))
-    }
-    vectors.withColumn(outCol, array_min(array(scored.toIndexedSeq: _*)).getField("i"))
-  }
+      outCol: String = "cluster"): DataFrame =
+    vectors.withColumn(outCol,
+      graft.functions.ArgMinDistExpr(col(vecCol), model.centers))
 
   /** Probe-limited exact kNN: scans only the `nprobe` clusters nearest the
     * query. With cluster-partitioned storage this is the fraction of data

@@ -20,6 +20,16 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.loadBqThreshold(spark, dir) === 0.123456789)
   }
 
+  test("IVF centers round-trip with identical assignments") {
+    val m = Ivf.fitSampledCentroids(emb, "vec_id", "embedding", nlist = 8)
+    IndexStore.saveIvf(spark, m, dir)
+    val loaded = IndexStore.loadIvf(spark, dir)
+    assert(loaded.centers.map(_.toSeq).toSeq === m.centers.map(_.toSeq).toSeq)
+    val a = Ivf.assign(m, emb, "embedding").select("cluster").collect().map(_.getInt(0)).toSeq
+    val b = Ivf.assign(loaded, emb, "embedding").select("cluster").collect().map(_.getInt(0)).toSeq
+    assert(a === b)
+  }
+
   test("PQ codebooks round-trip with identical centers and codes") {
     val m = ProductQuantization.fit(emb, "embedding")
     IndexStore.savePq(spark, m, dir)

@@ -49,6 +49,54 @@ class EdgeCasesSpec extends SparkSpec {
     assert(ProductQuantization.search(m, empty, "vec_id", "embedding", q, 5).collect().isEmpty)
   }
 
+  test("LocalAnn / LocalHnsw over an empty table are empty; k > n returns all") {
+    val emptyIdx = graft.index.LocalAnn.build(empty, "vec_id", "embedding")
+    assert(graft.index.LocalAnn.search(emptyIdx, spark, q, 5, "vec_id").collect().isEmpty)
+    val emptyH = graft.index.LocalHnsw.build(empty, "vec_id", "embedding")
+    assert(graft.index.LocalHnsw.search(emptyH, spark, q, 5, "vec_id").collect().isEmpty)
+    val idx = graft.index.LocalAnn.build(tiny, "vec_id", "embedding")
+    assert(graft.index.LocalAnn.search(idx, spark, q, 99, "vec_id").collect().length === 3)
+    val h = graft.index.LocalHnsw.build(tiny, "vec_id", "embedding")
+    assert(graft.index.LocalHnsw.search(h, spark, q, 99, "vec_id").collect().length === 3)
+    Seq(emptyIdx, idx).foreach(_.unpersist()); Seq(emptyH, h).foreach(_.unpersist())
+  }
+
+  test("IVF sampled-centroid fit on tiny/empty input stays sane") {
+    val m = graft.index.Ivf.fitSampledCentroids(tiny, "vec_id", "embedding", nlist = 16)
+    assert(m.nlist === 3) // nlist capped at table size
+    val out = graft.index.Ivf.search(m, tiny, "vec_id", "embedding", q, k = 2, nprobe = 3)
+    assert(out.collect().length === 2)
+    val e = graft.index.Ivf.fitSampledCentroids(empty, "vec_id", "embedding", nlist = 4)
+    assert(e.nlist === 0)
+  }
+
+  test("near-dup operators over an empty corpus are empty, not errors") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(graft.pipeline.Dedup.minHashNearDuplicates(docs, "doc_id", "text", 0.5).collect().isEmpty)
+    assert(graft.pipeline.Dedup.simHashNearDuplicates(docs, "doc_id", "text").collect().isEmpty)
+    assert(graft.pipeline.Dedup.cosineNearDuplicates(empty, "vec_id", "embedding",
+      0.5, LshParams.serving(2)).collect().isEmpty)
+  }
+
+  test("served API on an empty store: search 200 with [], get/delete 404") {
+    val db = new graft.api.NeighborlySpark(spark, 2)
+    val srv = new graft.api.VectorHttpServer(db)
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def send(method: String, path: String, body: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val hits = send("POST", "/vectors/searchNearest?k=3", """{"values":[0.0,0.0]}""")
+      assert(hits.statusCode() === 200 && hits.body() === "[]")
+      assert(send("GET", "/vector/none", "").statusCode() === 404)
+      assert(send("DELETE", "/vector/none", "").statusCode() === 404)
+    } finally srv.stop()
+  }
+
   test("range search with radius 0 keeps only exact matches") {
     val out = graft.ops.RangeSearch.single(tiny, "vec_id", "embedding",
       typedLit(q), radius = 0.0).collect()

@@ -40,9 +40,10 @@ object Multimodal {
       .as(Encoders.product[MediaRecord])
   }
 
-  /** STUB decode — stands in for a real image/audio codec (??? in spirit:
-    * the bytes→pixels/samples step). Deterministic: feature j folds every
-    * payload byte with a per-dimension multiplier, normalized to [-1, 1].
+  /** STUB decode — the declared fallback for payloads no JDK codec opens
+    * (video always; image/audio when the container is exotic or corrupt).
+    * Deterministic: feature j folds every payload byte with a
+    * per-dimension multiplier, normalized to [-1, 1].
     */
   def stubDecode(media: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

@@ -92,6 +92,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("logDroppedBuckets reports the capped-away row count (no silent caps)") {
+    val out = new java.io.ByteArrayOutputStream()
+    val result = Console.withOut(new java.io.PrintStream(out)) {
+      Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.4, maxBucket = 1, logDroppedBuckets = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(result === Set((1L, 2L))) // same output as the silent cap
+    assert(out.toString.contains("[dedup] minhash: bucket cap 1 dropped"),
+      s"expected drop log, got: ${out.toString.take(200)}")
+  }
+
   test("simhash skew: identical docs contribute one rep; clique re-expands") {
     val df = ((1L to 100L).map(i => (i, base)) :+ (500L, near)).toDF("doc_id", "text")
     val repPairs = Dedup.simHashNearDuplicates(df, "doc_id", "text",

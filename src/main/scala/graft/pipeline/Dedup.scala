@@ -143,6 +143,50 @@ object Dedup {
       .select(col("_ma").as("id_a") +: col("_mb").as("id_b") +: valueCols.map(col): _*)
   }
 
+  // ----------------------------------------------------------- components
+
+  /** Connected components over near-dup pairs — the resolution step a
+    * dedup pipeline runs after pair mining: every document gets the
+    * MINIMUM id of its duplicate cluster as `comp`, so "keep one per
+    * cluster" is `filter(id === comp)`.
+    *
+    * Distributed shape: iterative min-label propagation (label = min of
+    * own and neighbors' labels) with an eager localCheckpoint per round —
+    * lineage stays flat and each round is one join + one aggregate,
+    * converging in O(graph diameter) rounds (near-dup clusters are
+    * shallow; `maxIter` bounds pathological chains). At extreme scale the
+    * standard refinement is large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * same join primitive, fewer rounds; the simple propagation is kept
+    * for its replayable SQL semantics. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst")).agg(min(col("comp")).as("_ncomp"))
+        .withColumnRenamed("dst", "id")
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "_old"), "id")
+        .filter(col("comp") =!= col("_old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: each shingle string-hashes once (xxhash64), then a

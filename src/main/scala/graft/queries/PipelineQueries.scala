@@ -56,6 +56,18 @@ object PipelineQueries {
       Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
         maxHamming = 10)),
 
+    // Dedup resolution: connected components over the (replayable)
+    // cosine near-dup pairs at a tight 0.8 threshold — every vector gets
+    // the minimum id of its duplicate cluster. The oracle recomputes the
+    // SAME pairs from hyperplane literals and closes them with a
+    // recursive CTE, so pair mining AND the fixpoint are both checked.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.cosineNearDuplicates(table(s, dir, "embeddings"),
+        "vec_id", "embedding", maxCosineDistance = 0.8, IndexQueries.lshP)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("comp"))
+    }),
+
     // Embedding near-dup through LSH buckets + exact cosine verify; the
     // oracle replays the bucket pipeline with the same hyperplane literals.
     "cosine_neardup" -> ((s, dir) =>
@@ -170,6 +182,30 @@ object PipelineQueries {
         | CAST(doc_id % 48 + 16 AS INT) AS height,
         | CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
         |FROM documents""".stripMargin,
+
+    // Recursive-CTE replay of the full component pipeline: the same
+    // hyperplane-literal pair mining as cosine_neardup (at 0.8), then
+    // min-reachable-id closure — checks Spark's iterative label
+    // propagation reached the true fixpoint.
+    "dedup_components" ->
+      s"""WITH RECURSIVE ${IndexQueries.hpCte},
+         |${IndexQueries.vkeysCte},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM vkeys a JOIN vkeys b ON a.tbl = b.tbl AND a.key = b.key
+         |         WHERE a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a AS id_a, c.id_b AS id_b
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b
+         |  WHERE round(1.0 - ${sqlCosineSimRaw("ea.embedding", "eb.embedding")}, 6) <= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d)
+         |SELECT id AS vec_id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
 
     "cosine_neardup" ->
       s"""WITH ${IndexQueries.hpCte},

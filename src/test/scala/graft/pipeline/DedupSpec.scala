@@ -115,6 +115,20 @@ class DedupSpec extends SparkSpec {
     assert(full.count(_._3 == 0L) === 100 * 99 / 2) // intra clique at hamming 0
   }
 
+  test("connected components resolve pair graphs to min-id clusters") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("component propagation converges on a long chain (diameter bound)") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, "id_a", "id_b").collect()
+    assert(comps.length === 40)
+    assert(comps.forall(_.getLong(1) === 1L)) // whole chain collapses to min id
+  }
+
   test("cosine near-dup finds planted duplicate embeddings through LSH buckets") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(64)(rnd.nextFloat())

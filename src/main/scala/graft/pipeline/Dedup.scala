@@ -168,19 +168,36 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // one neighbor-min hop; _chg records whether any label improved
+    def hop(l: DataFrame): DataFrame = {
+      val prop = edges.join(l.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst")).agg(min(col("comp")).as("_ncomp"))
+        .withColumnRenamed("dst", "id")
+      l.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("_ncomp"), lit(Long.MaxValue)) < col("comp")).as("_chg"))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst")).agg(min(col("comp")).as("_ncomp"))
-        .withColumnRenamed("dst", "id")
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("_ncomp"), col("comp"))).as("comp"))
+      // two hops per checkpointed round, then a pointer jump
+      // (comp ← comp's comp — labels always hold node ids of the same
+      // component, so shortcutting is safe): each round spreads labels
+      // two edge-hops and then collapses chains, which squares the
+      // effective reach per round instead of walking the diameter
+      val s2 = hop(hop(labels).drop("_chg"))
+      val jumped = s2
+        .join(s2.select(col("id").as("_mid"), col("comp").as("_root")),
+          s2("comp") === col("_mid"), "left")
+        .select(s2("id"), coalesce(col("_root"), s2("comp")).as("comp"), col("_chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "_old"), "id")
-        .filter(col("comp") =!= col("_old")).count()
-      labels = next
+      // convergence is a count on the already-checkpointed frame: the
+      // final hop saw no smaller neighbor label anywhere, i.e. the
+      // current labels are stationary under neighbor-min — with
+      // monotonically-decreasing labels that is exactly the fixpoint
+      val changed = jumped.filter(col("_chg")).count()
+      labels = jumped.drop("_chg")
       converged = changed == 0
       i += 1
     }

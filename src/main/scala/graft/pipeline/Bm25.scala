@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring over a document corpus (Robertson et al.,
+  * Okapi BM25) — build-brief text-analysis extension: the standard
+  * lexical ranking function a training-data pipeline uses for
+  * query-based corpus filtering and hard-negative mining.
+  *
+  * score(d, Q) = Σ_{t∈Q} idf(t) · tf(t,d)·(k1+1) /
+  *                        (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  * with the +1-smoothed idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (always
+  * positive).
+  *
+  * Determinism discipline (the oracle hash-compares): idf is rounded to
+  * 6 decimals before use (absorbs ln() last-bit differences across
+  * engines), and the per-document sum is a FIXED-ORDER fold over the
+  * query terms (conditional single-value sums added left-to-right), not
+  * a float aggregation in shuffle order.
+  *
+  * Scale shape: one explode + one (doc, term) aggregate over only the
+  * matching terms (the `isin` filter prunes before the shuffle), a
+  * broadcast of the |Q|-row idf table, and one final per-doc aggregate.
+  */
+object Bm25 {
+
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    val n = docs.count()
+    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")))
+    val avgdl = toks.agg(avg(col("_dl"))).head().getDouble(0)
+    val terms = toks
+      .select(col(idCol), col("_dl"), explode(col("_toks")).as("_t"))
+      .filter(col("_t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("_dl"), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    val idf = terms.groupBy(col("_t"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .withColumn("_idf",
+        round(log(lit(1.0) + (lit(n.toDouble) - col("_df") + 0.5) / (col("_df") + 0.5)), 6))
+    val contrib = terms
+      .join(broadcast(idf.select(col("_t"), col("_idf"))), "_t")
+      .withColumn("_c",
+        col("_idf") * (col("_tf") * (k1 + 1)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / avgdl)))
+    // fixed-order per-term fold: each conditional sum collapses exactly
+    // one (doc, term) row, so no shuffle-order float nondeterminism
+    contrib.groupBy(col(idCol))
+      .agg(round(
+        queryTerms.map(t => coalesce(sum(when(col("_t") === t, col("_c"))), lit(0.0)))
+          .reduce(_ + _), 6).as("bm25"))
+  }
+
+  /** Top-k most relevant documents, ordered by (score desc, id). */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    score(docs, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, TextStats}
+import graft.pipeline.{Bm25, Dedup, Multimodal, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -55,6 +55,13 @@ object PipelineQueries {
     "simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
         maxHamming = 10)),
+
+    // BM25 lexical ranking for a fixed 3-term query: rounded idf + a
+    // fixed-order per-term fold keep the score bit-stable, so the oracle
+    // replays the whole formula.
+    "bm25_topk" -> ((s, dir) =>
+      Bm25.topK(table(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "hash", "stream"), k = 20)),
 
     // Dedup resolution: connected components over the (replayable)
     // cosine near-dup pairs at a tight 0.8 threshold — every vector gets
@@ -182,6 +189,34 @@ object PipelineQueries {
         | CAST(doc_id % 48 + 16 AS INT) AS height,
         | CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
         |FROM documents""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |dl AS (SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS tk
+        |       FROM documents),
+        |dl2 AS (SELECT doc_id, len(tk) AS dl, tk FROM dl),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl2),
+        |terms AS (
+        |  SELECT doc_id, dl, t, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS t FROM dl2)
+        |  WHERE t IN ('vector', 'hash', 'stream')
+        |  GROUP BY doc_id, dl, t),
+        |idf AS (
+        |  SELECT t, round(ln(1.0 + ((SELECT n FROM params) - count(DISTINCT doc_id) + 0.5)
+        |                          / (count(DISTINCT doc_id) + 0.5)), 6) AS idf
+        |  FROM terms GROUP BY t),
+        |contrib AS (
+        |  SELECT te.doc_id AS doc_id, te.t AS t,
+        |    idf.idf * (te.tf * (1.2 + 1)) /
+        |      (te.tf + 1.2 * (1 - 0.75 + 0.75 * te.dl / (SELECT avgdl FROM ad))) AS c
+        |  FROM terms te JOIN idf ON idf.t = te.t)
+        |SELECT doc_id,
+        |  round(coalesce(sum(CASE WHEN t = 'vector' THEN c END), 0)
+        |      + coalesce(sum(CASE WHEN t = 'hash' THEN c END), 0)
+        |      + coalesce(sum(CASE WHEN t = 'stream' THEN c END), 0), 6) AS bm25
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     // Recursive-CTE replay of the full component pipeline: the same
     // hyperplane-literal pair mining as cosine_neardup (at 0.8), then

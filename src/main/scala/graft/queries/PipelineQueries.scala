@@ -63,6 +63,21 @@ object PipelineQueries {
       Bm25.topK(table(s, dir, "documents"), "doc_id", "text",
         Seq("vector", "hash", "stream"), k = 20)),
 
+    // The composed semantic-dedup end product: near-dup pair mining →
+    // component resolution → keep one representative per duplicate
+    // cluster (plus everything unclustered). Anti-join against the
+    // non-representative members, so the corpus scan stays map-side.
+    "semantic_dedup_keep" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val pairs = Dedup.cosineNearDuplicates(emb, "vec_id", "embedding",
+        maxCosineDistance = 0.5, IndexQueries.lshP)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      emb.join(
+        comps.filter(col("id") =!= col("comp")).select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    }),
+
     // Dedup resolution: connected components over the (replayable)
     // cosine near-dup pairs at a tight 0.8 threshold — every vector gets
     // the minimum id of its duplicate cluster. The oracle recomputes the
@@ -217,6 +232,31 @@ object PipelineQueries {
         |      + coalesce(sum(CASE WHEN t = 'stream' THEN c END), 0), 6) AS bm25
         |FROM contrib GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Same closure as dedup_components, then the surviving corpus: drop
+    // every non-representative member of a duplicate cluster.
+    "semantic_dedup_keep" ->
+      s"""WITH RECURSIVE ${IndexQueries.hpCte},
+         |${IndexQueries.vkeysCte},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM vkeys a JOIN vkeys b ON a.tbl = b.tbl AND a.key = b.key
+         |         WHERE a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a AS id_a, c.id_b AS id_b
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b
+         |  WHERE round(1.0 - ${sqlCosineSimRaw("ea.embedding", "eb.embedding")}, 6) <= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT e.vec_id AS vec_id, e.label AS label
+         |FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM comp WHERE id != comp)""".stripMargin,
 
     // Recursive-CTE replay of the full component pipeline: the same
     // hyperplane-literal pair mining as cosine_neardup (at 0.8), then

@@ -161,8 +161,12 @@ object Dedup {
     * for its replayable SQL semantics. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair source ONCE before the two-direction union —
+    // otherwise the (possibly expensive) mining pipeline upstream is
+    // instantiated in both union branches
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()

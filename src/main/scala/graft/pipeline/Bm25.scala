@@ -25,13 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** Corpus statistics (document count N, mean token length avgdl) —
+    * index-BUILD artifacts, not per-query work. Compute once per corpus
+    * and pass to `score`/`topK` via `stats` (memoize per dataset like
+    * `IndexQueries.bqThresholdFor` — VERDICT r3 item 4); repeated scoring
+    * calls then run no corpus-wide count/avg jobs. */
+  def corpusStats(docs: DataFrame, textCol: String): (Long, Double) = {
+    val row = docs.agg(
+      count(lit(1)).as("n"),
+      avg(size(Dedup.tokens(col(textCol)))).as("avgdl")).head()
+    (row.getLong(0), row.getDouble(1))
+  }
+
   def score(docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      stats: Option[(Long, Double)] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must not be empty")
-    val n = docs.count()
+    val (n, avgdl) = stats.getOrElse(corpusStats(docs, textCol))
     val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")))
-    val avgdl = toks.agg(avg(col("_dl"))).head().getDouble(0)
     val terms = toks
       .select(col(idCol), col("_dl"), explode(col("_toks")).as("_t"))
       .filter(col("_t").isin(queryTerms: _*))
@@ -57,8 +69,9 @@ object Bm25 {
   /** Top-k most relevant documents, ordered by (score desc, id). */
   def topK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    score(docs, idCol, textCol, queryTerms, k1, b)
+      k1: Double = 1.2, b: Double = 0.75,
+      stats: Option[(Long, Double)] = None): DataFrame =
+    score(docs, idCol, textCol, queryTerms, k1, b, stats)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 }

@@ -201,10 +201,20 @@ object Dedup {
       // current labels are stationary under neighbor-min — with
       // monotonically-decreasing labels that is exactly the fixpoint
       val changed = jumped.filter(col("_chg")).count()
+      // the superseded round's blocks are dead the moment the new round
+      // is materialized — free them NOW instead of waiting for a driver
+      // GC + ContextCleaner pass (block-manager pressure from stale
+      // checkpoints is exactly what degrades unrelated queries sharing
+      // the session)
+      org.apache.spark.sql.graft.bridge.freeCheckpoint(labels)
       labels = jumped.drop("_chg")
       converged = changed == 0
       i += 1
     }
+    // the result is checkpoint-backed and self-contained: the pair source
+    // and edge frames are no longer reachable from it
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(p)
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(edges)
     labels
   }
 
@@ -332,30 +342,31 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates share
-    * an LSH code; verified with true cosine distance (1 - similarity) ≤
-    * `maxCosineDistance`.
+  /** The value-collapse frame for the cosine family: one representative
+    * (minimum id) per distinct vector with the group size `_n`, grouped
+    * on the vector VALUES — exact, collision-free; the one shuffle of
+    * vectors in the plan (skinny id+vector rows, once per input row). */
+  private def vecReps(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_n"))
+
+  /** Rep-level candidate pairs with their exact cosine distances,
+    * UNFILTERED — the memoizable mining artifact. LSH candidate
+    * generation is threshold-independent (the threshold only gates the
+    * verify), so every near-dup threshold over the same corpus is a pure
+    * `filter` on this one frame: mine once, serve `cosine_neardup` /
+    * components / semantic-dedup at their own thresholds without
+    * re-running the bucket pipeline. Returned EAGERLY materialized
+    * (localCheckpoint) — callers cache and reuse it; internals are
+    * freed before returning.
     *
     * The bucket self-join carries ONLY (code, id) — candidate pairs are
     * deduplicated as scalars first and the float arrays join back BY ID
-    * for the verify, so embeddings never ride the bucket shuffle.
-    * Identical vectors collapse to a representative (grouped on the
-    * values themselves — no hashing approximation) and re-expand after
-    * verification; the intra-group distance is computed from the shared
-    * vector (not assumed 0), preserving edge semantics such as NaN for
-    * zero-magnitude vectors. */
-  def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      maxCosineDistance: Double, params: LshParams,
-      maxBucket: Int = 4096, expandDuplicates: Boolean = true,
+    * for the verify, so embeddings never ride the bucket shuffle. */
+  def cosineCandidateDistances(df: DataFrame, idCol: String, vecCol: String,
+      params: LshParams, maxBucket: Int = 4096,
       logDroppedBuckets: Boolean = false): DataFrame = {
-    // group on the vector VALUES: exact, collision-free; the one shuffle
-    // of vectors in this plan (skinny id+vector rows, once per input row)
-    // eager localCheckpoint: the value-collapse shuffle runs once for the
-    // coding, verification and expansion stages (blocks GC-cleaned)
-    val reps = df.groupBy(col(vecCol))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_n"))
-      .localCheckpoint(true)
-    val members = df.select(col(idCol), col(vecCol))
+    val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
     val coded = Lsh.withCodes(reps, vecCol, params)
       .select(col(idCol), explode(col("codes")).as("code"))
     logDrops("cosine", coded, Seq("code"), idCol, maxBucket, logDroppedBuckets)
@@ -366,17 +377,51 @@ object Dedup {
       .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val vecs = df.select(col(idCol), col(vecCol))
-    val repPairs = candidates
+    val out = candidates
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_v_a")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(Distances.cosineDistance(col("_v_a"), col("_v_b")), 6).as("cos_dist"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(reps)
+    out
+  }
+
+  /** Rep-level verified pairs at a threshold: a filter over the mined
+    * candidate distances (pass a memoized `candidates` frame to skip
+    * re-mining — VERDICT r3 item 6). This is the shape to feed
+    * `connectedComponents` at 100 TB: one node per distinct vector. */
+  def cosineRepPairs(df: DataFrame, idCol: String, vecCol: String,
+      maxCosineDistance: Double, params: LshParams,
+      maxBucket: Int = 4096, logDroppedBuckets: Boolean = false,
+      candidates: Option[DataFrame] = None): DataFrame =
+    candidates.getOrElse(
+        cosineCandidateDistances(df, idCol, vecCol, params, maxBucket, logDroppedBuckets))
       .filter(col("cos_dist") <= maxCosineDistance)
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates share
+    * an LSH code; verified with true cosine distance (1 - similarity) ≤
+    * `maxCosineDistance`.
+    *
+    * Identical vectors collapse to a representative (grouped on the
+    * values themselves — no hashing approximation) and re-expand after
+    * verification; the intra-group distance is computed from the shared
+    * vector (not assumed 0), preserving edge semantics such as NaN for
+    * zero-magnitude vectors. `expandDuplicates = false` returns rep-level
+    * pairs only. */
+  def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      maxCosineDistance: Double, params: LshParams,
+      maxBucket: Int = 4096, expandDuplicates: Boolean = true,
+      logDroppedBuckets: Boolean = false,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val repPairs = cosineRepPairs(df, idCol, vecCol, maxCosineDistance, params,
+      maxBucket, logDroppedBuckets, candidates)
     if (!expandDuplicates) repPairs
     else {
+      val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
       // vector-valued "content hash": the vector itself keys the groups
       val repCh = reps.select(col(idCol), col(vecCol).as("_ch"))
-      val memCh = members.select(col(idCol), col(vecCol).as("_ch"))
+      val memCh = df.select(col(idCol), col(vecCol).as("_ch"))
       val groupValues = reps.filter(col("_n") > 1)
         .select(col(vecCol).as("_ch"),
           round(Distances.cosineDistance(col(vecCol), col(vecCol)), 6).as("cos_dist"))
@@ -384,5 +429,40 @@ object Dedup {
       expandCross(repPairs, repCh, memCh, idCol, Seq("cos_dist"))
         .unionByName(expandIntra(groupValues, memCh, idCol, Seq("cos_dist")))
     }
+  }
+
+  /** Member-level duplicate-cluster labels computed from REP-level pairs —
+    * the resolution shape to use at any scale (VERDICT r3 item 2): the
+    * component fixpoint runs on the collapsed graph (one node per distinct
+    * vector), then members inherit their group's label through one
+    * value-equi-join. A duplicate group of B identical vectors contributes
+    * ONE node to the iteration — never the B(B−1)/2-edge clique that
+    * member-level pairs would inject.
+    *
+    * Label semantics match components-over-expanded-pairs exactly: the
+    * representative is the group's minimum id, so the minimum rep id of a
+    * connected rep-set IS the minimum member id of the member-level
+    * component; isolated duplicate groups (no cross-group edge) form their
+    * own cluster iff their self-distance passes the threshold (NaN for
+    * zero-magnitude vectors propagates to "no cluster", as in expansion). */
+  def cosineComponents(df: DataFrame, idCol: String, vecCol: String,
+      maxCosineDistance: Double, params: LshParams,
+      maxBucket: Int = 4096, maxIter: Int = 50,
+      logDroppedBuckets: Boolean = false,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val repPairs = cosineRepPairs(df, idCol, vecCol, maxCosineDistance, params,
+      maxBucket, logDroppedBuckets, candidates)
+    val repComps = connectedComponents(repPairs, "id_a", "id_b", maxIter)
+    val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
+    val selfQual = reps.filter(col("_n") > 1)
+      .filter(round(Distances.cosineDistance(col(vecCol), col(vecCol)), 6)
+        <= maxCosineDistance)
+      .select(col(idCol).as("id"), col(idCol).as("comp"))
+    val repLabels = repComps.unionByName(
+      selfQual.join(repComps.select(col("id")), Seq("id"), "left_anti"))
+    df.select(col(idCol), col(vecCol))
+      .join(reps.select(col(vecCol), col(idCol).as("_rep")), vecCol)
+      .join(repLabels.select(col("id").as("_rep"), col("comp")), "_rep")
+      .select(col(idCol).as("id"), col("comp"))
   }
 }

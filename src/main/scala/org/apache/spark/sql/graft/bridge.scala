@@ -20,6 +20,21 @@ object bridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
 
+  /** Release the materialized blocks behind an eager `localCheckpoint`ed
+    * frame the caller no longer needs. Spark frees such blocks only when
+    * the driver GCs the RDD reference and the ContextCleaner notices —
+    * in a long-lived session (or an iterative loop checkpointing per
+    * round) that lag accumulates block-manager pressure that degrades
+    * unrelated queries. Iterative operators call this on the superseded
+    * round as soon as the next round is materialized. No-op on frames
+    * that are not checkpoint-backed. */
+  def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Inject the same function through SparkSessionExtensions (the
     * `spark.sql.extensions` path). */
   def injectFunction(ext: org.apache.spark.sql.SparkSessionExtensions, name: String,

@@ -129,6 +129,43 @@ class DedupSpec extends SparkSpec {
     assert(comps.forall(_.getLong(1) === 1L)) // whole chain collapses to min id
   }
 
+  test("cosineComponents: rep-level iteration, member labels match clique-expanded components") {
+    val rnd = new scala.util.Random(11)
+    val v1 = Array.fill(64)(rnd.nextFloat())
+    val v1close = v1.clone(); v1close(0) += 0.001f
+    val far = Array.fill(64)(rnd.nextFloat() - 0.9f)
+    val farDup = far.clone()
+    // two clusters: {1,2(=1),3 near 1} and {10,11 identical, isolated}; 20 alone
+    val emb = Seq((1L, v1), (2L, v1), (3L, v1close), (10L, far), (11L, farDup),
+      (20L, Array.fill(64)(5f))).toDF("vec_id", "embedding")
+    val p = LshParams.serving(64)
+    val comps = Dedup.cosineComponents(emb, "vec_id", "embedding", 0.01, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expanded = Dedup.cosineNearDuplicates(emb, "vec_id", "embedding", 0.01, p)
+    val oracle = Dedup.connectedComponents(expanded, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === oracle)
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("component input stays LINEAR in duplicate-group size (10k-identical plant)") {
+    // a 10k-identical group plus one near-dup: the clique expansion would
+    // inject ~5e7 member edges into the fixpoint; the rep-level path feeds
+    // it at most the DISTINCT-vector pair count (here 1), and members
+    // attach by value afterwards
+    val rnd = new scala.util.Random(13)
+    val v = Array.fill(64)(rnd.nextFloat())
+    val vClose = v.clone(); vClose(0) += 0.001f
+    val emb = ((1L to 10000L).map(i => (i, v)) :+ (20000L, vClose))
+      .toDF("vec_id", "embedding")
+    val p = LshParams.serving(64)
+    val repPairs = Dedup.cosineRepPairs(emb, "vec_id", "embedding", 0.01, p)
+    assert(repPairs.count() === 1L) // (1, 20000) only — linear, not C(10000,2)
+    val comps = Dedup.cosineComponents(emb, "vec_id", "embedding", 0.01, p)
+    assert(comps.count() === 10001L)
+    assert(comps.select("comp").distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("cosine near-dup finds planted duplicate embeddings through LSH buckets") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(64)(rnd.nextFloat())

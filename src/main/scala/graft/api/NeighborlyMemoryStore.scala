@@ -62,8 +62,19 @@ class NeighborlyMemoryStore(val db: NeighborlySpark,
   def getKeys: Seq[String] =
     db.vectors.select("id").collect().map(_.getString(0)).toSeq
 
+  /** Reference parity: the full table (the SK contract materializes every
+    * record). At engine scale use the paged variant below. */
   def getVectors: Seq[MemoryRecord] =
     db.vectors.collect().map(r => toRecord(rowToRecord(r))).toSeq
+
+  /** Paged record listing (id-ordered, so pages are stable) — the shape a
+    * driver can actually serve when the table no longer fits in its heap. */
+  def getVectors(offset: Int, limit: Int): Seq[MemoryRecord] = {
+    require(offset >= 0 && limit >= 0, "offset/limit must be non-negative")
+    db.vectors.orderBy(org.apache.spark.sql.functions.col("id"))
+      .offset(offset).limit(limit)
+      .collect().map(r => toRecord(rowToRecord(r))).toSeq
+  }
 
   private def rowToRecord(r: org.apache.spark.sql.Row): VectorRecord = VectorRecord(
     r.getAs[String]("id"),
@@ -101,10 +112,11 @@ class NeighborlyMemoryStore(val db: NeighborlySpark,
     db.getVector(key).map(toRecord)
 
   def getBatch(collectionName: String, keys: Seq[String],
-      withEmbeddings: Boolean = false): Seq[MemoryRecord] = {
-    val keySet = keys.toSet
-    getVectors.filter(r => keySet.contains(r.key))
-  }
+      withEmbeddings: Boolean = false): Seq[MemoryRecord] =
+    if (keys.isEmpty) Seq.empty
+    else db.vectors
+      .filter(org.apache.spark.sql.functions.col("id").isin(keys: _*))
+      .collect().map(r => toRecord(rowToRecord(r))).toSeq
 
   def removeFromCollection(collectionName: String, key: String): Unit =
     { db.removeVector(key); () }
@@ -114,12 +126,13 @@ class NeighborlyMemoryStore(val db: NeighborlySpark,
 
   /** GetNearestMatchesAsync parity (`:199-202`): facade search with the
     * adapter's algorithm; `minRelevanceScore` unused and every score is
-    * -∞, exactly like the reference. */
+    * -∞, exactly like the reference. One Spark action per call
+    * (`searchRecords` joins the hit set back to the table — no per-hit
+    * getVector round-trips). */
   def getNearestMatches(collectionName: String, embedding: Array[Float], limit: Int,
       minRelevanceScore: Double = 0, withEmbeddings: Boolean = false): Seq[(MemoryRecord, Double)] =
-    db.search(embedding, limit, algorithm).collect().toSeq
-      .flatMap(r => db.getVector(r.getAs[String]("id")))
-      .map(v => (toRecord(v), Double.NegativeInfinity))
+    db.searchRecords(embedding, limit, algorithm)
+      .map { case (v, _) => (toRecord(v), Double.NegativeInfinity) }
 
   def getNearestMatch(collectionName: String, embedding: Array[Float],
       minRelevanceScore: Double = 0, withEmbedding: Boolean = false): Option[(MemoryRecord, Double)] =

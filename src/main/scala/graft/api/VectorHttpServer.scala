@@ -81,14 +81,35 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
 
   // ------------------------------------------------------------- routes
 
-  /** GetVectors (VectorService.cs:18-37): the whole table. */
+  /** GetVectors (VectorService.cs:18-37): the whole table by default
+    * (reference parity: GetVectors returns everything), with optional
+    * `?limit=&offset=` paging — id-ordered so pages are stable — for
+    * engine-scale tables where materializing the full table on the
+    * driver is not an option. Clients beyond toy scale should page. */
   private def getVectors(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val limit = params.get("limit").map(_.toInt)
+    val offset = params.get("offset").map(_.toInt).getOrElse(0)
+    val frame = limit match {
+      case Some(n) =>
+        require(n >= 0 && offset >= 0, "limit/offset must be non-negative")
+        db.vectors.orderBy(org.apache.spark.sql.functions.col("id")).offset(offset).limit(n)
+      case None => db.vectors
+    }
     val arr = mapper.createArrayNode()
-    db.vectors.collect().foreach { r =>
+    frame.collect().foreach { r =>
       arr.add(recordNode(VectorHttpServer.rowToRecord(r), None))
     }
     respond(ex, 200, Some(arr))
   }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&').toSeq)
+      .flatMap { kv => kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      } }.toMap
 
   /** POST /vector (RestServices.cs:15-23): 201 + Location, echoes the DTO. */
   private def addVector(ex: HttpExchange): Unit = {
@@ -120,18 +141,15 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
 
   /** POST /vectors/searchNearest?k= (RestServices.cs:73-87 /
     * VectorService.cs:74-84): facade default dispatch, full records +
-    * dist in result order. */
+    * dist in result order — ONE Spark action per request via
+    * `searchRecords` (the k-row hit set joins back to the table; no
+    * per-hit driver round-trips). */
   private def searchNearest(ex: HttpExchange): Unit = {
-    val k = Option(ex.getRequestURI.getQuery).toSeq
-      .flatMap(_.split('&').toSeq).collectFirst {
-        case q if q.startsWith("k=") => q.drop(2).toInt
-      }.getOrElse(10)
+    val k = queryParams(ex).get("k").map(_.toInt).getOrElse(10)
     val dto = parseDto(mapper.readTree(ex.getRequestBody))
-    val hits = db.search(dto.values, k).collect()
     val arr = mapper.createArrayNode()
-    hits.foreach { h =>
-      val id = h.getAs[String]("id")
-      db.getVector(id).foreach(r => arr.add(recordNode(r, Some(h.getAs[Double]("dist")))))
+    db.searchRecords(dto.values, k).foreach { case (r, dist) =>
+      arr.add(recordNode(r, Some(dist)))
     }
     respond(ex, 200, Some(arr))
   }

@@ -75,4 +75,57 @@ class VectorHttpServerSpec extends SparkSpec {
       assert(req(base, "GET", "/vectors").body() === "[]")
     } finally srv.stop()
   }
+
+  test("GET /vectors pages with limit/offset, id-ordered") {
+    val db = new NeighborlySpark(spark, 2)
+    (1 to 5).foreach(i => db.addVector(
+      graft.core.VectorRecord(f"v$i%02d", Array(i.toFloat, 0f))))
+    val srv = new VectorHttpServer(db)
+    val base = s"http://127.0.0.1:${srv.start()}"
+    try {
+      val page = req(base, "GET", "/vectors?limit=2&offset=1").body()
+      assert(page.contains("\"v02\"") && page.contains("\"v03\""))
+      assert(!page.contains("\"v01\"") && !page.contains("\"v04\""))
+      // no params → reference parity, the whole table
+      val all = req(base, "GET", "/vectors").body()
+      (1 to 5).foreach(i => assert(all.contains(f""""v$i%02d"""")))
+    } finally srv.stop()
+  }
+
+  test("searchNearest answers a k=10 search in O(1) Spark jobs, not k+1") {
+    val db = new NeighborlySpark(spark, 2)
+    (1 to 30).foreach(i => db.addVector(
+      graft.core.VectorRecord(f"v$i%02d", Array(i.toFloat / 100f, 0f))))
+    val srv = new VectorHttpServer(db)
+    val base = s"http://127.0.0.1:${srv.start()}"
+    try {
+      // warm the serve path once (first call pays codegen/session setup)
+      req(base, "POST", "/vectors/searchNearest?k=10", """{"values":[0.0,0.0]}""")
+      waitForListeners()
+      val before = db.metrics.serveJobs.get()
+      val searches = db.metrics.searchCount.get()
+      val hits = req(base, "POST", "/vectors/searchNearest?k=10", """{"values":[0.0,0.0]}""")
+      assert(hits.statusCode() === 200)
+      assert(hits.body().contains("\"v01\"") && hits.body().contains("\"dist\""))
+      waitForListeners()
+      val jobs = db.metrics.serveJobs.get() - before
+      // one collect action; AQE/broadcast may add a helper job — never the
+      // k+1 per-hit pattern (would be ≥ 11 here)
+      assert(jobs >= 1 && jobs <= 3, s"searchNearest ran $jobs serve jobs")
+      assert(db.metrics.searchCount.get() === searches + 1)
+      assert(db.metrics.searchNanos.get() > 0)
+      assert(db.metrics.vectorCount === 30L) // observable gauge, live table
+    } finally srv.stop()
+  }
+
+  private def waitForListeners(): Unit = {
+    // listener bus is async; drain before reading counters
+    val deadline = System.nanoTime() + 5e9.toLong
+    var last = -1L
+    while (System.nanoTime() < deadline && {
+      val now = spark.sparkContext.statusTracker.getActiveJobIds().length
+      val stable = now == 0 && last == 0; last = now; !stable
+    }) Thread.sleep(50)
+    Thread.sleep(200)
+  }
 }

@@ -1,17 +1,80 @@
 package graft.index
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.ml.clustering.KMeansModel
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
 
 /** Index-artifact persistence (SURVEY §2.1 "Index persistence": the
   * reference serializes search indexes into its V1 snapshot,
   * Neighborly/Search/SearchService.cs:285-342). Spark-native form: MLlib
-  * model dirs + a small parquet of parameters; tree structures are never
-  * serialized — LSH projections regenerate from (dim, tables, funcs, seed)
-  * and exact search needs no artifact, mirroring the reference's choice to
-  * persist only what cannot be re-derived cheaply.
+  * model dirs + a small parquet of parameters; LSH projections regenerate
+  * from (dim, tables, funcs, seed) and exact search needs no artifact,
+  * mirroring the reference's choice to persist only what cannot be
+  * re-derived cheaply.
+  *
+  * Per-partition LOCAL indexes ([[LocalNormIndex]], [[HnswGraph]]) ARE
+  * worth persisting — they are the expensive "build once" half of the
+  * KD-tree/HNSW contract, and the reference serializes its HNSW graph
+  * into the snapshot the same way (SearchService.cs:285-342,
+  * HNSW.cs:392-418). Format: one java-serialized blob per partition in a
+  * parquet of (part_id, blob) rows, written and reloaded DISTRIBUTED
+  * (no driver materialization); load re-establishes one index object per
+  * partition (part_id keys 0..n-1 hash perfectly onto n partitions) and
+  * re-persists deserialized in heap, so a reloaded index answers queries
+  * bit-identically to the one that was saved.
   */
 object IndexStore {
+
+  private def javaSer(o: AnyRef): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    try oos.writeObject(o) finally oos.close()
+    bos.toByteArray
+  }
+
+  private def javaDeser(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes)) {
+      override def resolveClass(desc: java.io.ObjectStreamClass): Class[_] =
+        Class.forName(desc.getName, false, Thread.currentThread.getContextClassLoader)
+    }
+    try in.readObject().asInstanceOf[AnyRef] finally in.close()
+  }
+
+  /** Save a per-partition local index RDD: one blob row per partition. */
+  private def saveLocalIndex[T <: AnyRef](spark: SparkSession, index: RDD[T],
+      dir: String): Unit = {
+    import spark.implicits._
+    index.mapPartitionsWithIndex((pid, it) => it.map(g => (pid, javaSer(g))))
+      .toDF("part_id", "blob")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload: one index object per partition, persisted deserialized like
+    * a fresh build. */
+  private def loadLocalIndex[T: scala.reflect.ClassTag](spark: SparkSession, dir: String): RDD[T] = {
+    val df = spark.read.parquet(dir)
+    val n = math.max(1, df.count().toInt)
+    val rdd = df.rdd
+      .map(r => (r.getAs[Int]("part_id"), r.getAs[Array[Byte]]("blob")))
+      .partitionBy(new HashPartitioner(n))
+      .map(kv => javaDeser(kv._2).asInstanceOf[T])
+    rdd.persist(StorageLevel.MEMORY_ONLY)
+    rdd
+  }
+
+  def saveLocalAnn(spark: SparkSession, index: RDD[LocalNormIndex], path: String): Unit =
+    saveLocalIndex(spark, index, s"$path/local_ann")
+
+  def loadLocalAnn(spark: SparkSession, path: String): RDD[LocalNormIndex] =
+    loadLocalIndex[LocalNormIndex](spark, s"$path/local_ann")
+
+  def saveHnsw(spark: SparkSession, index: RDD[HnswGraph], path: String): Unit =
+    saveLocalIndex(spark, index, s"$path/hnsw")
+
+  def loadHnsw(spark: SparkSession, path: String): RDD[HnswGraph] =
+    loadLocalIndex[HnswGraph](spark, s"$path/hnsw")
 
   def saveLsh(spark: SparkSession, params: LshParams, path: String): Unit = {
     import spark.implicits._

@@ -30,6 +30,33 @@ class IndexStoreSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("LocalAnn index round-trips: reloaded index answers identically (build once survives restart)") {
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val built = LocalAnn.build(emb, "vec_id", "embedding")
+    val before = LocalAnn.search(built, spark, q, k = 10, "vec_id").collect().toSeq
+    IndexStore.saveLocalAnn(spark, built, dir)
+    val loaded = IndexStore.loadLocalAnn(spark, dir)
+    assert(loaded.getNumPartitions === built.mapPartitions(
+      it => if (it.hasNext) Iterator.single(1) else Iterator.empty).count().toInt)
+    val after = LocalAnn.search(loaded, spark, q, k = 10, "vec_id").collect().toSeq
+    assert(after === before)
+    loaded.unpersist(); built.unpersist()
+  }
+
+  test("HNSW graphs round-trip: reloaded graphs return identical rows (VERDICT r3 item 5)") {
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val built = LocalHnsw.build(
+      emb.repartition(4, org.apache.spark.sql.functions.col("vec_id")), "vec_id", "embedding")
+    val before = LocalHnsw.search(built, spark, q, k = 10, "vec_id").collect().toSeq
+    IndexStore.saveHnsw(spark, built, dir)
+    val loaded = IndexStore.loadHnsw(spark, dir)
+    val after = LocalHnsw.search(loaded, spark, q, k = 10, "vec_id").collect().toSeq
+    assert(after === before) // byte-identical graphs → identical approximate results
+    loaded.unpersist(); built.unpersist()
+  }
+
   test("PQ codebooks round-trip with identical centers and codes") {
     val m = ProductQuantization.fit(emb, "embedding")
     IndexStore.savePq(spark, m, dir)

@@ -27,6 +27,12 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = queries.map { case (name, fn) =>
+      // measurement hygiene: drain the previous query's dead checkpoint /
+      // shuffle blocks (ContextCleaner frees them only after a driver GC
+      // notices the dropped references) so each query is timed against a
+      // clean block manager, not its predecessor's garbage — r3's bench
+      // showed unrelated 2-3× smears from exactly this coupling
+      System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

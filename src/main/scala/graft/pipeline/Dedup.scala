@@ -145,22 +145,115 @@ object Dedup {
 
   // ----------------------------------------------------------- components
 
+  /** Rounds the last components call took to converge (test telemetry —
+    * the deep-chain spec pins the contraction's round advantage). */
+  @volatile private[graft] var lastComponentRounds: Int = 0
+
   /** Connected components over near-dup pairs — the resolution step a
     * dedup pipeline runs after pair mining: every document gets the
     * MINIMUM id of its duplicate cluster as `comp`, so "keep one per
     * cluster" is `filter(id === comp)`.
     *
-    * Distributed shape: iterative min-label propagation (label = min of
-    * own and neighbors' labels) with an eager localCheckpoint per round —
-    * lineage stays flat and each round is one join + one aggregate,
-    * converging in O(graph diameter) rounds (near-dup clusters are
-    * shallow; `maxIter` bounds pathological chains). At extreme scale the
-    * standard refinement is large-star/small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    * same join primitive, fewer rounds; the simple propagation is kept
-    * for its replayable SQL semantics. */
+    * Two engines, same output:
+    *  - `"stars"` (default): alternating large-star/small-star edge
+    *    contraction (Kiveris et al., "Connected Components in MapReduce
+    *    and Beyond", §3 two-phase) — each round is two groupBy+join
+    *    passes over the shrinking edge set and the fixpoint is a star
+    *    forest rooted at each component's minimum; converges in O(log n)
+    *    rounds even on adversarial chains;
+    *  - `"propagation"`: iterative min-label propagation (two neighbor
+    *    hops + a pointer jump per eager-localCheckpoint round) — kept for
+    *    its directly-replayable SQL semantics; O(log diameter) rounds
+    *    with a higher per-round join count.
+    * Self-pairs are ignored (mining emits strictly `id_a < id_b`). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, algorithm: String = "stars"): DataFrame = algorithm match {
+    case "stars" => componentsStars(pairs, aCol, bCol, maxIter)
+    case "propagation" => componentsPropagation(pairs, aCol, bCol, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"unknown components algorithm '$other' (stars | propagation)")
+  }
+
+  /** Large-star/small-star contraction. Edges stay oriented (src > dst);
+    * each round large-star hangs every node's larger neighbors onto its
+    * minimum, then small-star re-hangs the smaller neighborhood —
+    * convergence (edge set stationary, checked with a count+hash
+    * signature on the checkpointed frame) leaves (member, root) star
+    * edges, which ARE the labels. */
+  private def componentsStars(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    var edges = p
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .select(greatest(col("_a"), col("_b")).as("src"),
+        least(col("_a"), col("_b")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal sum: order-independent and overflow-free under ANSI mode
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy(col("src"))
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("src"), col("_mn")).as("_m"))
+      nbrs.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is (src > dst)-oriented: every dst is a strictly smaller neighbor
+      val mins = e.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      val moved = e.join(mins, "src")
+        .filter(col("dst") =!= col("_m"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+      moved.unionByName(mins.select(col("src"), col("_m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // min-parent pointer jump (the Shiloach–Vishkin shortcut): rewrite
+    // every edge's target to the target's own minimum parent — row count
+    // preserved (one rewrite per edge, not a hop product), chains halve
+    // per application; parents always sit in the same component, so
+    // connectivity is invariant
+    def jump(e: DataFrame): DataFrame = {
+      val pmin = e.groupBy(col("src")).agg(min(col("dst")).as("_pm"))
+        .withColumnRenamed("src", "_p")
+      e.join(pmin, e("dst") === col("_p"), "left")
+        .select(e("src"), coalesce(col("_pm"), e("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = jump(smallStar(largeStar(edges))).localCheckpoint(true)
+      val nsig = signature(next)
+      org.apache.spark.sql.graft.bridge.freeCheckpoint(edges)
+      edges = next
+      converged = nsig == sig
+      sig = nsig
+      i += 1
+    }
+    lastComponentRounds = i
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(p)
+    // star forest: every src hangs off its component minimum; roots
+    // appear only as dst
+    edges.select(col("src").as("id"), col("dst").as("comp"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("comp")).distinct())
+  }
+
+  /** Min-label propagation (the r3 engine). */
+  private def componentsPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): DataFrame = {
     // materialize the pair source ONCE before the two-direction union —
     // otherwise the (possibly expensive) mining pipeline upstream is
     // instantiated in both union branches
@@ -211,6 +304,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    lastComponentRounds = i
     // the result is checkpoint-backed and self-contained: the pair source
     // and edge frames are no longer reachable from it
     org.apache.spark.sql.graft.bridge.freeCheckpoint(p)

@@ -129,6 +129,26 @@ class DedupSpec extends SparkSpec {
     assert(comps.forall(_.getLong(1) === 1L)) // whole chain collapses to min id
   }
 
+  test("stars and propagation agree; contraction needs fewer rounds on a deep chain") {
+    // 200-node path — the adversarial diameter case for label propagation
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val stars = Dedup.connectedComponents(chain, "id_a", "id_b", algorithm = "stars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starRounds = Dedup.lastComponentRounds
+    val prop = Dedup.connectedComponents(chain, "id_a", "id_b", algorithm = "propagation")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val propRounds = Dedup.lastComponentRounds
+    assert(stars === prop)
+    assert(stars.size === 200 && stars.values.forall(_ === 1L))
+    assert(starRounds < propRounds,
+      s"contraction took $starRounds rounds vs propagation's $propRounds")
+    // mixed graph: two clusters + isolated pair, same answer on both engines
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 7L)).toDF("id_a", "id_b")
+    val a = Dedup.connectedComponents(pairs, "id_a", "id_b", algorithm = "stars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("cosineComponents: rep-level iteration, member labels match clique-expanded components") {
     val rnd = new scala.util.Random(11)
     val v1 = Array.fill(64)(rnd.nextFloat())

@@ -26,7 +26,22 @@ case class VectorRecord(
     original_text: String = "",
     priority: Byte = 0,
     user_id: Long = 0L,
-    org_id: Long = 0L)
+    org_id: Long = 0L) {
+
+  /** Lossless compressed form of the embedding — the reference's
+    * per-vector compression verb (VectorCompression.cs:13-31
+    * `ToCompressedBinary`, fpzip-backed there; byte-stream-split +
+    * Deflate here — see graft.io.VectorCompression). */
+  def toCompressedBinary: Array[Byte] = graft.io.VectorCompression.compress(values)
+}
+
+object VectorRecord {
+  /** Inverse verb (VectorCompression.cs:33-55 `FromCompressedBinary`):
+    * a record carrying the bit-exact decompressed embedding, fresh id —
+    * the reference constructs `new Vector(values)` the same way. */
+  def fromCompressedBinary(data: Array[Byte]): VectorRecord =
+    VectorRecord("", graft.io.VectorCompression.decompress(data))
+}
 
 object VectorSchema {
 

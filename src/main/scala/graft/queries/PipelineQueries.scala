@@ -28,6 +28,7 @@ object PipelineQueries {
       val d = table(s, dir, "documents")
       d.select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.subwordCount(col("text")).as("n_subwords"),
         round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         TextStats.languageId(col("text")).as("lang_id"),
@@ -191,6 +192,7 @@ object PipelineQueries {
     "text_profile" ->
       s"""SELECT doc_id,
          | CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords,
          | round(CASE WHEN length(text) = 0 THEN 0.0
          |   ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
          | round(CASE WHEN len($toksSql) = 0 THEN 0.0

@@ -197,6 +197,11 @@ object Dedup {
           lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), r.getDecimal(1))
     }
+    // intermediate stages tolerate duplicate edge rows (group-bys and the
+    // round-final distinct absorb them) — ONE distinct shuffle per round,
+    // at the point the signature needs canonical form, instead of one per
+    // stage; at small pair counts the fixed per-stage shuffle latency is
+    // the entire round cost
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = nbrs.groupBy(col("src"))
@@ -206,7 +211,6 @@ object Dedup {
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("_m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // e is (src > dst)-oriented: every dst is a strictly smaller neighbor
@@ -216,7 +220,6 @@ object Dedup {
         .select(col("dst").as("src"), col("_m").as("dst"))
       moved.unionByName(mins.select(col("src"), col("_m").as("dst")))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     }
     // min-parent pointer jump (the Shiloach–Vishkin shortcut): rewrite
     // every edge's target to the target's own minimum parent — row count

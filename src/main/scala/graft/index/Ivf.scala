@@ -105,4 +105,34 @@ object Ivf {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
+
+  /** Batch probe-limited kNN — the multi-query scale path. Each query
+    * ranks the `nlist`-row centroid table (exploded per query — tiny) and
+    * keeps its `nprobe` nearest clusters; the (query, cluster) probe
+    * pairs broadcast-join the cluster-assigned table, so a vector is
+    * scored ONLY against queries probing its cluster — the work is
+    * O(data × nprobe/nlist × |Q|-collisions), never the full cross
+    * product — and the per-query top-k runs as the bounded-heap partial
+    * aggregate (shuffle O(|Q| × k)). Probe ranking is euclidean with ties
+    * to the lower centroid id, identical to [[IvfModel.probes]]. Returns
+    * (query_id, rank BIGINT, id, dist). */
+  def searchBatch(model: IvfModel, vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int = 4, metric: String = "euclidean"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centersLit = typedLit(model.centers.map(_.toSeq).toSeq)
+    val probes = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .select(col(queryIdCol), col(queryVecCol),
+        posexplode(centersLit).as(Seq("_cid", "_cv")))
+      .withColumn("_cd", Distances.euclidean(col(queryVecCol), col("_cv")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("_cd"), col("_cid"))))
+      .filter(col("_rn") <= nprobe)
+      .select(col(queryIdCol), col(queryVecCol).as("_qv"), col("_cid").as("cluster"))
+    val scored = assign(model, vectors, vecCol)
+      .join(broadcast(probes), "cluster")
+      .withColumn("dist", round(Distances.metric(metric)(col(vecCol), col("_qv")), 6))
+    graft.ops.Knn.batchOver(scored, idCol, queryIdCol, k)
+  }
 }

@@ -83,6 +83,17 @@ object IndexQueries {
         embeddingOf(s, dir, 0), k = 10, nprobe = 4)
     }),
 
+    // IVF batch kNN: per-query probe sets over the replayable sampled
+    // centroids, probe pairs broadcast-joined against the assigned table,
+    // bounded-heap per-query top-k. Full-pipeline oracle like ivf_knn.
+    "ivf_knn_batch" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Ivf.searchBatch(ivfModelFor(s, dir), e, "vec_id", "embedding",
+        q, "query_id", "qv", k = 5, nprobe = 4)
+    }),
+
     // Single-query exact kNN answered from the persisted per-partition
     // norm index (LocalAnn — the mapPartitions KD-tree analog): warm
     // in-heap arrays + triangle-inequality pruning, no parquet rescan.
@@ -303,6 +314,42 @@ object IndexQueries {
          |JOIN assign a ON a.vec_id = e.vec_id
          |JOIN probe p ON p.cid = a.cid, q
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+    },
+
+    // Same full replay as ivf_knn, per query: centroid selection, probe
+    // ranking, assignment, and the ranked top-k.
+    "ivf_knn_batch" -> {
+      val hashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY $hashExpr, vec_id) - 1 AS cid,
+         |         embedding AS cv
+         |  FROM embeddings ORDER BY $hashExpr, vec_id LIMIT 16),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.query_id AS query_id, c.cid AS cid,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${sqlEuclidSq("c.cv", "q.qv")}, c.cid) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id AS vec_id, c.cid AS cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |d AS (
+         |  SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+         |         ${sqlEuclid("e.embedding", "q.qv")} AS dist
+         |  FROM embeddings e
+         |  JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN probe p ON p.cid = a.cid
+         |  JOIN q ON q.query_id = p.query_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
+         |FROM (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |WHERE rank <= 5""".stripMargin
     },
 
     "index_join" ->

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, Dedup, Multimodal, TextStats}
+import graft.pipeline.{Bm25, Dedup, HybridSearch, Multimodal, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -65,6 +65,19 @@ object PipelineQueries {
       Bm25.topK(table(s, dir, "documents"), "doc_id", "text",
         Seq("vector", "hash", "stream"), k = 20,
         stats = Some(bm25StatsFor(s, dir)))),
+
+    // Hybrid lexical+vector retrieval: BM25 pool ∪ exact-kNN pool fused
+    // with Reciprocal Rank Fusion (SIGIR'09) — integer ranks and
+    // fixed-order 1/(c+rank) sums make the whole fusion replayable.
+    "hybrid_rrf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      HybridSearch.search(
+        table(s, dir, "documents"), "doc_id", "text", Seq("vector", "hash", "stream"),
+        emb, "vec_id", "embedding", qv, k = 20,
+        bm25Stats = Some(bm25StatsFor(s, dir)))
+    }),
 
     // The composed semantic-dedup end product: near-dup pair mining →
     // component resolution over REP-level pairs (members inherit their
@@ -177,6 +190,36 @@ object PipelineQueries {
 
   private val stopList = TextStats.englishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** The BM25 formula as shared CTEs ending in `bm(doc_id, bm25)` —
+    * used by the bm25_topk and hybrid_rrf oracles. */
+  private val bm25Ctes =
+    """params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |dl AS (SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS tk
+      |       FROM documents),
+      |dl2 AS (SELECT doc_id, len(tk) AS dl, tk FROM dl),
+      |ad AS (SELECT avg(dl) AS avgdl FROM dl2),
+      |terms AS (
+      |  SELECT doc_id, dl, t, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(tk) AS t FROM dl2)
+      |  WHERE t IN ('vector', 'hash', 'stream')
+      |  GROUP BY doc_id, dl, t),
+      |idf AS (
+      |  SELECT t, round(ln(1.0 + ((SELECT n FROM params) - count(DISTINCT doc_id) + 0.5)
+      |                          / (count(DISTINCT doc_id) + 0.5)), 6) AS idf
+      |  FROM terms GROUP BY t),
+      |contrib AS (
+      |  SELECT te.doc_id AS doc_id, te.t AS t,
+      |    idf.idf * (te.tf * (1.2 + 1)) /
+      |      (te.tf + 1.2 * (1 - 0.75 + 0.75 * te.dl / (SELECT avgdl FROM ad))) AS c
+      |  FROM terms te JOIN idf ON idf.t = te.t),
+      |bm AS (
+      |  SELECT doc_id,
+      |    round(coalesce(sum(CASE WHEN t = 'vector' THEN c END), 0)
+      |        + coalesce(sum(CASE WHEN t = 'hash' THEN c END), 0)
+      |        + coalesce(sum(CASE WHEN t = 'stream' THEN c END), 0), 6) AS bm25
+      |  FROM contrib GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
@@ -239,32 +282,24 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
 
     "bm25_topk" ->
-      """WITH params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |dl AS (SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS tk
-        |       FROM documents),
-        |dl2 AS (SELECT doc_id, len(tk) AS dl, tk FROM dl),
-        |ad AS (SELECT avg(dl) AS avgdl FROM dl2),
-        |terms AS (
-        |  SELECT doc_id, dl, t, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(tk) AS t FROM dl2)
-        |  WHERE t IN ('vector', 'hash', 'stream')
-        |  GROUP BY doc_id, dl, t),
-        |idf AS (
-        |  SELECT t, round(ln(1.0 + ((SELECT n FROM params) - count(DISTINCT doc_id) + 0.5)
-        |                          / (count(DISTINCT doc_id) + 0.5)), 6) AS idf
-        |  FROM terms GROUP BY t),
-        |contrib AS (
-        |  SELECT te.doc_id AS doc_id, te.t AS t,
-        |    idf.idf * (te.tf * (1.2 + 1)) /
-        |      (te.tf + 1.2 * (1 - 0.75 + 0.75 * te.dl / (SELECT avgdl FROM ad))) AS c
-        |  FROM terms te JOIN idf ON idf.t = te.t)
-        |SELECT doc_id,
-        |  round(coalesce(sum(CASE WHEN t = 'vector' THEN c END), 0)
-        |      + coalesce(sum(CASE WHEN t = 'hash' THEN c END), 0)
-        |      + coalesce(sum(CASE WHEN t = 'stream' THEN c END), 0), 6) AS bm25
-        |FROM contrib GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // RRF fusion replay: the full BM25 formula pool + the exact-kNN pool,
+    // integer ranks, fixed-order 1/(60+rank) sums rounded to 6.
+    "hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |        FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vpool AS (SELECT e.vec_id AS doc_id, ${sqlEuclid("e.embedding", "q.qv")} AS dist
+         |          FROM embeddings e, q ORDER BY dist, doc_id LIMIT 50),
+         |vec AS (SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS rank FROM vpool)
+         |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |  round(coalesce(1.0/(60 + l.rank), 0) + coalesce(1.0/(60 + v.rank), 0), 6) AS rrf
+         |FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // Same closure as dedup_components, then the surviving corpus: drop
     // every non-representative member of a duplicate cluster.

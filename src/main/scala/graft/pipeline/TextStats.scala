@@ -98,6 +98,18 @@ object TextStats {
         i => md5(substr(textCol, i, lit(window)).cast("binary")))))
   }
 
+  /** Training-data text scrub: strip URLs and email addresses (the
+    * standard PII/noise pass before tokenization), then collapse runs of
+    * whitespace and trim. Pure codegen'd regexp_replace chain — patterns
+    * restricted to syntax with identical semantics in Java regex and RE2
+    * so a SQL oracle replays the scrub byte-for-byte. */
+  def scrub(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, "https?://[^\\s]+", " "),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", " "),
+      "\\s+", " "))
+
   /** One-call profile: every stat as a column. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -138,6 +138,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // Text scrub (URL/email strip + whitespace collapse) — the cleaning
+    // pass before tokenization; oracle replays the regexp chain.
+    "pipeline_scrub" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextStats.scrub(col("text")).as("clean_text"),
+        TextStats.tokenCount(TextStats.scrub(col("text"))).as("n_tokens_clean"))
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata (oracle checks
     // the schema/derivation; the stubbed decode is covered by its spec).
     "multimodal_meta" -> ((s, dir) =>
@@ -271,6 +280,17 @@ object PipelineQueries {
          |SELECT k.doc_id AS doc_id, k.quality AS quality
          |FROM kept k JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) d
          |  ON k.doc_id = d.doc_id""".stripMargin,
+
+    "pipeline_scrub" -> {
+      val scrubSql =
+        """trim(regexp_replace(regexp_replace(regexp_replace(text,
+          |  'https?://[^\s]+', ' ', 'g'),
+          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
+          |  '\s+', ' ', 'g'))""".stripMargin
+      s"""SELECT doc_id, $scrubSql AS clean_text,
+         | CAST(len(list_filter(regexp_split_to_array(lower(trim($scrubSql)), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens_clean
+         |FROM documents""".stripMargin
+    },
 
     "multimodal_meta" ->
       """SELECT doc_id,

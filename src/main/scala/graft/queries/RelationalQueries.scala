@@ -172,6 +172,14 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))),
 
+    // PIVOT: one column per event type (explicit value list keeps the plan
+    // a single aggregate — no distinct-values pre-pass at scale).
+    "q_pivot" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 4))),
+
     // Left outer join preserving customers without orders (null-side agg).
     "q_outer_join" -> ((s, dir) =>
       table(s, dir, "customer")
@@ -352,6 +360,15 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_outer_join" ->
       """SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS n_orders,

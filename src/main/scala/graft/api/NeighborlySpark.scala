@@ -26,8 +26,11 @@ object SearchAlgorithm extends Enumeration {
   *    replacement from `(values, text)` only (VectorList.cs:184-187);
   *  - `search(text | vector, k, algorithm, threshold)` dispatching on the
   *    full `SearchAlgorithm` enum: KDTree/BallTree names serve the same
-  *    exact result as Linear (their observable contract — SURVEY §2.8);
-  *    HNSW is served by recall-tuned LSH (the declared substitution);
+  *    exact result as Linear (their observable contract — SURVEY §2.8),
+  *    answered from the warm per-partition norm index once
+  *    `buildAllIndexes` has run; HNSW is served by the true
+  *    Malkov-Yashunin graph after `buildAllIndexes` (recall-tuned LSH
+  *    before — the declared substitution for the un-built state);
   *    `Range` is not a kNN algorithm and returns an empty result, matching
   *    the reference's switch default (SearchService.cs:164-166);
   *  - threshold semantics incl. the high-dim bypass applied post-dispatch
@@ -68,6 +71,37 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   private var pqModel: Option[PqModel] = None
   private var bqThreshold: Option[Double] = None
 
+  /** Per-partition local indexes over a SURROGATE long key (xxhash64 of
+    * the string id — the facade's UUIDs can't key the long-indexed local
+    * structures directly): exact warm kNN (LocalAnn) serves the
+    * KDTree/BallTree names, the true Malkov-Yashunin graph serves HNSW.
+    * Built by [[buildAllIndexes]]; invalidated (and their heap blocks
+    * freed) on ANY mutation — a documented divergence from the
+    * reference's stale-until-rebuild indexes: after a write we fall back
+    * to the always-fresh scan/LSH paths instead of serving stale graph
+    * results. Surrogate collisions (astronomically unlikely) are detected
+    * at build time and simply leave the scan paths in place. */
+  private case class LocalIdx(mapping: DataFrame,
+      ann: org.apache.spark.rdd.RDD[graft.index.LocalNormIndex],
+      hnsw: org.apache.spark.rdd.RDD[graft.index.HnswGraph])
+  private var localIdx: Option[LocalIdx] = None
+
+  private def invalidateLocalIndexes(): Unit = {
+    localIdx.foreach { li =>
+      li.ann.unpersist(blocking = false)
+      li.hnsw.unpersist(blocking = false)
+      org.apache.spark.sql.graft.bridge.freeCheckpoint(li.mapping)
+    }
+    localIdx = None
+  }
+
+  /** Translate a local-index hit frame (_sid, dist) back to string ids:
+    * the k-row hit set broadcasts into the mapping join — one action. */
+  private def mapHits(hits: DataFrame): DataFrame =
+    localIdx.get.mapping.join(broadcast(hits), "_sid")
+      .select(col("id"), col("dist"))
+      .orderBy(col("dist"), col("id"))
+
   def vectors: DataFrame = df
   def count: Long = df.count()
 
@@ -86,6 +120,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * the ever-growing union/filter lineage with its materialized result. */
   private def noteMutation(): Unit = {
     mutations += 1
+    invalidateLocalIndexes()
     if (checkpointEvery > 0 && mutations % checkpointEvery == 0)
       df = df.localCheckpoint(true)
   }
@@ -109,6 +144,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   def addVectors(rows: DataFrame): Unit = {
     VectorSchema.validateDimension(rows, "values", dimension)
     df = df.unionByName(rows.select(VectorSchema.schema.fieldNames.map(col): _*))
+    invalidateLocalIndexes()
   }
 
   def getVector(id: String): Option[VectorRecord] =
@@ -144,6 +180,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   def clear(): Unit = {
     df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
     mutations = 0
+    invalidateLocalIndexes()
   }
 
   /** kNN by raw vector (SearchService.cs:132-190 dispatch + threshold).
@@ -154,12 +191,22 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     require(k > 0, "Number of neighbors must be greater than 0")
     import SearchAlgorithm._
     val raw = algorithm match {
-      case KDTree | BallTree | Linear =>
-        Knn.single(df, "id", "values", typedLit(query), k)
+      case KDTree | BallTree | Linear => localIdx match {
+        // built index: exact warm kNN from the persisted per-partition
+        // norm indexes — same rows as the scan (LocalAnn is lossless)
+        case Some(li) => mapHits(graft.index.LocalAnn.search(
+          li.ann, spark, query, k, "_sid"))
+        case None => Knn.single(df, "id", "values", typedLit(query), k)
+      }
       case LSH =>
         Lsh.search(df, "id", "values", query, k, LshParams.adaptive(dimension))
-      case HNSW => // declared substitution: recall-tuned LSH serves the name
-        Lsh.search(df, "id", "values", query, k, LshParams.serving(dimension))
+      case HNSW => localIdx match {
+        // built index: the TRUE Malkov-Yashunin graph serves the name
+        case Some(li) => mapHits(graft.index.LocalHnsw.search(
+          li.hnsw, spark, query, k, "_sid"))
+        // no index yet: recall-tuned LSH (declared substitution)
+        case None => Lsh.search(df, "id", "values", query, k, LshParams.serving(dimension))
+      }
       case SearchAlgorithm.BinaryQuantization =>
         BqIndex.search(df, "id", "values", query, k, threshold = bqThreshold)
           .select(col("id"), col("dist"))
@@ -209,9 +256,10 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       case LSH => Some((q, kk) =>
         Lsh.search(df, "id", "values", q, kk, LshParams.adaptive(dimension))
           .select(col("id"), col("dist")))
-      case HNSW => Some((q, kk) =>
-        Lsh.search(df, "id", "values", q, kk, LshParams.serving(dimension))
-          .select(col("id"), col("dist")))
+      case HNSW => Some((q, kk) => (localIdx match {
+        case Some(li) => mapHits(graft.index.LocalHnsw.search(li.hnsw, spark, q, kk, "_sid"))
+        case None => Lsh.search(df, "id", "values", q, kk, LshParams.serving(dimension))
+      }).select(col("id"), col("dist")))
       case SearchAlgorithm.BinaryQuantization => Some((q, kk) =>
         BqIndex.search(df, "id", "values", q, kk, threshold = bqThreshold)
           .select(col("id"), col("dist")))
@@ -250,12 +298,26 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
 
   /** Fit/refresh every index artifact — the facade analog of the
     * reference's debounced BuildAllIndexes (VectorDatabase.cs:501-540):
-    * BQ global-mean threshold, PQ codebooks; LSH projections are pure
-    * functions of (dim, seed) and need no fitting. */
+    * BQ global-mean threshold, PQ codebooks, and the per-partition local
+    * indexes (exact norm index + true HNSW graphs) over surrogate keys;
+    * LSH projections are pure functions of (dim, seed) and need no
+    * fitting. */
   def buildAllIndexes(): Unit = {
     df = df.cache()
     bqThreshold = Some(BqIndex.globalMean(df, "values"))
     pqModel = Some(PqIndex.fit(df, "values"))
+    invalidateLocalIndexes()
+    val keyed = df.select(xxhash64(col("id")).as("_sid"), col("id"), col("values"))
+    val counts = keyed.agg(countDistinct(col("_sid")).as("d"),
+      org.apache.spark.sql.functions.count(lit(1)).as("n")).head()
+    if (counts.getLong(1) > 0 && counts.getLong(0) == counts.getLong(1)) {
+      val mapping = keyed.select(col("_sid"), col("id")).localCheckpoint(true)
+      val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
+      localIdx = Some(LocalIdx(mapping,
+        graft.index.LocalAnn.build(keyed, "_sid", "values"),
+        graft.index.LocalHnsw.build(
+          keyed.repartition(parts, col("_sid")), "_sid", "values")))
+    }
   }
 
   /** Snapshot: parquet vector table + tag dictionary
@@ -264,9 +326,16 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     df.write.mode("overwrite").parquet(s"$path/vectors")
     tags.toDF(spark).write.mode("overwrite").parquet(s"$path/tags")
     // V1-snapshot analog: persist fitted index artifacts alongside the table
-    // (SearchService.cs:285-342 serializes indexes into the snapshot)
+    // (SearchService.cs:285-342 serializes indexes into the snapshot —
+    // including the HNSW graph, HNSW.cs:392-418, which lands here as the
+    // per-partition blob parquet)
     bqThreshold.foreach(t => graft.index.IndexStore.saveBqThreshold(spark, t, s"$path/indexes"))
     pqModel.foreach(m => graft.index.IndexStore.savePq(spark, m, s"$path/indexes"))
+    localIdx.foreach { li =>
+      graft.index.IndexStore.saveLocalAnn(spark, li.ann, s"$path/indexes")
+      graft.index.IndexStore.saveHnsw(spark, li.hnsw, s"$path/indexes")
+      li.mapping.write.mode("overwrite").parquet(s"$path/indexes/sid_mapping")
+    }
   }
 
   /** LoadAsync analog: restores table + tag dictionary. */
@@ -279,6 +348,13 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       catch { case _: Exception => None }
     pqModel =
       try Some(graft.index.IndexStore.loadPq(spark, s"$path/indexes"))
+      catch { case _: Exception => None }
+    invalidateLocalIndexes()
+    localIdx =
+      try Some(LocalIdx(
+        spark.read.parquet(s"$path/indexes/sid_mapping").localCheckpoint(true),
+        graft.index.IndexStore.loadLocalAnn(spark, s"$path/indexes"),
+        graft.index.IndexStore.loadHnsw(spark, s"$path/indexes")))
       catch { case _: Exception => None }
   }
 

@@ -141,6 +141,38 @@ class NeighborlySparkSpec extends SparkSpec {
     assert(pq.nonEmpty && pq.head.getAs[String]("id") === "v1")
   }
 
+  test("built local indexes serve KDTree exactly and HNSW via the true graph; writes invalidate") {
+    val d = db()
+    val exactBefore = d.search(Array(0f, 0f, 0f, 0f), 3, SearchAlgorithm.KDTree, 100.0)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq
+    d.buildAllIndexes()
+    // KDTree name now answers from the warm norm index — identical rows
+    val exactAfter = d.search(Array(0f, 0f, 0f, 0f), 3, SearchAlgorithm.KDTree, 100.0)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq
+    assert(exactAfter === exactBefore)
+    // HNSW name serves the true graph; on this tiny table recall is total
+    val hnsw = d.search(Array(0f, 0f, 0f, 0f), 3, SearchAlgorithm.HNSW, 100.0)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(hnsw === exactBefore.map(_._1).toSet)
+    // a write invalidates: the fresh row must be visible immediately
+    d.addVector(graft.core.VectorRecord("vnew", Array(0.01f, 0f, 0f, 0f)))
+    val afterWrite = d.search(Array(0.01f, 0f, 0f, 0f), 1, SearchAlgorithm.KDTree, 100.0)
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(afterWrite === Seq("vnew"))
+    // snapshot round-trip: reloaded facade serves HNSW from the persisted
+    // graphs, identical rows (build once, query many across restarts)
+    d.removeVector("vnew"); d.buildAllIndexes()
+    val served = d.search(Array(0f, 0f, 0f, 0f), 3, SearchAlgorithm.HNSW, 100.0)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_facade_localidx"
+    d.save(path)
+    val d2 = new NeighborlySpark(spark, 4)
+    d2.load(path)
+    val reloaded = d2.search(Array(0f, 0f, 0f, 0f), 3, SearchAlgorithm.HNSW, 100.0)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq
+    assert(reloaded === served)
+  }
+
   test("tag dictionary: normalization, dedup, -1 for missing (VectorTags.cs:26-66)") {
     val t = TagDictionary.empty
     assert(t.add("  Foo ") === 1.toShort)

@@ -392,6 +392,36 @@ object Dedup {
     }
   }
 
+  /** Member-level duplicate-cluster labels for TEXT near-dup, computed
+    * from REP-level MinHash pairs — the text twin of [[cosineComponents]]:
+    * components run on one node per distinct content; members inherit
+    * their group's label through the 16-byte content-hash join. Isolated
+    * duplicate groups cluster iff their shared text has shingles
+    * (Jaccard(t,t) = 1.0) and the threshold admits 1.0 — zero-shingle
+    * texts carry no Jaccard evidence, exactly as in pair mining. */
+  def minHashComponents(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Int = 4096, maxIter: Int = 50): DataFrame = {
+    val repPairs = minHashNearDuplicates(df, idCol, textCol, threshold,
+      shingleSize, numHashes, bands, maxBucket, expandDuplicates = false)
+    val repComps = connectedComponents(repPairs, "id_a", "id_b", maxIter)
+    val members = memberFrame(df, idCol, col(textCol)).localCheckpoint(true)
+    val groups = members.groupBy(col("_ch"))
+      .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_n"))
+    val selfQual = groups.filter(col("_n") > 1 && lit(1.0) >= threshold)
+      .join(df.select(col(idCol).as("_rep"),
+        when(size(shingles(col(textCol), shingleSize)) > 0, true).as("_hasSh")), "_rep")
+      .filter(col("_hasSh"))
+      .select(col("_rep").as("id"), col("_rep").as("comp"))
+    val repLabels = repComps.unionByName(
+      selfQual.join(repComps.select(col("id")), Seq("id"), "left_anti"))
+    members
+      .join(groups.select(col("_ch"), col("_rep")), "_ch")
+      .join(repLabels.select(col("id").as("_rep"), col("comp")), "_rep")
+      .select(col(idCol).as("id"), col("comp"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a text's tokens (codegen one-pass kernel). */

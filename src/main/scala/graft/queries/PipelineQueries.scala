@@ -66,6 +66,19 @@ object PipelineQueries {
         Seq("vector", "hash", "stream"), k = 20,
         stats = Some(bm25StatsFor(s, dir)))),
 
+    // The composed TEXT dedup end product: MinHash rep-level pair mining →
+    // stars components → keep representatives (plus unclustered docs).
+    // xxhash64 signatures are engine-internal → rows-only; DedupSpec pins
+    // the kept set against components-over-expanded-pairs on plants.
+    "text_dedup_keep" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val comps = Dedup.minHashComponents(docs, "doc_id", "text", threshold = 0.4)
+      docs.join(
+        comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // Hybrid lexical+vector retrieval: BM25 pool ∪ exact-kNN pool fused
     // with Reciprocal Rank Fusion (SIGIR'09) — integer ranks and
     // fixed-order 1/(c+rank) sums make the whole fusion replayable.

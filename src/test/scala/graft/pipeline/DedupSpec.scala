@@ -186,6 +186,32 @@ class DedupSpec extends SparkSpec {
     assert(comps.select("comp").distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("minHashComponents labels match components over expanded pairs; keep = reps") {
+    // clusters: {1,2 exact, 3 near} and {7,8 exact isolated}; 4, 5 alone;
+    // {10,11} zero-shingle dups (no Jaccard evidence → NOT clustered)
+    val df = Seq(
+      (1L, base), (2L, base), (3L, near),
+      (4L, "completely different content about spark query engines and distributed joins at scale"),
+      (5L, "short text"),
+      (7L, "twin content that appears twice in the corpus with many words to shingle properly"),
+      (8L, "twin content that appears twice in the corpus with many words to shingle properly"),
+      (10L, "tiny one"), (11L, "tiny one")).toDF("doc_id", "text")
+    val comps = Dedup.minHashComponents(df, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oracle = Dedup.connectedComponents(
+      Dedup.minHashNearDuplicates(df, "doc_id", "text", threshold = 0.4),
+      "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === oracle)
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val kept = df.join(
+      Dedup.minHashComponents(df, "doc_id", "text", threshold = 0.4)
+        .filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L, 7L, 10L, 11L))
+  }
+
   test("cosine near-dup finds planted duplicate embeddings through LSH buckets") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(64)(rnd.nextFloat())

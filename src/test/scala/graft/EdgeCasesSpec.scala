@@ -102,4 +102,41 @@ class EdgeCasesSpec extends SparkSpec {
       typedLit(q), radius = 0.0).collect()
     assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L))
   }
+
+  test("components over empty pair sets are empty on both engines") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.pipeline.Dedup.connectedComponents(noPairs, "id_a", "id_b").count() === 0L)
+    assert(graft.pipeline.Dedup.connectedComponents(
+      noPairs, "id_a", "id_b", algorithm = "propagation").count() === 0L)
+    // cosineComponents over a dup-free corpus: no pairs, no self-quals → empty
+    val comps = graft.pipeline.Dedup.cosineComponents(
+      tiny, "vec_id", "embedding", 0.000001, LshParams.serving(2))
+    assert(comps.count() === 0L)
+  }
+
+  test("RRF fusion with disjoint pools keeps both sides; empty pools are empty") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((9L, 1)).toDF("doc_id", "rank")
+    val fused = graft.pipeline.HybridSearch.rrfFuse(a, b, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // both rank-1 entries tie at 1/61 (round 6), id breaks the tie
+    assert(fused.map(_._1).toSeq === Seq(1L, 9L, 2L))
+    assert(fused(0)._2 === fused(1)._2)
+    val none = Seq.empty[(Long, Int)].toDF("doc_id", "rank")
+    assert(graft.pipeline.HybridSearch.rrfFuse(none, none, "doc_id", 5).count() === 0L)
+  }
+
+  test("IVF batch search with an empty query set is empty; single query matches Ivf.search") {
+    val m = graft.index.Ivf.fitSampledCentroids(tiny, "vec_id", "embedding", nlist = 2)
+    val noQ = Seq.empty[(Long, Array[Float])].toDF("query_id", "qv")
+    assert(graft.index.Ivf.searchBatch(m, tiny, "vec_id", "embedding",
+      noQ, "query_id", "qv", k = 2, nprobe = 2).count() === 0L)
+    val oneQ = Seq((7L, q)).toDF("query_id", "qv")
+    val batch = graft.index.Ivf.searchBatch(m, tiny, "vec_id", "embedding",
+      oneQ, "query_id", "qv", k = 2, nprobe = 2)
+      .orderBy($"rank").collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist"))).toSeq
+    val single = graft.index.Ivf.search(m, tiny, "vec_id", "embedding", q, k = 2, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist"))).toSeq
+    assert(batch === single)
+  }
 }

@@ -62,6 +62,7 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
         case ("PUT", VectorId(id))                 => updateVector(ex, id)
         case ("DELETE", VectorId(id))              => deleteVector(ex, id)
         case ("POST", "/vectors/searchNearest")    => searchNearest(ex)
+        case ("GET", "/metrics")                   => metrics(ex)
         case ("DELETE", "/db/clear")               => clearVectors(ex)
         case _                                     => respond(ex, 404, None)
       }
@@ -152,6 +153,20 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
       arr.add(recordNode(r, Some(dist)))
     }
     respond(ex, 200, Some(arr))
+  }
+
+  /** GET /metrics — the OTel-export analog (VectorDatabase.cs:342-348
+    * registers an ObservableGauge + per-search activities; this serves
+    * the same signals as JSON): live vector count (observable — read on
+    * request), search span counters, and the serve-group job count. */
+  private def metrics(ex: HttpExchange): Unit = {
+    val m = db.metrics
+    val n = mapper.createObjectNode()
+    n.put("vectorCount", m.vectorCount)
+    n.put("searchCount", m.searchCount.get())
+    n.put("searchNanos", m.searchNanos.get())
+    n.put("serveJobs", m.serveJobs.get())
+    respond(ex, 200, Some(n))
   }
 
   /** DELETE /db/clear (RestServices.cs:89-92 / ClearVectors :100-110). */

@@ -402,16 +402,24 @@ object Dedup {
   def minHashComponents(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
-      maxBucket: Int = 4096, maxIter: Int = 50): DataFrame = {
-    val repPairs = minHashNearDuplicates(df, idCol, textCol, threshold,
-      shingleSize, numHashes, bands, maxBucket, expandDuplicates = false)
+      maxBucket: Int = 4096, maxIter: Int = 50,
+      repPairs0: Option[DataFrame] = None): DataFrame = {
+    // repPairs0: memoized rep-level pairs from a prior mining pass (the
+    // signature pipeline is the dominant cost — callers cache it)
+    val repPairs = repPairs0.getOrElse(
+      minHashNearDuplicates(df, idCol, textCol, threshold,
+        shingleSize, numHashes, bands, maxBucket, expandDuplicates = false))
     val repComps = connectedComponents(repPairs, "id_a", "id_b", maxIter)
     val members = memberFrame(df, idCol, col(textCol)).localCheckpoint(true)
     val groups = members.groupBy(col("_ch"))
       .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_n"))
+    // "has shingles" ⟺ token count ≥ shingleSize (shingles() is empty
+    // exactly when the text has fewer tokens than the window) — the
+    // cheap scalar form, safe for Catalyst to push to the scan, instead
+    // of constructing shingle arrays corpus-wide just to test emptiness
     val selfQual = groups.filter(col("_n") > 1 && lit(1.0) >= threshold)
       .join(df.select(col(idCol).as("_rep"),
-        when(size(shingles(col(textCol), shingleSize)) > 0, true).as("_hasSh")), "_rep")
+        (size(tokens(col(textCol))) >= shingleSize).as("_hasSh")), "_rep")
       .filter(col("_hasSh"))
       .select(col("_rep").as("id"), col("_rep").as("comp"))
     val repLabels = repComps.unionByName(

@@ -72,7 +72,8 @@ object PipelineQueries {
     // the kept set against components-over-expanded-pairs on plants.
     "text_dedup_keep" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val comps = Dedup.minHashComponents(docs, "doc_id", "text", threshold = 0.4)
+      val comps = Dedup.minHashComponents(docs, "doc_id", "text", threshold = 0.4,
+        repPairs0 = Some(minhashRepPairsFor(s, dir)))
       docs.join(
         comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
         Seq("doc_id"), "left_anti")
@@ -189,6 +190,16 @@ object PipelineQueries {
     cosineCands.computeIfAbsent(dir,
       _ => Dedup.cosineCandidateDistances(table(s, dir, "embeddings"),
         "vec_id", "embedding", IndexQueries.lshP))
+
+  /** MinHash rep-level pairs at the pipeline's 0.4 threshold, memoized
+    * per dataset (the signature/banding pass is the dominant cost of the
+    * composed text-dedup query). */
+  private val minhashPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def minhashRepPairsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    minhashPairs.computeIfAbsent(dir,
+      _ => Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.4, expandDuplicates = false).localCheckpoint(true))
 
   /** BM25 corpus stats (N, avgdl) per dataset — the `bqThresholdFor`
     * pattern (VERDICT r3 item 4). */

@@ -76,6 +76,21 @@ class VectorHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /metrics serves the gauge and search counters") {
+    val db = new NeighborlySpark(spark, 2)
+    (1 to 3).foreach(i => db.addVector(
+      graft.core.VectorRecord(s"m$i", Array(i.toFloat, 0f))))
+    val srv = new VectorHttpServer(db)
+    val base = s"http://127.0.0.1:${srv.start()}"
+    try {
+      req(base, "POST", "/vectors/searchNearest?k=2", """{"values":[0.0,0.0]}""")
+      val body = req(base, "GET", "/metrics").body()
+      assert(body.contains("\"vectorCount\":3"))
+      assert(body.contains("\"searchCount\":1"))
+      assert(body.contains("\"searchNanos\""))
+    } finally srv.stop()
+  }
+
   test("GET /vectors pages with limit/offset, id-ordered") {
     val db = new NeighborlySpark(spark, 2)
     (1 to 5).foreach(i => db.addVector(

@@ -475,6 +475,30 @@ object Dedup {
     }
   }
 
+  /** Member-level duplicate-cluster labels from REP-level SimHash pairs —
+    * same shape as [[minHashComponents]]. Isolated duplicate groups
+    * always self-qualify: identical texts share a SimHash, and Hamming 0
+    * passes every non-negative `maxHamming`. */
+  def simHashComponents(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096, maxIter: Int = 50,
+      repPairs0: Option[DataFrame] = None): DataFrame = {
+    val repPairs = repPairs0.getOrElse(
+      simHashNearDuplicates(df, idCol, textCol, maxHamming, maxBucket,
+        expandDuplicates = false))
+    val repComps = connectedComponents(repPairs, "id_a", "id_b", maxIter)
+    val members = memberFrame(df, idCol, col(textCol)).localCheckpoint(true)
+    val groups = members.groupBy(col("_ch"))
+      .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_n"))
+    val selfQual = groups.filter(col("_n") > 1)
+      .select(col("_rep").as("id"), col("_rep").as("comp"))
+    val repLabels = repComps.unionByName(
+      selfQual.join(repComps.select(col("id")), Seq("id"), "left_anti"))
+    members
+      .join(groups.select(col("_ch"), col("_rep")), "_ch")
+      .join(repLabels.select(col("id").as("_rep"), col("comp")), "_rep")
+      .select(col(idCol).as("id"), col("comp"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** The value-collapse frame for the cosine family: one representative

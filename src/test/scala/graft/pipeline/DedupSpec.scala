@@ -212,6 +212,19 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 5L, 7L, 10L, 11L))
   }
 
+  test("simHashComponents labels match components over expanded pairs") {
+    val df = ((1L to 50L).map(i => (i, base)) :+ (500L, near) :+ (600L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val comps = Dedup.simHashComponents(df, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oracle = Dedup.connectedComponents(
+      Dedup.simHashNearDuplicates(df, "doc_id", "text", maxHamming = 10),
+      "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === oracle)
+    assert(comps.size === 51 && comps.values.forall(_ === 1L)) // 50 dups + near
+  }
+
   test("cosine near-dup finds planted duplicate embeddings through LSH buckets") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(64)(rnd.nextFloat())

@@ -340,53 +340,66 @@ object Dedup {
       threshold: Double, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
       maxBucket: Int = 4096, expandDuplicates: Boolean = true,
-      logDroppedBuckets: Boolean = false): DataFrame = {
+      logDroppedBuckets: Boolean = false,
+      repPairs0: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
     val members = memberFrame(df, idCol, col(textCol))
-    val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
-    // signature path is all codegen kernels (shingle hashing + lane
-    // mixing); eligibility = at least one shingle (filter on the SHINGLE
-    // array — every signature has numHashes lanes regardless)
-    // eager localCheckpoint: the kernel pass runs ONCE for the bucket
-    // join's two sides and the expansion frames, and its blocks are freed
-    // by the ContextCleaner when unreferenced (no persist leak — r2 nit)
-    val withSig = reps
-      .select(col(idCol), col("_ch"), col("_n"),
-        ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .select(col(idCol), col("_ch"), col("_n"), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
-      .localCheckpoint(true)
-    val banded = withSig.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    logDrops("minhash", banded, Seq("band", "bucket"), idCol, maxBucket, logDroppedBuckets)
-    val capped = capBuckets(banded, Seq("band", "bucket"), idCol, maxBucket)
-    val candidates = capped.join(
-        capped.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
-      .filter(col(idCol) < col("_id_b"))
-      .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // exact-Jaccard verify: carry raw texts through the joins and shingle
-    // AFTER them, so the (non-codegen) shingle HOFs run only on the few
-    // candidate rows, not the whole corpus
-    val texts = df.select(col(idCol), col(textCol))
-    val repPairs = candidates
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_t_a")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_t_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(shingles(col("_t_a"), shingleSize),
-          shingles(col("_t_b"), shingleSize)), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // repPairs0 skips the signature pipeline entirely (callers memoize
+    // rep-level pairs per corpus — the kernels are the dominant cost)
+    val repPairs = repPairs0.getOrElse {
+      val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
+      // signature path is all codegen kernels (shingle hashing + lane
+      // mixing); eligibility = at least one shingle (filter on the SHINGLE
+      // array — every signature has numHashes lanes regardless)
+      // eager localCheckpoint: the kernel pass runs ONCE for the bucket
+      // join's two sides, and its blocks are freed by the ContextCleaner
+      // when unreferenced (no persist leak — r2 nit)
+      val withSig = reps
+        .select(col(idCol), col("_ch"), col("_n"),
+          ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
+        .filter(size(col("_sh")) > 0)
+        .select(col(idCol), col("_ch"), col("_n"), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
+        .localCheckpoint(true)
+      val banded = withSig.select(
+        col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      logDrops("minhash", banded, Seq("band", "bucket"), idCol, maxBucket, logDroppedBuckets)
+      val capped = capBuckets(banded, Seq("band", "bucket"), idCol, maxBucket)
+      val candidates = capped.join(
+          capped.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
+        .filter(col(idCol) < col("_id_b"))
+        .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      // exact-Jaccard verify: carry raw texts through the joins and shingle
+      // AFTER them, so the (non-codegen) shingle HOFs run only on the few
+      // candidate rows, not the whole corpus
+      val texts = df.select(col(idCol), col(textCol))
+      candidates
+        .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_t_a")), "id_a")
+        .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_t_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(jaccard(shingles(col("_t_a"), shingleSize),
+            shingles(col("_t_b"), shingleSize)), 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
     if (!expandDuplicates) repPairs
     else {
-      val repCh = withSig.select(col(idCol), col("_ch"))
-      // identical texts with shingles: Jaccard(t, t) is exactly 1.0
-      val groupValues = withSig.filter(col("_n") > 1)
+      // expansion frames derive from the cheap md5 collapse, never the
+      // signature pipeline: pairs reference only shingled reps by
+      // construction, and an isolated dup group qualifies iff its text
+      // has shingles (token count ≥ window — the scalar form) with
+      // Jaccard(t, t) = 1.0 admitted by the threshold
+      val groups = members.groupBy(col("_ch"))
+        .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_n"))
+      val repCh = groups.select(col(idCol), col("_ch"))
+      val groupValues = groups.filter(col("_n") > 1 && lit(1.0) >= threshold)
+        .join(df.select(col(idCol),
+          (size(tokens(col(textCol))) >= shingleSize).as("_hasSh")), idCol)
+        .filter(col("_hasSh"))
         .select(col("_ch"), lit(1.0).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
       expandCross(repPairs, repCh, members, idCol, Seq("jaccard"))
         .unionByName(expandIntra(groupValues, members, idCol, Seq("jaccard")))
     }

@@ -48,9 +48,11 @@ object PipelineQueries {
 
     // MinHash-LSH near-dup pairs (bucketed; xxhash64 signatures are
     // engine-internal → rows-only oracle; DedupSpec plants duplicates).
+    // Rep-level mining is the memoized per-corpus artifact; the call
+    // only re-runs the member expansion.
     "minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.4)),
+        threshold = 0.4, repPairs0 = Some(minhashRepPairsFor(s, dir)))),
 
     // SimHash near-dup pairs (16-bit-word buckets, Hamming verify).
     "simhash_neardup" -> ((s, dir) =>

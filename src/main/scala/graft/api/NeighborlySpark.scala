@@ -61,8 +61,28 @@ object SearchAlgorithm extends Enumeration {
   * pipelines unchanged.
   */
 class NeighborlySpark(val spark: SparkSession, val dimension: Int,
-    val embeddingProvider: EmbeddingProvider = HashEmbeddingProvider(),
+    initialEmbeddingProvider: EmbeddingProvider = HashEmbeddingProvider(),
     val checkpointEvery: Int = 32) {
+
+  private var provider: EmbeddingProvider = initialEmbeddingProvider
+
+  /** The active text-embedding provider (EmbeddingGenerationInfo analog). */
+  def embeddingProvider: EmbeddingProvider = provider
+
+  /** SetEmbeddingGenerationInfo parity (VectorDatabase.cs:166-174):
+    * swap the provider used by text search and vector generation. */
+  def setEmbeddingProvider(p: EmbeddingProvider): Unit = { provider = p }
+
+  /** GenerateVector parity (VectorDatabase.cs:176-190): embed a text into
+    * a record carrying it as `original_text` — NOT added to the table,
+    * exactly like the reference's factory verb. */
+  def generateVector(originalText: String): VectorRecord = {
+    require(originalText != null && originalText.nonEmpty, "Original text cannot be null or empty")
+    VectorRecord("", provider.embed(originalText), original_text = originalText)
+  }
+
+  /** IsReadOnly parity (VectorDatabase.cs:134). */
+  def isReadOnly: Boolean = false
 
   val tags: TagDictionary = TagDictionary.empty
 
@@ -115,11 +135,17 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   }
 
   private var mutations = 0
+  private var unsaved = false
+
+  /** HasUnsavedChanges parity (VectorDatabase.cs:153): true after any
+    * mutation since the last save/load. */
+  def hasUnsavedChanges: Boolean = unsaved
 
   /** Plan-growth guard: after `checkpointEvery` point mutations, replace
     * the ever-growing union/filter lineage with its materialized result. */
   private def noteMutation(): Unit = {
     mutations += 1
+    unsaved = true
     invalidateLocalIndexes()
     if (checkpointEvery > 0 && mutations % checkpointEvery == 0)
       df = df.localCheckpoint(true)
@@ -144,6 +170,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   def addVectors(rows: DataFrame): Unit = {
     VectorSchema.validateDimension(rows, "values", dimension)
     df = df.unionByName(rows.select(VectorSchema.schema.fieldNames.map(col): _*))
+    unsaved = true
     invalidateLocalIndexes()
   }
 
@@ -180,6 +207,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   def clear(): Unit = {
     df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
     mutations = 0
+    unsaved = true
     invalidateLocalIndexes()
   }
 
@@ -336,6 +364,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       graft.index.IndexStore.saveHnsw(spark, li.hnsw, s"$path/indexes")
       li.mapping.write.mode("overwrite").parquet(s"$path/indexes/sid_mapping")
     }
+    unsaved = false
   }
 
   /** LoadAsync analog: restores table + tag dictionary. */
@@ -356,6 +385,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
         graft.index.IndexStore.loadLocalAnn(spark, s"$path/indexes"),
         graft.index.IndexStore.loadHnsw(spark, s"$path/indexes")))
       catch { case _: Exception => None }
+    unsaved = false
   }
 
   /** ETL import (VectorDatabase.cs:747-771): attributes default, matching

@@ -173,6 +173,35 @@ class NeighborlySparkSpec extends SparkSpec {
     assert(reloaded === served)
   }
 
+  test("state verbs: hasUnsavedChanges tracks mutations vs save/load; generateVector embeds without adding") {
+    val d = db()
+    assert(!d.isReadOnly)
+    assert(d.hasUnsavedChanges) // db() fixture added vectors
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_facade_dirty"
+    d.save(path)
+    assert(!d.hasUnsavedChanges)
+    d.addVector(graft.core.VectorRecord("dirty", Array(1f, 1f, 1f, 1f)))
+    assert(d.hasUnsavedChanges)
+    val d2 = new NeighborlySpark(spark, 4)
+    d2.load(path)
+    assert(!d2.hasUnsavedChanges)
+    // GenerateVector: embeds the text, carries it, does NOT grow the table
+    val before = d2.count
+    val gen = d2.generateVector("some text")
+    // the provider's dimension governs generation (reference: the
+    // embedding generator, not the table, sizes the vector)
+    assert(gen.values.length === d2.embeddingProvider.dimension)
+    assert(gen.original_text === "some text")
+    assert(d2.count === before)
+    intercept[IllegalArgumentException](d2.generateVector(""))
+    // provider swap: subsequent generation uses the new provider
+    d2.setEmbeddingProvider(new graft.ops.EmbeddingProvider {
+      def dimension: Int = 4
+      def embed(text: String): Array[Float] = Array.fill(4)(9f)
+    })
+    assert(d2.generateVector("x").values.toSeq === Seq(9f, 9f, 9f, 9f))
+  }
+
   test("tag dictionary: normalization, dedup, -1 for missing (VectorTags.cs:26-66)") {
     val t = TagDictionary.empty
     assert(t.add("  Foo ") === 1.toShort)

@@ -33,6 +33,50 @@ case class VectorRecord(
     * `ToCompressedBinary`, fpzip-backed there; byte-stream-split +
     * Deflate here — see graft.io.VectorCompression). */
   def toCompressedBinary: Array[Byte] = graft.io.VectorCompression.compress(values)
+
+  // Record-level verbs (Vector.cs:185-325) — driver-side conveniences
+  // with the SAME numerics as the codegen column kernels (double
+  // accumulate, sequential fold), so record math agrees with plan math.
+
+  /** Vector.cs:185 `Dimension`. */
+  def dimension: Int = values.length
+
+  /** Vector.cs:261 indexer. */
+  def apply(i: Int): Float = values(i)
+
+  /** Vector.cs:270 `Magnitude` (L2 norm). */
+  def magnitude: Double = {
+    var s = 0.0; var i = 0
+    while (i < values.length) { val d = values(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Vector.cs:194 `Distance` (euclidean default; pairwise-min length,
+    * matching the reference's pairwise dimension handling). */
+  def distance(other: VectorRecord): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(values.length, other.values.length)
+    while (i < n) { val d = values(i).toDouble - other.values(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  private def zipNew(other: VectorRecord, f: (Float, Float) => Float): VectorRecord = {
+    require(values.length == other.values.length,
+      s"dimension ${other.values.length} != $dimension")
+    VectorRecord("", Array.tabulate(values.length)(i => f(values(i), other.values(i))))
+  }
+
+  /** Vector.cs:209 `operator +`: fresh record, like the reference. */
+  def +(other: VectorRecord): VectorRecord = zipNew(other, _ + _)
+
+  /** Vector.cs:244 `operator -`. */
+  def -(other: VectorRecord): VectorRecord = zipNew(other, _ - _)
+
+  /** Vector.cs:227 `operator /` by an integer count (centroid step). */
+  def /(n: Int): VectorRecord = {
+    require(n != 0, "division by zero")
+    VectorRecord("", values.map(_ / n))
+  }
 }
 
 object VectorRecord {

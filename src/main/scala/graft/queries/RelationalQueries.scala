@@ -172,6 +172,12 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))),
 
+    // CUBE: all grouping-set combinations in one aggregate pass.
+    "q_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))),
+
     // PIVOT: one column per event type (explicit value list keeps the plan
     // a single aggregate — no distinct-values pre-pass at scale).
     "q_pivot" -> ((s, dir) =>
@@ -225,6 +231,17 @@ object RelationalQueries {
       eventsTable(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
+    // Approximate quantile sketch (the one-pass bounded-memory quantile
+    // path for 100 TB — exact percentile needs a per-group sort).
+    // Engine-internal sketch → rows-only; the spec pins the error
+    // envelope vs exact percentiles.
+    "q_approx_percentile" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_approx"))),
 
     // Semi-structured JSON column: extract a typed field from the props
     // payload and aggregate on it (get_json_object ↔ json_extract).
@@ -360,6 +377,11 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

@@ -30,4 +30,22 @@ class SkewSpec extends SparkSpec {
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("approx quantile sketch stays within 2% of exact percentiles per group") {
+    val e = graft.queries.eventsTable(spark, "/root/testdata/sf0.01")
+    val rows = e.groupBy($"event_type")
+      .agg(
+        percentile($"value", lit(0.5)).as("exact50"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("approx50"),
+        percentile($"value", lit(0.95)).as("exact95"),
+        percentile_approx($"value", lit(0.95), lit(10000)).as("approx95"))
+      .collect()
+    rows.foreach { r =>
+      Seq(("p50", r.getDouble(1), r.getDouble(2)), ("p95", r.getDouble(3), r.getDouble(4)))
+        .foreach { case (name, exact, approx) =>
+          assert(math.abs(approx - exact) <= math.max(0.02 * math.abs(exact), 1e-9),
+            s"${r.getString(0)} $name: approx $approx vs exact $exact")
+        }
+    }
+  }
 }

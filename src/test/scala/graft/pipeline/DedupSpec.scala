@@ -212,6 +212,35 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 5L, 7L, 10L, 11L))
   }
 
+  test("stars equals propagation equals union-find on random graphs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 300
+      val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("id_a", "id_b")
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = nodes.map(v => v -> {
+        // component label = min node id reachable = min over members of root's tree
+        val root = find(v.toInt)
+        nodes.filter(u => find(u.toInt) == root).min
+      }).toMap
+      val stars = Dedup.connectedComponents(df, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.connectedComponents(df, "id_a", "id_b", algorithm = "propagation")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars === truth, s"stars diverged from union-find on trial $trial")
+      assert(prop === truth, s"propagation diverged from union-find on trial $trial")
+    }
+  }
+
   test("simHashComponents labels match components over expanded pairs") {
     val df = ((1L to 50L).map(i => (i, base)) :+ (500L, near) :+ (600L, "unrelated words entirely"))
       .toDF("doc_id", "text")

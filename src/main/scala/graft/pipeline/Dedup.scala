@@ -457,31 +457,39 @@ object Dedup {
   def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096,
       expandDuplicates: Boolean = true,
-      logDroppedBuckets: Boolean = false): DataFrame = {
+      logDroppedBuckets: Boolean = false,
+      repPairs0: Option[DataFrame] = None): DataFrame = {
     val members = memberFrame(df, idCol, col(textCol))
-    val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
-    // eager localCheckpoint: one kernel pass feeds both join sides + the
-    // expansion frames; blocks are ContextCleaner-freed when unreferenced
-    val hashed = reps.select(col(idCol), col("_ch"), col("_n"), simHash(col(textCol)).as("sh64"))
-      .localCheckpoint(true)
-    val words = array((0 until 4).map(w =>
-      shiftrightunsigned(col("sh64"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val banded = hashed.select(col(idCol), col("sh64"), posexplode(words))
-      .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
-    logDrops("simhash", banded, Seq("word", "bucket"), idCol, maxBucket, logDroppedBuckets)
-    val capped = capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
-    val left = capped.select(col("word"), col("bucket"), col(idCol).as("id_a"), col("sh64").as("ha"))
-    val right = capped.select(col("word"), col("bucket"), col(idCol).as("id_b"), col("sh64").as("hb"))
-    val repPairs = left.join(right, Seq("word", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Distances.hammingPacked(array(col("ha")), array(col("hb"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
+    // repPairs0 skips the hashing/banding pipeline (memoizable artifact)
+    val repPairs = repPairs0.getOrElse {
+      val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
+      // eager localCheckpoint: one kernel pass feeds both join sides;
+      // blocks are ContextCleaner-freed when unreferenced
+      val hashed = reps.select(col(idCol), col("_n"), simHash(col(textCol)).as("sh64"))
+        .localCheckpoint(true)
+      val words = array((0 until 4).map(w =>
+        shiftrightunsigned(col("sh64"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      val banded = hashed.select(col(idCol), col("sh64"), posexplode(words))
+        .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
+      logDrops("simhash", banded, Seq("word", "bucket"), idCol, maxBucket, logDroppedBuckets)
+      val capped = capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
+      val left = capped.select(col("word"), col("bucket"), col(idCol).as("id_a"), col("sh64").as("ha"))
+      val right = capped.select(col("word"), col("bucket"), col(idCol).as("id_b"), col("sh64").as("hb"))
+      left.join(right, Seq("word", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Distances.hammingPacked(array(col("ha")), array(col("hb"))).as("hamming"))
+        .dropDuplicates("id_a", "id_b")
+        .filter(col("hamming") <= maxHamming)
+    }
     if (!expandDuplicates) repPairs
     else {
-      val repCh = hashed.select(col(idCol), col("_ch"))
-      val groupValues = hashed.filter(col("_n") > 1)
+      // expansion from the md5 collapse (identical texts share a SimHash:
+      // intra-group Hamming is exactly 0, admitted by any maxHamming ≥ 0)
+      val groups = members.groupBy(col("_ch"))
+        .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_n"))
+      val repCh = groups.select(col(idCol), col("_ch"))
+      val groupValues = groups.filter(col("_n") > 1)
         .select(col("_ch"), lit(0L).as("hamming"))
       expandCross(repPairs, repCh, members, idCol, Seq("hamming"))
         .unionByName(expandIntra(groupValues, members, idCol, Seq("hamming")))

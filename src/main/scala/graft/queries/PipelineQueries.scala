@@ -54,10 +54,11 @@ object PipelineQueries {
       Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
         threshold = 0.4, repPairs0 = Some(minhashRepPairsFor(s, dir)))),
 
-    // SimHash near-dup pairs (16-bit-word buckets, Hamming verify).
+    // SimHash near-dup pairs (16-bit-word buckets, Hamming verify);
+    // rep-level mining memoized per corpus like the MinHash family.
     "simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 10)),
+        maxHamming = 10, repPairs0 = Some(simhashRepPairsFor(s, dir)))),
 
     // BM25 lexical ranking for a fixed 3-term query: rounded idf + a
     // fixed-order per-term fold keep the score bit-stable, so the oracle
@@ -202,6 +203,15 @@ object PipelineQueries {
     minhashPairs.computeIfAbsent(dir,
       _ => Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
         threshold = 0.4, expandDuplicates = false).localCheckpoint(true))
+
+  /** SimHash rep-level pairs at the pipeline's Hamming-10 bound,
+    * memoized per dataset. */
+  private val simhashPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def simhashRepPairsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    simhashPairs.computeIfAbsent(dir,
+      _ => Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 10, expandDuplicates = false).localCheckpoint(true))
 
   /** BM25 corpus stats (N, avgdl) per dataset — the `bqThresholdFor`
     * pattern (VERDICT r3 item 4). */

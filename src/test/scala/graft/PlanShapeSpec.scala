@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression guards: the build brief's discipline is that
+  * each operator's PHYSICAL plan is the one you'd want at 100 TB — these
+  * pin the load-bearing shapes (pushdown, broadcast choice, bounded
+  * top-k, partial aggregation) so a refactor that silently degrades a
+  * plan fails CI instead of showing up as bench drift.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3_shipping: filters pushed to the parquet scan, dims broadcast, no cartesian") {
+    val p = plan("q3_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull"), "scan filters must push down")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5_join: the 6-way join is broadcast-heavy with a single fact-side shuffle family") {
+    val p = plan("q5_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >= 4 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("exact kNN compiles to TakeOrderedAndProject (bounded heap, no full sort)") {
+    val p = plan("knn_euclidean")
+    assert(p.contains("TakeOrderedAndProject"), s"want bounded top-k, got:\n${p.take(800)}")
+    assert(!p.contains("GlobalSort") && !p.contains("Sort ["))
+  }
+
+  test("batch kNN partial-aggregates the bounded heap before its single shuffle") {
+    val p = plan("knn_batch_100")
+    assert(p.contains("ObjectHashAggregate"), "TopKAgg must run as a partial-aggregable UDAF")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the query set must broadcast against the table")
+  }
+
+  test("ivf_knn_batch: probe pairs broadcast, per-query top-k partial-aggregated") {
+    val p = plan("ivf_knn_batch")
+    assert(p.contains("BroadcastExchange"), "probe pairs must broadcast")
+    assert(p.contains("ObjectHashAggregate"), "per-query top-k must partial-aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("point lookup pushes the id predicate into the scan") {
+    val p = plan("q_point_lookup")
+    assert(p.contains("PushedFilters:") && (p.contains("EqualTo") || p.contains("In(")),
+      s"point predicate must reach parquet, got:\n${p.take(800)}")
+  }
+}

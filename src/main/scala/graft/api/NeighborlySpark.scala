@@ -105,6 +105,17 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       ann: org.apache.spark.rdd.RDD[graft.index.LocalNormIndex],
       hnsw: org.apache.spark.rdd.RDD[graft.index.HnswGraph])
   private var localIdx: Option[LocalIdx] = None
+  private var cachedDf: Option[DataFrame] = None
+
+  /** Dispose parity (VectorDatabase.cs:837): detach the metrics listener
+    * and release every block this facade owns (cached table, local
+    * indexes). The SparkSession itself is caller-owned. */
+  def close(): Unit = {
+    spark.sparkContext.removeSparkListener(metrics)
+    invalidateLocalIndexes()
+    cachedDf.foreach(_.unpersist(false))
+    cachedDf = None
+  }
 
   private def invalidateLocalIndexes(): Unit = {
     localIdx.foreach { li =>
@@ -331,7 +342,12 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * LSH projections are pure functions of (dim, seed) and need no
     * fitting. */
   def buildAllIndexes(): Unit = {
+    // cache ownership: exactly one facade-cached frame at a time — the
+    // previous build's CacheManager entry is released before the new one
+    // registers (persist without a paired unpersist pins blocks forever)
+    cachedDf.foreach(_.unpersist(false))
     df = df.cache()
+    cachedDf = Some(df)
     bqThreshold = Some(BqIndex.globalMean(df, "values"))
     pqModel = Some(PqIndex.fit(df, "values"))
     invalidateLocalIndexes()

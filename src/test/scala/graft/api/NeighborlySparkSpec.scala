@@ -202,6 +202,18 @@ class NeighborlySparkSpec extends SparkSpec {
     assert(d2.generateVector("x").values.toSeq === Seq(9f, 9f, 9f, 9f))
   }
 
+  test("close() releases the facade's blocks and detaches the listener (Dispose parity)") {
+    val d = db()
+    d.buildAllIndexes()
+    d.buildAllIndexes() // second build must not leak the first cache entry
+    assert(d.vectors.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+    d.close()
+    // this facade's plan is no longer cached; searches still work
+    assert(d.vectors.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "close() must release the facade's CacheManager entry")
+    assert(d.search(Array(0f, 0f, 0f, 0f), 1, SearchAlgorithm.Linear, 100.0).count() === 1)
+  }
+
   test("tag dictionary: normalization, dedup, -1 for missing (VectorTags.cs:26-66)") {
     val t = TagDictionary.empty
     assert(t.add("  Foo ") === 1.toShort)

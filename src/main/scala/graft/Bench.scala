@@ -30,8 +30,8 @@ object Bench {
       // measurement hygiene: drain the previous query's dead checkpoint /
       // shuffle blocks (ContextCleaner frees them only after a driver GC
       // notices the dropped references) so each query is timed against a
-      // clean block manager, not its predecessor's garbage — r3's bench
-      // showed unrelated 2-3× smears from exactly this coupling
+      // clean block manager, not its predecessor's garbage — the prime
+      // suspect for r3's unreproducible 2-3× smears on unrelated queries
       System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -140,7 +140,8 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * span metrics, a Spark-listener job counter for the serving path, and
     * an observable vector-count gauge reading the LIVE table. */
   val metrics: NeighborlyMetrics = {
-    val m = new NeighborlyMetrics(() => count)
+    val m = new NeighborlyMetrics(() => count,
+      s"${NeighborlyMetrics.ServeGroup}/${Integer.toHexString(System.identityHashCode(this))}")
     spark.sparkContext.addSparkListener(m)
     m
   }
@@ -268,9 +269,12 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   def searchRecords(query: Array[Float], k: Int,
       algorithm: SearchAlgorithm.Value = SearchAlgorithm.KDTree,
       similarityThreshold: Double = 0.5): Seq[(VectorRecord, Double)] = metrics.timed {
-    val hits = search(query, k, algorithm, similarityThreshold)
-    spark.sparkContext.setJobGroup(NeighborlyMetrics.ServeGroup, s"searchRecords(k=$k, $algorithm)")
+    // the job group wraps the WHOLE serving path: warm local-index
+    // dispatches run their Spark jobs eagerly inside search(), and those
+    // are exactly the jobs the no-N+1 counter must see
+    spark.sparkContext.setJobGroup(metrics.serveGroup, s"searchRecords(k=$k, $algorithm)")
     try {
+      val hits = search(query, k, algorithm, similarityThreshold)
       df.join(broadcast(hits.select(col("id"), col("dist"))), "id")
         .collect()
         .map(r => (rowToRecord(r), r.getAs[Double]("dist")))
@@ -351,11 +355,19 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     bqThreshold = Some(BqIndex.globalMean(df, "values"))
     pqModel = Some(PqIndex.fit(df, "values"))
     invalidateLocalIndexes()
-    val keyed = df.select(xxhash64(col("id")).as("_sid"), col("id"), col("values"))
-    val counts = keyed.agg(countDistinct(col("_sid")).as("d"),
-      org.apache.spark.sql.functions.count(lit(1)).as("n")).head()
-    if (counts.getLong(1) > 0 && counts.getLong(0) == counts.getLong(1)) {
-      val mapping = keyed.select(col("_sid"), col("id")).localCheckpoint(true)
+    if (df.limit(1).count() > 0) {
+      // ORDER-PRESERVING surrogate: the long key is the dense rank of the
+      // string id (a distributed sort of ids only), so (dist, _sid)
+      // tie-breaks inside the local indexes agree EXACTLY with the scan
+      // path's (dist, id) ordering — a hashed surrogate would cut ties at
+      // the k boundary differently. Collision-free by construction.
+      val ranked = df.select(col("id")).orderBy(col("id")).rdd
+        .map(_.getString(0)).zipWithIndex()
+        .map { case (id, i) => (i, id) }
+      val mapping = spark.createDataFrame(ranked).toDF("_sid", "id")
+        .localCheckpoint(true)
+      val keyed = df.select(col("id"), col("values")).join(mapping, "id")
+        .select(col("_sid"), col("id"), col("values"))
       val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
       localIdx = Some(LocalIdx(mapping,
         graft.index.LocalAnn.build(keyed, "_sid", "values"),
@@ -375,10 +387,20 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     // per-partition blob parquet)
     bqThreshold.foreach(t => graft.index.IndexStore.saveBqThreshold(spark, t, s"$path/indexes"))
     pqModel.foreach(m => graft.index.IndexStore.savePq(spark, m, s"$path/indexes"))
-    localIdx.foreach { li =>
-      graft.index.IndexStore.saveLocalAnn(spark, li.ann, s"$path/indexes")
-      graft.index.IndexStore.saveHnsw(spark, li.hnsw, s"$path/indexes")
-      li.mapping.write.mode("overwrite").parquet(s"$path/indexes/sid_mapping")
+    localIdx match {
+      case Some(li) =>
+        graft.index.IndexStore.saveLocalAnn(spark, li.ann, s"$path/indexes")
+        graft.index.IndexStore.saveHnsw(spark, li.hnsw, s"$path/indexes")
+        li.mapping.write.mode("overwrite").parquet(s"$path/indexes/sid_mapping")
+      case None =>
+        // no live local index: REMOVE any local-index dirs a previous save
+        // left at this path — otherwise a later load would resurrect
+        // graphs built over an outdated vector set and serve deleted ids
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        Seq("local_ann", "hnsw", "sid_mapping").foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/indexes/$d"), true)
+        }
     }
     unsaved = false
   }

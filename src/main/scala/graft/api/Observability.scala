@@ -19,7 +19,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *    counter the serving spec pins the no-N+1 contract on: a k-row
   *    search answers in O(1) jobs, not O(k).
   */
-class NeighborlyMetrics(gauge: () => Long) extends SparkListener {
+class NeighborlyMetrics(gauge: () => Long,
+    val serveGroup: String = NeighborlyMetrics.ServeGroup) extends SparkListener {
 
   val searchCount = new AtomicLong
   val searchNanos = new AtomicLong
@@ -30,7 +31,7 @@ class NeighborlyMetrics(gauge: () => Long) extends SparkListener {
 
   override def onJobStart(jobStart: SparkListenerJobStart): Unit =
     if (Option(jobStart.properties).exists(p =>
-        NeighborlyMetrics.ServeGroup == p.getProperty("spark.jobGroup.id")))
+        serveGroup == p.getProperty("spark.jobGroup.id")))
       serveJobs.incrementAndGet()
 
   /** Span analog: time one search dispatch. */
@@ -45,6 +46,8 @@ class NeighborlyMetrics(gauge: () => Long) extends SparkListener {
 }
 
 object NeighborlyMetrics {
-  /** Job group tagging every serving-path Spark job. */
+  /** Job-group prefix for serving-path Spark jobs; each facade instance
+    * appends its identity so co-resident facades count only their own
+    * requests. */
   val ServeGroup = "graft.serve"
 }

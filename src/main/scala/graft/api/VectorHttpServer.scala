@@ -91,12 +91,13 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
     val params = queryParams(ex)
     val limit = params.get("limit").map(_.toInt)
     val offset = params.get("offset").map(_.toInt).getOrElse(0)
-    val frame = limit match {
-      case Some(n) =>
-        require(n >= 0 && offset >= 0, "limit/offset must be non-negative")
-        db.vectors.orderBy(org.apache.spark.sql.functions.col("id")).offset(offset).limit(n)
-      case None => db.vectors
-    }
+    // either param activates paging (an offset without a limit pages to
+    // the end — never silently ignored)
+    val frame = if (limit.isDefined || offset > 0) {
+      require(limit.forall(_ >= 0) && offset >= 0, "limit/offset must be non-negative")
+      db.vectors.orderBy(org.apache.spark.sql.functions.col("id"))
+        .offset(offset).limit(limit.getOrElse(Int.MaxValue))
+    } else db.vectors
     val arr = mapper.createArrayNode()
     frame.collect().foreach { r =>
       arr.add(recordNode(VectorHttpServer.rowToRecord(r), None))

@@ -52,12 +52,16 @@ object IndexStore {
   }
 
   /** Reload: one index object per partition, persisted deserialized like
-    * a fresh build. */
+    * a fresh build. Saved part_ids can be sparse (empty build partitions
+    * emit no blob), so assignment uses a DENSE re-rank of the rows —
+    * exactly one blob per loaded partition, no hash collisions. */
   private def loadLocalIndex[T: scala.reflect.ClassTag](spark: SparkSession, dir: String): RDD[T] = {
     val df = spark.read.parquet(dir)
     val n = math.max(1, df.count().toInt)
     val rdd = df.rdd
-      .map(r => (r.getAs[Int]("part_id"), r.getAs[Array[Byte]]("blob")))
+      .map(r => r.getAs[Array[Byte]]("blob"))
+      .zipWithIndex()
+      .map { case (blob, i) => (i.toInt, blob) }
       .partitionBy(new HashPartitioner(n))
       .map(kv => javaDeser(kv._2).asInstanceOf[T])
     rdd.persist(StorageLevel.MEMORY_ONLY)

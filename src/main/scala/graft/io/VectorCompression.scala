@@ -46,6 +46,8 @@ object VectorCompression {
     require(data.length >= 4, "compressed vector payload too short")
     val n = ((data(0) & 0xFF) << 24) | ((data(1) & 0xFF) << 16) |
       ((data(2) & 0xFF) << 8) | (data(3) & 0xFF)
+    require(n >= 0 && n <= (Int.MaxValue >> 2),
+      s"corrupt compressed vector header (declared length $n)")
     val inflater = new java.util.zip.Inflater()
     val in = new java.util.zip.InflaterInputStream(
       new java.io.ByteArrayInputStream(data, 4, data.length - 4), inflater, 8192)

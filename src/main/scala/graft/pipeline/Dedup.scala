@@ -248,10 +248,19 @@ object Dedup {
     }
     lastComponentRounds = i
     org.apache.spark.sql.graft.bridge.freeCheckpoint(p)
-    // star forest: every src hangs off its component minimum; roots
-    // appear only as dst
-    edges.select(col("src").as("id"), col("dst").as("comp"))
-      .unionByName(edges.select(col("dst").as("id"), col("dst").as("comp")).distinct())
+    // label derivation that is exact at the fixpoint (star forest: each
+    // src has ONE dst = its component minimum; roots appear only as dst)
+    // and still yields ONE best-so-far label per node if maxIter
+    // truncated the iteration mid-flight (min parent per node, self for
+    // roots) — matching the propagation engine's truncation behavior
+    // instead of emitting conflicting raw edges as labels
+    val mins = edges.groupBy(col("src")).agg(min(col("dst")).as("comp"))
+      .withColumnRenamed("src", "id")
+    edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+      .join(mins, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Min-label propagation (the r3 engine). */

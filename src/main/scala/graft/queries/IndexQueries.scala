@@ -152,14 +152,15 @@ object IndexQueries {
     pqModels.computeIfAbsent(dir,
       _ => ProductQuantization.fit(table(s, dir, "embeddings"), "embedding"))
 
+  // persisted-RDD caches are session-scoped (blocks die with the context)
   private val localAnnIdx = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.rdd.RDD[LocalNormIndex]]()
   private def localAnnFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    localAnnIdx.computeIfAbsent(dir,
+    localAnnIdx.computeIfAbsent(sessionKey(s, dir),
       _ => LocalAnn.build(table(s, dir, "embeddings"), "vec_id", "embedding"))
 
   private val hnswIdx = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.rdd.RDD[HnswGraph]]()
   private def hnswFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    hnswIdx.computeIfAbsent(dir, _ => LocalHnsw.build(
+    hnswIdx.computeIfAbsent(sessionKey(s, dir), _ => LocalHnsw.build(
       table(s, dir, "embeddings").repartition(4, col("vec_id")), "vec_id", "embedding"))
 
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()

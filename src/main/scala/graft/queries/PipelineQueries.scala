@@ -190,7 +190,7 @@ object PipelineQueries {
   private val cosineCands =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def cosineCandsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    cosineCands.computeIfAbsent(dir,
+    cosineCands.computeIfAbsent(sessionKey(s, dir),
       _ => Dedup.cosineCandidateDistances(table(s, dir, "embeddings"),
         "vec_id", "embedding", IndexQueries.lshP))
 
@@ -200,7 +200,7 @@ object PipelineQueries {
   private val minhashPairs =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def minhashRepPairsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    minhashPairs.computeIfAbsent(dir,
+    minhashPairs.computeIfAbsent(sessionKey(s, dir),
       _ => Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
         threshold = 0.4, expandDuplicates = false).localCheckpoint(true))
 
@@ -209,7 +209,7 @@ object PipelineQueries {
   private val simhashPairs =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def simhashRepPairsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    simhashPairs.computeIfAbsent(dir,
+    simhashPairs.computeIfAbsent(sessionKey(s, dir),
       _ => Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
         maxHamming = 10, expandDuplicates = false).localCheckpoint(true))
 

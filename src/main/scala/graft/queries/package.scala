@@ -10,6 +10,14 @@ package object queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Cache key for memoized Spark-resident artifacts (checkpointed
+    * frames, persisted index RDDs): scoped to the owning SparkContext so
+    * a restarted session in the same JVM never receives frames whose
+    * blocks belong to a stopped context. Pure values (fitted model
+    * parameters, corpus stats) may key by dir alone. */
+  def sessionKey(s: SparkSession, dir: String): String =
+    s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}|$dir"
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark reads as a
     * nanos-since-epoch BIGINT under spark.sql.legacy.parquet.nanosAsLong
     * (set in every session builder here). Normalize to a micros timestamp;

@@ -184,13 +184,31 @@ object Multimodal {
       MediaFeatures(r.doc_id, r.kind, decode(r.kind, r.media, dim))))(
       Encoders.product[MediaFeatures])
 
-  /** STUB resize: truncates/pads the payload to the target pixel count and
-    * rewrites the metadata — the plumbing of a real resize. */
+  /** Resize: payloads that decode as real images (PNG/JPEG/GIF/BMP magic
+    * + imageio) are ACTUALLY resampled — Java2D bilinear draw into a
+    * w×h RGB canvas, re-encoded as PNG (deterministic for a given JDK);
+    * everything else keeps the stub plumbing (truncate/pad to the target
+    * pixel count) so the batch shape is uniform. Runs mapPartitions, no
+    * shuffle, partitioning preserved. */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] =
     media.mapPartitions(_.map { r =>
-      val target = w * h
-      val resized = java.util.Arrays.copyOf(r.media, target)
-      r.copy(media = resized, width = w, height = h)
+      decodeImage(r.media) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(media = bos.toByteArray, width = w, height = h)
+        case None =>
+          val resized = java.util.Arrays.copyOf(r.media, w * h)
+          r.copy(media = resized, width = w, height = h)
+      }
     })(Encoders.product[MediaRecord])
 
   /** STUB frame sampling: every `stride`-th 64-byte slice of the payload

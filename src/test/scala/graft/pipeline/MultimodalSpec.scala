@@ -95,9 +95,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.features.toSeq === Multimodal.stubDecode(junk, 16).toSeq)
   }
 
-  test("resize rewrites payload size and metadata") {
+  test("resize rewrites payload size and metadata (stub path for synthetic payloads)") {
     val out = Multimodal.resize(media, 32, 32).collect()
     assert(out.forall(r => r.media.length === 32 * 32 && r.width === 32 && r.height === 32))
+  }
+
+  test("resize REALLY resamples decodable images (bilinear, PNG re-encode)") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF)
+    img.setRGB(0, 1, 0xFF0000); img.setRGB(1, 1, 0x0000FF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val ds = Seq(Multimodal.MediaRecord(1L, "image", baos.toByteArray, 2, 2, 0)).toDS()
+    val out = Multimodal.resize(ds, 8, 6).head()
+    assert(out.width === 8 && out.height === 6)
+    val back = Multimodal.decodeImage(out.media)
+    assert(back.isDefined, "resized payload must still be a decodable image")
+    assert(back.get.getWidth === 8 && back.get.getHeight === 6)
+    // determinism: the same input resizes to the same bytes
+    val again = Multimodal.resize(ds, 8, 6).head()
+    assert(java.util.Arrays.equals(out.media, again.media))
   }
 
   test("frame sampling explodes only video payloads with strided indices") {

@@ -172,6 +172,16 @@ object PipelineQueries {
           length(col("media")).cast("long").as("media_len"),
           col("width"), col("height"), col("sample_rate"))),
 
+    // Resize through the mapPartitions stage (real bilinear resample for
+    // decodable images, stub plumbing otherwise — here the synthetic
+    // payloads take the stub path deterministically). The oracle checks
+    // the metadata rewrite + payload sizing.
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.fromDocuments(table(s, dir, "documents")), w = 16, h = 12).toDF()
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          length(col("media")).cast("long").as("media_len"))),
+
     // Feature extraction through the mapPartitions stage (stub decode →
     // rows-only; MultimodalSpec pins determinism and batch shape).
     "multimodal_features" -> ((s, dir) =>
@@ -327,6 +337,15 @@ object PipelineQueries {
          | CAST(len(list_filter(regexp_split_to_array(lower(trim($scrubSql)), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens_clean
          |FROM documents""".stripMargin
     },
+
+    // Synthetic payloads are never decodable images → the stub path
+    // truncates/pads every payload to w*h and rewrites the metadata.
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+        | CAST(192 AS BIGINT) AS media_len
+        |FROM documents""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -31,7 +31,8 @@ final case class MemoryRecord(metadata: MemoryRecordMeta, embedding: Array[Float
   *  - `get(key)` throws on a non-UUID key (`:49-52`).
   */
 class NeighborlyMemoryStore(val db: NeighborlySpark,
-    val algorithm: SearchAlgorithm.Value = SearchAlgorithm.KDTree) {
+    val algorithm: SearchAlgorithm.Value = SearchAlgorithm.KDTree,
+    val maxListedRecords: Int = 100000) {
 
   private def parseUuid(key: String): java.util.UUID =
     try java.util.UUID.fromString(key)
@@ -59,13 +60,30 @@ class NeighborlyMemoryStore(val db: NeighborlySpark,
 
   def remove(key: String): Unit = { parseUuid(key); db.removeVector(key); () }
 
-  def getKeys: Seq[String] =
+  /** Driver-materialization guard for the no-arg listing verbs: the SK
+    * contract returns EVERYTHING, which is fine at verb scale but a
+    * driver-OOM at engine scale — so the full forms are capped at
+    * `maxListedRecords` and fail loudly with a pointer at the paged
+    * overload instead of silently truncating (or silently exhausting the
+    * driver heap). */
+  private def requireListable(): Unit = {
+    val n = db.vectors.limit(maxListedRecords + 1).count()
+    require(n <= maxListedRecords,
+      s"table exceeds $maxListedRecords rows; use getVectors(offset, limit) to page")
+  }
+
+  def getKeys: Seq[String] = {
+    requireListable()
     db.vectors.select("id").collect().map(_.getString(0)).toSeq
+  }
 
   /** Reference parity: the full table (the SK contract materializes every
-    * record). At engine scale use the paged variant below. */
-  def getVectors: Seq[MemoryRecord] =
+    * record), capped at [[maxListedRecords]] — page with the overload
+    * below past that. */
+  def getVectors: Seq[MemoryRecord] = {
+    requireListable()
     db.vectors.collect().map(r => toRecord(rowToRecord(r))).toSeq
+  }
 
   /** Paged record listing (id-ordered, so pages are stable) — the shape a
     * driver can actually serve when the table no longer fits in its heap. */
@@ -105,8 +123,19 @@ class NeighborlyMemoryStore(val db: NeighborlySpark,
     if (requestHadValidId) record.key else newId
   }
 
-  def upsertBatch(collectionName: String, records: Seq[MemoryRecord]): Seq[String] =
-    records.map(upsert(collectionName, _))
+  /** Batch upsert with the point verb's exact semantics (every record
+    * inserts a NEW vector; returned key echoes the caller's when it was a
+    * valid Guid) — but as ONE union plan rewrite via
+    * `addVectorRecords`, not N per-record rewrites. Zero Spark actions. */
+  def upsertBatch(collectionName: String, records: Seq[MemoryRecord]): Seq[String] = {
+    val echoKey = records.map { r =>
+      try { java.util.UUID.fromString(r.key); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+    val newIds = db.addVectorRecords(records.map(r =>
+      VectorRecord("", r.embedding, original_text = r.metadata.text)))
+    records.zip(echoKey).zip(newIds).map { case ((r, echo), id) => if (echo) r.key else id }
+  }
 
   def get(collectionName: String, key: String, withEmbedding: Boolean = false): Option[MemoryRecord] =
     db.getVector(key).map(toRecord)
@@ -121,8 +150,11 @@ class NeighborlyMemoryStore(val db: NeighborlySpark,
   def removeFromCollection(collectionName: String, key: String): Unit =
     { db.removeVector(key); () }
 
+  /** Batch remove as ONE broadcast anti-join delete (VERDICT r4 nit 3:
+    * the per-key loop was N existence jobs + N plan rewrites). Absent
+    * keys are no-ops, matching the loop's observable outcome. */
   def removeBatch(collectionName: String, keys: Seq[String]): Unit =
-    keys.foreach(k => db.removeVector(k))
+    db.removeVectors(keys)
 
   /** GetNearestMatchesAsync parity (`:199-202`): facade search with the
     * adapter's algorithm; `minRelevanceScore` unused and every score is

@@ -213,6 +213,36 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     else { df = df.filter(col("id") =!= id); noteMutation(); true }
   }
 
+  /** Bulk record insert: ONE union plan rewrite and ONE mutation for the
+    * whole batch (vs N rewrites + N plan-growth ticks of per-record
+    * `addVector`). Returns the assigned ids in input order — blank ids
+    * get fresh UUIDs exactly like the point verb. Zero Spark actions. */
+  def addVectorRecords(rs: Seq[VectorRecord]): Seq[String] = {
+    if (rs.isEmpty) return Seq.empty
+    val withIds = rs.map { r =>
+      require(r.values.length == dimension,
+        s"dimension ${r.values.length} != table dimension $dimension (enforced at ingest, SURVEY §1.4)")
+      if (r.id == null || r.id.isEmpty) r.copy(id = java.util.UUID.randomUUID().toString) else r
+    }
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row](withIds.size)
+    withIds.foreach(r => rows.add(Row(
+      r.id, r.values.toSeq, r.tags.toSeq, r.original_text, r.priority, r.user_id, r.org_id)))
+    df = df.unionByName(spark.createDataFrame(rows, VectorSchema.schema))
+    noteMutation()
+    withIds.map(_.id)
+  }
+
+  /** Bulk remove: ONE broadcast anti-join plan rewrite for the whole key
+    * set (vs N existence jobs + N filter rewrites of per-key
+    * `removeVector`). Absent ids are no-ops, matching the point verb's
+    * observable outcome. Zero Spark actions until the next read. */
+  def removeVectors(ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
+    import spark.implicits._
+    df = df.join(broadcast(ids.toDF("id")), Seq("id"), "left_anti")
+    noteMutation()
+  }
+
   /** Vectors.Clear parity (VectorService.cs:100-110): drops every row;
     * fitted index artifacts stay until the next buildAllIndexes, like the
     * reference's stale indexes after a clear. */

@@ -224,11 +224,14 @@ object PipelineQueries {
         maxHamming = 10, expandDuplicates = false).localCheckpoint(true))
 
   /** BM25 corpus stats (N, avgdl) per dataset — the `bqThresholdFor`
-    * pattern (VERDICT r3 item 4). */
+    * pattern (VERDICT r3 item 4). Keyed by `sessionKey` like the three
+    * pair-mining caches: the values are plain scalars, but a test that
+    * rewrites the dataset under the same dir in a fresh session must not
+    * inherit the previous corpus's (N, avgdl). */
   private val bm25Stats =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
   private def bm25StatsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    bm25Stats.computeIfAbsent(dir,
+    bm25Stats.computeIfAbsent(sessionKey(s, dir),
       _ => Bm25.corpusStats(table(s, dir, "documents"), "text"))
 
   private val toksSql =

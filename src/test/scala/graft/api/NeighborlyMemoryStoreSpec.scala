@@ -89,6 +89,49 @@ class NeighborlyMemoryStoreSpec extends SparkSpec {
     assert(s.getKeys === Seq("00000000-0000-0000-0000-000000000001"))
   }
 
+  test("upsertBatch/removeBatch for a 100-key batch run O(1) Spark jobs (one plan rewrite each)") {
+    val s = freshStore()
+    val group = s"graft.test.bulk.${Integer.toHexString(System.identityHashCode(s))}"
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties).exists(p => group == p.getProperty("spark.jobGroup.id")))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "bulk SK verbs")
+      val recs = (1 to 100).map(i => rec("not-a-guid", Array(i.toFloat, 0f, 0f, 0f), s"t$i"))
+      val ids = s.upsertBatch("c", recs)
+      assert(ids.length === 100 && ids.forall(_.length === 36))
+      s.removeBatch("c", ids)
+      assert(s.db.count === 2) // fixture rows survive; this count is the only action
+      spark.sparkContext.clearJobGroup()
+      // drain the async listener bus (poll until the counter is stable)
+      val deadline = System.nanoTime() + 5e9.toLong
+      var last = -1L
+      while (System.nanoTime() < deadline &&
+        { val c = jobs.get(); val changed = c != last; last = c; if (changed) Thread.sleep(100); changed }) ()
+      // per-key loops would run ≥100 existence jobs; the bulk verbs are
+      // lazy plan rewrites — only the final count (plus a possible AQE/
+      // broadcast helper) submits work
+      assert(jobs.get() >= 1 && jobs.get() <= 4, s"bulk verbs ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("no-arg listing verbs are capped; the paged overload serves past the cap") {
+    val db = new NeighborlySpark(spark, 4)
+    (1 to 4).foreach(i => db.addVector(VectorRecord("", Array(i.toFloat, 0f, 0f, 0f))))
+    val s = new NeighborlyMemoryStore(db, maxListedRecords = 3)
+    val eVec = intercept[IllegalArgumentException] { s.getVectors }
+    assert(eVec.getMessage.contains("getVectors(offset, limit)"))
+    val eKeys = intercept[IllegalArgumentException] { s.getKeys }
+    assert(eKeys.getMessage.contains("page"))
+    assert(s.getVectors(0, 10).size === 4) // paging is the sanctioned path
+    val small = new NeighborlyMemoryStore(db, maxListedRecords = 4)
+    assert(small.getVectors.size === 4) // at the cap is still served
+  }
+
   test("tag id reuse after removal throws like Dictionary.Add (VectorTags parity)") {
     val s = freshStore()
     s.createCollection("a"); s.createCollection("b")

@@ -62,7 +62,9 @@ object SearchAlgorithm extends Enumeration {
   */
 class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     initialEmbeddingProvider: EmbeddingProvider = HashEmbeddingProvider(),
-    val checkpointEvery: Int = 32) {
+    val checkpointEvery: Int = 32,
+    val autoRebuild: Boolean = false,
+    val autoRebuildDelayMs: Long = 5000) {
 
   private var provider: EmbeddingProvider = initialEmbeddingProvider
 
@@ -86,35 +88,92 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
 
   val tags: TagDictionary = TagDictionary.empty
 
-  private var df: DataFrame =
+  @volatile private var df: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
-  private var pqModel: Option[PqModel] = None
-  private var bqThreshold: Option[Double] = None
+  @volatile private var pqModel: Option[PqModel] = None
+  @volatile private var bqThreshold: Option[Double] = None
 
   /** Per-partition local indexes over a SURROGATE long key (xxhash64 of
     * the string id — the facade's UUIDs can't key the long-indexed local
     * structures directly): exact warm kNN (LocalAnn) serves the
     * KDTree/BallTree names, the true Malkov-Yashunin graph serves HNSW.
     * Built by [[buildAllIndexes]]; invalidated (and their heap blocks
-    * freed) on ANY mutation — a documented divergence from the
-    * reference's stale-until-rebuild indexes: after a write we fall back
-    * to the always-fresh scan/LSH paths instead of serving stale graph
-    * results. Surrogate collisions (astronomically unlikely) are detected
-    * at build time and simply leave the scan paths in place. */
+    * freed) on ANY mutation — a deliberate tightening of the reference's
+    * stale-until-rebuild indexes: after a write we fall back to the
+    * always-fresh scan/LSH paths instead of serving stale graph results.
+    * With `autoRebuild = true` the reference's full "write → quiet
+    * period → warm reads come back on their own" lifecycle
+    * (VectorDatabase.cs:124,501-540) is reproduced on top of that
+    * safety: a debounced lowest-priority daemon re-runs
+    * [[buildAllIndexes]] after `autoRebuildDelayMs` without writes. */
   private case class LocalIdx(mapping: DataFrame,
       ann: org.apache.spark.rdd.RDD[graft.index.LocalNormIndex],
       hnsw: org.apache.spark.rdd.RDD[graft.index.HnswGraph])
-  private var localIdx: Option[LocalIdx] = None
-  private var cachedDf: Option[DataFrame] = None
+  @volatile private var localIdx: Option[LocalIdx] = None
+  @volatile private var cachedDf: Option[DataFrame] = None
+
+  /** True when the KDTree/BallTree/HNSW names currently serve from warm
+    * local indexes (vs the always-fresh scan/LSH fallback). */
+  def hasWarmIndexes: Boolean = localIdx.isDefined
+
+  // ----- debounced background rebuild (VectorDatabase.cs:124,501-540:
+  // vectors modified → BuildAllIndexes ≥5 s later on a lowest-priority
+  // background thread). Opt-in (`autoRebuild = true`); the documented
+  // always-fresh fallback still covers the window between a mutation and
+  // the rebuild — warm indexes are invalidated ON the mutation and come
+  // back automatically after `autoRebuildDelayMs` of quiet. A rebuild
+  // that a mutation overtakes mid-fit is DISCARDED (epoch guard), so a
+  // freshly-installed index can never serve ids deleted during its fit.
+  private val mutationEpoch = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var pendingRebuild: Option[java.util.concurrent.ScheduledFuture[_]] = None
+  private val rebuildExec: Option[java.util.concurrent.ScheduledExecutorService] =
+    if (!autoRebuild) None
+    else Some(java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-auto-rebuild")
+      t.setDaemon(true)
+      t.setPriority(Thread.MIN_PRIORITY) // the reference's "lowest priority"
+      t
+    }))
+
+  /** Debounce: every mutation cancels the pending rebuild and re-arms the
+    * timer, so the rebuild runs once per quiet period, not per write. */
+  private def scheduleRebuild(): Unit = rebuildExec.foreach { ex =>
+    pendingRebuild.foreach(_.cancel(false))
+    pendingRebuild = Some(ex.schedule(new Runnable {
+      override def run(): Unit =
+        try rebuildIfQuiet()
+        catch { case e: Throwable => System.err.println(s"[graft] auto-rebuild failed: $e") }
+    }, autoRebuildDelayMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+  }
+
+  /** One background rebuild attempt: fit OUTSIDE the lock against a
+    * snapshot, install under the lock only if no mutation raced the fit
+    * (`onFitted` is a deterministic race hook for the spec). */
+  private[api] def rebuildIfQuiet(onFitted: () => Unit = () => ()): Unit = {
+    val (e0, snapshot) = synchronized { (mutationEpoch.get(), df) }
+    val cached = snapshot.cache()
+    val fitted = fitIndexes(cached)
+    onFitted()
+    synchronized {
+      if (mutationEpoch.get() == e0) install(cached, fitted)
+      else { // a mutation overtook this fit: its own timer owns the rebuild
+        cached.unpersist(false)
+        discard(fitted)
+      }
+    }
+  }
 
   /** Dispose parity (VectorDatabase.cs:837): detach the metrics listener
     * and release every block this facade owns (cached table, local
     * indexes). The SparkSession itself is caller-owned. */
   def close(): Unit = {
+    rebuildExec.foreach(_.shutdownNow())
     spark.sparkContext.removeSparkListener(metrics)
-    invalidateLocalIndexes()
-    cachedDf.foreach(_.unpersist(false))
-    cachedDf = None
+    synchronized {
+      invalidateLocalIndexes()
+      cachedDf.foreach(_.unpersist(false))
+      cachedDf = None
+    }
   }
 
   private def invalidateLocalIndexes(): Unit = {
@@ -127,9 +186,11 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   }
 
   /** Translate a local-index hit frame (_sid, dist) back to string ids:
-    * the k-row hit set broadcasts into the mapping join — one action. */
-  private def mapHits(hits: DataFrame): DataFrame =
-    localIdx.get.mapping.join(broadcast(hits), "_sid")
+    * the k-row hit set broadcasts into the mapping join — one action.
+    * Takes the LocalIdx the caller matched on (never re-reads the
+    * volatile `localIdx`, which the background installer may swap). */
+  private def mapHits(li: LocalIdx, hits: DataFrame): DataFrame =
+    li.mapping.join(broadcast(hits), "_sid")
       .select(col("id"), col("dist"))
       .orderBy(col("dist"), col("id"))
 
@@ -154,13 +215,20 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   def hasUnsavedChanges: Boolean = unsaved
 
   /** Plan-growth guard: after `checkpointEvery` point mutations, replace
-    * the ever-growing union/filter lineage with its materialized result. */
+    * the ever-growing union/filter lineage with its materialized result.
+    * Synchronized against the background installer: the epoch bump and
+    * the index invalidation must be atomic w.r.t. an install's epoch
+    * check, or a stale fit could land right after an invalidation. */
   private def noteMutation(): Unit = {
-    mutations += 1
-    unsaved = true
-    invalidateLocalIndexes()
-    if (checkpointEvery > 0 && mutations % checkpointEvery == 0)
-      df = df.localCheckpoint(true)
+    synchronized {
+      mutations += 1
+      mutationEpoch.incrementAndGet()
+      unsaved = true
+      invalidateLocalIndexes()
+      if (checkpointEvery > 0 && mutations % checkpointEvery == 0)
+        df = df.localCheckpoint(true)
+    }
+    scheduleRebuild()
   }
 
   private def toRow(r: VectorRecord): DataFrame =
@@ -181,9 +249,13 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   /** Bulk ingest (the scale path). */
   def addVectors(rows: DataFrame): Unit = {
     VectorSchema.validateDimension(rows, "values", dimension)
-    df = df.unionByName(rows.select(VectorSchema.schema.fieldNames.map(col): _*))
-    unsaved = true
-    invalidateLocalIndexes()
+    synchronized {
+      df = df.unionByName(rows.select(VectorSchema.schema.fieldNames.map(col): _*))
+      mutationEpoch.incrementAndGet()
+      unsaved = true
+      invalidateLocalIndexes()
+    }
+    scheduleRebuild()
   }
 
   def getVector(id: String): Option[VectorRecord] =
@@ -232,6 +304,32 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     withIds.map(_.id)
   }
 
+  /** Replace the whole table from an external snapshot in one swap + one
+    * mutation epoch — the streaming-ingest refresh path (the micro-batch
+    * analog of the reference's background rebuild reading the live
+    * VectorList). Missing attribute columns default exactly like
+    * `importData`; dimension is validated at the swap. */
+  def replaceTable(rows: DataFrame): Unit = {
+    VectorSchema.validateDimension(rows, "values", dimension)
+    val have = rows.columns.toSet
+    val defaults: Map[String, org.apache.spark.sql.Column] = Map(
+      "tags" -> lit(Array.empty[Short]),
+      "original_text" -> lit(""),
+      "priority" -> lit(0.toByte),
+      "user_id" -> lit(0L),
+      "org_id" -> lit(0L))
+    val full = VectorSchema.schema.fieldNames.foldLeft(rows) { (d, f) =>
+      if (have.contains(f)) d else d.withColumn(f, defaults(f))
+    }
+    synchronized {
+      df = full.select(VectorSchema.schema.fieldNames.map(col): _*)
+      mutationEpoch.incrementAndGet()
+      unsaved = true
+      invalidateLocalIndexes()
+    }
+    scheduleRebuild()
+  }
+
   /** Bulk remove: ONE broadcast anti-join plan rewrite for the whole key
     * set (vs N existence jobs + N filter rewrites of per-key
     * `removeVector`). Absent ids are no-ops, matching the point verb's
@@ -247,10 +345,14 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * fitted index artifacts stay until the next buildAllIndexes, like the
     * reference's stale indexes after a clear. */
   def clear(): Unit = {
-    df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
-    mutations = 0
-    unsaved = true
-    invalidateLocalIndexes()
+    synchronized {
+      df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
+      mutations = 0
+      mutationEpoch.incrementAndGet()
+      unsaved = true
+      invalidateLocalIndexes()
+    }
+    scheduleRebuild()
   }
 
   /** kNN by raw vector (SearchService.cs:132-190 dispatch + threshold).
@@ -264,7 +366,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       case KDTree | BallTree | Linear => localIdx match {
         // built index: exact warm kNN from the persisted per-partition
         // norm indexes — same rows as the scan (LocalAnn is lossless)
-        case Some(li) => mapHits(graft.index.LocalAnn.search(
+        case Some(li) => mapHits(li, graft.index.LocalAnn.search(
           li.ann, spark, query, k, "_sid"))
         case None => Knn.single(df, "id", "values", typedLit(query), k)
       }
@@ -272,7 +374,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
         Lsh.search(df, "id", "values", query, k, LshParams.adaptive(dimension))
       case HNSW => localIdx match {
         // built index: the TRUE Malkov-Yashunin graph serves the name
-        case Some(li) => mapHits(graft.index.LocalHnsw.search(
+        case Some(li) => mapHits(li, graft.index.LocalHnsw.search(
           li.hnsw, spark, query, k, "_sid"))
         // no index yet: recall-tuned LSH (declared substitution)
         case None => Lsh.search(df, "id", "values", query, k, LshParams.serving(dimension))
@@ -330,7 +432,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
         Lsh.search(df, "id", "values", q, kk, LshParams.adaptive(dimension))
           .select(col("id"), col("dist")))
       case HNSW => Some((q, kk) => (localIdx match {
-        case Some(li) => mapHits(graft.index.LocalHnsw.search(li.hnsw, spark, q, kk, "_sid"))
+        case Some(li) => mapHits(li, graft.index.LocalHnsw.search(li.hnsw, spark, q, kk, "_sid"))
         case None => Lsh.search(df, "id", "values", q, kk, LshParams.serving(dimension))
       }).select(col("id"), col("dist")))
       case SearchAlgorithm.BinaryQuantization => Some((q, kk) =>
@@ -376,34 +478,64 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * LSH projections are pure functions of (dim, seed) and need no
     * fitting. */
   def buildAllIndexes(): Unit = {
-    // cache ownership: exactly one facade-cached frame at a time — the
-    // previous build's CacheManager entry is released before the new one
-    // registers (persist without a paired unpersist pins blocks forever)
-    cachedDf.foreach(_.unpersist(false))
-    df = df.cache()
-    cachedDf = Some(df)
-    bqThreshold = Some(BqIndex.globalMean(df, "values"))
-    pqModel = Some(PqIndex.fit(df, "values"))
-    invalidateLocalIndexes()
-    if (df.limit(1).count() > 0) {
+    // explicit build: fit against the live table and install
+    // unconditionally (the caller asked for exactly this state); any
+    // pending debounced rebuild is now redundant
+    pendingRebuild.foreach(_.cancel(false))
+    val cached = df.cache()
+    val fitted = fitIndexes(cached)
+    synchronized { install(cached, fitted) }
+  }
+
+  private case class FittedIndexes(bq: Double, pq: PqModel, local: Option[LocalIdx])
+
+  /** Fit every index artifact from a snapshot — runs Spark jobs but
+    * touches NO facade state, so the background thread can run it without
+    * blocking mutations. */
+  private def fitIndexes(snapshot: DataFrame): FittedIndexes = {
+    val bq = BqIndex.globalMean(snapshot, "values")
+    val pq = PqIndex.fit(snapshot, "values")
+    val local = if (snapshot.limit(1).count() == 0) None else {
       // ORDER-PRESERVING surrogate: the long key is the dense rank of the
       // string id (a distributed sort of ids only), so (dist, _sid)
       // tie-breaks inside the local indexes agree EXACTLY with the scan
       // path's (dist, id) ordering — a hashed surrogate would cut ties at
       // the k boundary differently. Collision-free by construction.
-      val ranked = df.select(col("id")).orderBy(col("id")).rdd
+      val ranked = snapshot.select(col("id")).orderBy(col("id")).rdd
         .map(_.getString(0)).zipWithIndex()
         .map { case (id, i) => (i, id) }
       val mapping = spark.createDataFrame(ranked).toDF("_sid", "id")
         .localCheckpoint(true)
-      val keyed = df.select(col("id"), col("values")).join(mapping, "id")
+      val keyed = snapshot.select(col("id"), col("values")).join(mapping, "id")
         .select(col("_sid"), col("id"), col("values"))
       val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
-      localIdx = Some(LocalIdx(mapping,
+      Some(LocalIdx(mapping,
         graft.index.LocalAnn.build(keyed, "_sid", "values"),
         graft.index.LocalHnsw.build(
           keyed.repartition(parts, col("_sid")), "_sid", "values")))
     }
+    FittedIndexes(bq, pq, local)
+  }
+
+  /** Install fitted artifacts (callers hold the lock). Cache ownership:
+    * exactly one facade-cached frame at a time — the previous build's
+    * CacheManager entry is released before the new one registers (persist
+    * without a paired unpersist pins blocks forever). */
+  private def install(cached: DataFrame, f: FittedIndexes): Unit = {
+    cachedDf.filterNot(_ eq cached).foreach(_.unpersist(false))
+    df = cached
+    cachedDf = Some(cached)
+    bqThreshold = Some(f.bq)
+    pqModel = Some(f.pq)
+    invalidateLocalIndexes()
+    localIdx = f.local
+  }
+
+  /** Release a fitted build that lost its install race. */
+  private def discard(f: FittedIndexes): Unit = f.local.foreach { li =>
+    li.ann.unpersist(blocking = false)
+    li.hnsw.unpersist(blocking = false)
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(li.mapping)
   }
 
   /** Snapshot: parquet vector table + tag dictionary
@@ -436,7 +568,11 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   }
 
   /** LoadAsync analog: restores table + tag dictionary. */
-  def load(path: String): Unit = {
+  def load(path: String): Unit = synchronized {
+    // epoch bump: a background fit captured before this load must not
+    // install indexes built over the pre-load table
+    mutationEpoch.incrementAndGet()
+    pendingRebuild.foreach(_.cancel(false))
     df = spark.read.schema(VectorSchema.schema).parquet(s"$path/vectors")
     val loaded = spark.read.parquet(s"$path/tags").orderBy("tag_id").collect()
     loaded.foreach(r => tags.add(r.getAs[String]("tag")))

@@ -125,6 +125,29 @@ object StreamingIngest {
       }
       .start()
 
+  /** Ingest with a per-micro-batch warm-index refresh — SURVEY §2.9's
+    * `foreachBatch` refit at the reference's 5 s rebuild cadence
+    * (VectorDatabase.cs:501-540): after each upsert commits, the facade
+    * is re-pointed at the new table snapshot and its index artifacts
+    * (BQ threshold, PQ codebooks, LocalAnn + true-HNSW graphs) are refit
+    * SYNCHRONOUSLY inside the batch, so a warm-path kNN issued after the
+    * batch completes sees the batch's rows — no manual `buildAllIndexes`.
+    *
+    * Scale note: the refit cost is bounded by the micro-batch cadence the
+    * caller picks, exactly like the reference's rebuild thread; the
+    * upsert itself stays O(batch) (bucket rewrite). The facade keeps its
+    * always-fresh invalidation in the window between upsert and refit. */
+  def startWithIndexRefresh(stream: DataFrame, tablePath: String, checkpoint: String,
+      db: graft.api.NeighborlySpark, idCol: String = "id", numBuckets: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      onRefreshed: Long => Unit = _ => ()): StreamingQuery =
+    start(stream, tablePath, checkpoint, idCol, numBuckets, trigger,
+      onBatch = (_, batchId) => {
+        db.replaceTable(readTable(db.spark, tablePath))
+        db.buildAllIndexes()
+        onRefreshed(batchId)
+      })
+
   /** One micro-batch upsert: rewrite only the buckets the batch touches,
     * then commit a new manifest version. */
   private[streaming] def upsertBatch(batch: DataFrame, tablePath: String,

@@ -1,0 +1,91 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.core.VectorRecord
+
+/** The reference's debounced background index rebuild
+  * (Neighborly/VectorDatabase.cs:124 — `_rebuildDelay = 5 s` after the
+  * last modification — and :501-540, the lowest-priority rebuild thread):
+  * after a write and a quiet period, the KDTree/BallTree/HNSW names serve
+  * from warm indexes again WITHOUT an explicit buildAllIndexes() call,
+  * and an in-flight rebuild a mutation overtakes is never installed. */
+class AutoRebuildSpec extends SparkSpec {
+
+  private def vec(x: Float) = Array(x, 0f)
+
+  private def awaitWarm(db: NeighborlySpark, timeoutMs: Long = 30000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline && !db.hasWarmIndexes) Thread.sleep(50)
+    db.hasWarmIndexes
+  }
+
+  test("write → quiet period → warm indexes come back automatically and serve the exact result") {
+    val db = new NeighborlySpark(spark, 2, autoRebuild = true, autoRebuildDelayMs = 200)
+    try {
+      (1 to 20).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
+      assert(!db.hasWarmIndexes) // mutations invalidate; nothing built yet
+      assert(awaitWarm(db), "auto-rebuild never produced warm indexes")
+      // warm KDTree serves the same rows as the exact scan would
+      val warm = db.search(vec(0f), 3, SearchAlgorithm.KDTree, similarityThreshold = 1000)
+        .collect().map(_.getString(0)).toSeq
+      assert(warm === Seq("v01", "v02", "v03"))
+      // HNSW name now serves from the true graph too (still index-backed)
+      val hnsw = db.search(vec(0f), 3, SearchAlgorithm.HNSW, similarityThreshold = 1000)
+        .collect().map(_.getString(0)).toSeq
+      assert(hnsw === Seq("v01", "v02", "v03"))
+    } finally db.close()
+  }
+
+  test("a mutation invalidates immediately (no stale reads in the window) and the index returns") {
+    val db = new NeighborlySpark(spark, 2, autoRebuild = true, autoRebuildDelayMs = 200)
+    try {
+      (1 to 10).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
+      assert(awaitWarm(db))
+      db.removeVector("v01")
+      // the warm index died WITH the mutation — the scan path serves now,
+      // so the removed id is unobservable even before the rebuild lands
+      assert(!db.hasWarmIndexes)
+      val cold = db.search(vec(0f), 3, SearchAlgorithm.KDTree, similarityThreshold = 1000)
+        .collect().map(_.getString(0)).toSeq
+      assert(cold === Seq("v02", "v03", "v04"))
+      // ... and the rebuilt warm index agrees
+      assert(awaitWarm(db))
+      val warm = db.search(vec(0f), 3, SearchAlgorithm.KDTree, similarityThreshold = 1000)
+        .collect().map(_.getString(0)).toSeq
+      assert(warm === Seq("v02", "v03", "v04"))
+    } finally db.close()
+  }
+
+  test("a rebuild overtaken by a mutation mid-fit is discarded, never installed (epoch guard)") {
+    val db = new NeighborlySpark(spark, 2) // manual driving, no timer
+    try {
+      (1 to 10).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
+      // deterministic race: the hook fires after the fit completed but
+      // before the install lock — exactly the window the epoch guards
+      db.rebuildIfQuiet(onFitted = () => { db.removeVector("v01"); () })
+      assert(!db.hasWarmIndexes,
+        "a fit raced by a mutation was installed — it would serve the deleted id")
+      // the next quiet rebuild (no race) installs fine and excludes v01
+      db.rebuildIfQuiet()
+      assert(db.hasWarmIndexes)
+      val warm = db.search(vec(0f), 3, SearchAlgorithm.KDTree, similarityThreshold = 1000)
+        .collect().map(_.getString(0)).toSeq
+      assert(warm === Seq("v02", "v03", "v04"))
+    } finally db.close()
+  }
+
+  test("debounce: a write burst schedules ONE rebuild after the last write, not one per write") {
+    val db = new NeighborlySpark(spark, 2, autoRebuild = true, autoRebuildDelayMs = 400)
+    try {
+      (1 to 15).foreach { i =>
+        db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat)))
+        Thread.sleep(20) // well inside the debounce window
+      }
+      // the timer re-armed on every write: nothing can have been built
+      // yet (the quiet period never elapsed during the burst)
+      assert(!db.hasWarmIndexes)
+      assert(awaitWarm(db))
+      assert(db.count === 15)
+    } finally db.close()
+  }
+}

@@ -69,4 +69,44 @@ class StreamingIngestSpec extends SparkSpec {
     assert(StreamingIngest.readTable(spark, table).count() === 3L)
     assert(!fs.exists(new Path(s"$table/manifest/v000000001.txt")))
   }
+
+  test("per-micro-batch index refresh: warm-path kNN sees new rows with no manual rebuild") {
+    implicit val sql = spark.sqlContext
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_refresh_${System.nanoTime()}"
+    val db = new graft.api.NeighborlySpark(spark, 2)
+    try {
+      val source = MemoryStream[Rec]
+      source.addData(
+        Rec("a", Array(1f, 0f), "a"), Rec("b", Array(2f, 0f), "b"))
+      val refreshed = new java.util.concurrent.atomic.AtomicLong(-1)
+      val q = StreamingIngest.startWithIndexRefresh(source.toDF(), s"$dir/table",
+        s"$dir/ckpt", db, trigger = Trigger.AvailableNow(),
+        onRefreshed = refreshed.set)
+      q.processAllAvailable(); q.awaitTermination()
+      assert(refreshed.get() >= 0)
+      // warm path: KDTree serves from the refit LocalAnn — no explicit
+      // buildAllIndexes() was ever called by the caller
+      assert(db.hasWarmIndexes)
+      val hits = db.search(Array(0f, 0f), 2, SearchAlgorithm.KDTree,
+        similarityThreshold = 1000).collect().map(_.getString(0)).toSeq
+      assert(hits === Seq("a", "b"))
+
+      // second batch: the refit must pick up the new row AND the upsert
+      source.addData(Rec("c", Array(0.5f, 0f), "c"), Rec("a", Array(9f, 0f), "moved"))
+      val q2 = StreamingIngest.startWithIndexRefresh(source.toDF(), s"$dir/table",
+        s"$dir/ckpt", db, trigger = Trigger.AvailableNow())
+      q2.processAllAvailable(); q2.awaitTermination()
+      assert(db.hasWarmIndexes)
+      val hits2 = db.search(Array(0f, 0f), 3, SearchAlgorithm.KDTree,
+        similarityThreshold = 1000).collect().map(_.getString(0)).toSeq
+      assert(hits2 === Seq("c", "b", "a")) // "a" moved to 9f, ranks last
+      assert(db.getVector("a").get.original_text === "moved")
+      // HNSW name is warm too (true graph refit in the same pass)
+      val hnsw = db.search(Array(0f, 0f), 1, SearchAlgorithm.HNSW,
+        similarityThreshold = 1000).collect().map(_.getString(0)).toSeq
+      assert(hnsw === Seq("c"))
+    } finally db.close()
+  }
+
+  private val SearchAlgorithm = graft.api.SearchAlgorithm
 }

@@ -112,6 +112,33 @@ object IndexQueries {
       LocalHnsw.search(hnswFor(s, dir), s, embeddingOf(s, dir, 0), k = 10, "vec_id")
     }),
 
+    // HNSW on a PLANTED fixture whose exact top-k is unambiguous by
+    // margin (VERDICT r4 item 1): 10 plants sit at distance 0.001·i from
+    // the query while the nearest corpus vector is orders of magnitude
+    // farther, so the graph search provably-by-margin returns the exact
+    // top-10 (query row itself + plants 1..9) and the oracle is plain
+    // exact kNN over the same fixture — a driver-checkable hash-match
+    // for the true-graph pipeline (build → layered descent → merge).
+    // Plant floats are float32-exact on both engines (f32+f32 is exact
+    // in f64, then rounds identically on the cast back).
+    "hnsw_knn_planted" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = embeddingOf(s, dir, 0)
+      val plants = (1 to 10).map { i =>
+        val v = q.clone(); v(0) = v(0) + (0.001 * i).toFloat
+        (1000000L + i, v.toSeq)
+      }
+      val sqlc = s
+      import sqlc.implicits._
+      val plantDf = plants.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+      val fixture = e.select(col("vec_id"), col("embedding")).unionByName(plantDf)
+      val graph = LocalHnsw.build(fixture.repartition(4, col("vec_id")), "vec_id", "embedding")
+      val out = LocalHnsw.search(graph, s, q, k = 10, "vec_id")
+      graph.unpersist(blocking = false)
+      out
+    }),
+
     // Index ↔ table equi-join (SURVEY §2.3: the reference's HNSW load joins
     // persisted node ids back to vectors, HNSW.cs:392-418): the LSH codes
     // column is persisted as a standalone index table, re-read, and
@@ -215,6 +242,23 @@ object IndexQueries {
   private val knnDistSql = sqlEuclid("e.embedding", "q.qv")
 
   val oracles: Map[String, String] = Map(
+    // Exact kNN over the planted fixture — by construction the true
+    // top-10 with an unambiguous margin, so the approximate graph result
+    // must equal it bit-for-bit.
+    "hnsw_knn_planted" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |plants AS (
+         |  SELECT CAST(1000000 + i AS BIGINT) AS vec_id,
+         |    list_transform(generate_series(1, len(qv)), j ->
+         |      CASE WHEN j = 1
+         |        THEN CAST(CAST(qv[1] AS DOUBLE) + CAST(CAST(0.001 * i AS FLOAT) AS DOUBLE) AS FLOAT)
+         |        ELSE qv[j] END) AS embedding
+         |  FROM q, generate_series(1, 10) t(i)),
+         |fix AS (SELECT vec_id, embedding FROM embeddings
+         |        UNION ALL SELECT vec_id, embedding FROM plants)
+         |SELECT fix.vec_id AS vec_id, ${sqlEuclid("fix.embedding", "q.qv")} AS dist
+         |FROM fix, q ORDER BY dist, fix.vec_id LIMIT 10""".stripMargin,
+
     "bq_knn" ->
       s"""WITH $gmCte,
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

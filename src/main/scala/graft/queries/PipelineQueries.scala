@@ -182,14 +182,89 @@ object PipelineQueries {
         .select(col("doc_id"), col("kind"), col("width"), col("height"),
           length(col("media")).cast("long").as("media_len"))),
 
-    // Feature extraction through the mapPartitions stage (stub decode →
-    // rows-only; MultimodalSpec pins determinism and batch shape).
+    // Feature extraction through the mapPartitions stage. The synthetic
+    // payloads never parse as real media, so every row takes the
+    // deterministic stub fold — which the oracle replays exactly: the
+    // low-16-bit state of the FNV-ish byte fold is a mod-65536 recurrence
+    // (mod distributes over the wrapping 64-bit ops), and the corpus is
+    // pure ASCII so DuckDB's char codes ARE the payload bytes.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.fromDocuments(table(s, dir, "documents")), dim = 8).toDF()
         .select(col("doc_id"), col("kind"),
           size(col("features")).cast("long").as("n_features"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))))
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
+
+    // ---- planted-fixture variants (VERDICT r4 item 1): a deterministic
+    // corpus whose expected near-dup output IS SQL-expressible, giving the
+    // xxhash64-internal pipelines driver-checkable hash-match rows. The
+    // fixture plants, per source doc: a WHITESPACE variant (doc_id+1e6,
+    // doubled spaces — same token stream, so the full signature pipeline
+    // must pair it at Jaccard exactly 1.0 / Hamming exactly 0) and an
+    // EXACT copy (doc_id+2e6 — exercises the md5 collapse + expansion
+    // path). Equal shingle sets ⟺ identical MinHash signatures ⟺ banding
+    // recall is deterministically 1, so "pairs with equal non-empty
+    // shingle sets" is the provable full output at threshold 1.0.
+
+    "minhash_neardup_planted" -> ((s, dir) =>
+      Dedup.minHashNearDuplicates(plantedDocs(s, dir), "doc_id", "text",
+        threshold = 1.0)),
+
+    // SimHash at Hamming 0, tightened to provable pairs: equal token
+    // multisets guarantee equal SimHash (→ found through the full
+    // hash/band/verify pipeline, deterministically), so the planted
+    // oracle is the multiset-equality self-join. Genuine hamming-0 TIES
+    // beyond that (e.g. the corpus's one-"dup"-token variants, where the
+    // ±1 counter step flips no sign bit) are real engine output but not
+    // SQL-derivable — an exact sorted-token post-verify excludes them
+    // here; they stay covered by the rows-only `simhash_neardup` + spec.
+    "simhash_neardup_planted" -> ((s, dir) => {
+      val fixture = plantedDocs(s, dir)
+      val pairs = Dedup.simHashNearDuplicates(fixture, "doc_id", "text",
+        maxHamming = 0)
+      val toks = fixture.select(col("doc_id"),
+        array_sort(Dedup.tokens(col("text"))).as("_tk"))
+      pairs
+        .join(toks.select(col("doc_id").as("id_a"), col("_tk").as("_tka")), "id_a")
+        .join(toks.select(col("doc_id").as("id_b"), col("_tk").as("_tkb")), "id_b")
+        .filter(col("_tka") === col("_tkb"))
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
+
+    // The composed text-dedup end product on the planted fixture: mining →
+    // stars components → keep representatives. Components of equal-key
+    // cliques are the key groups themselves, so the kept set is
+    // "min doc_id per non-empty shingle-set group, plus every ungrouped
+    // doc" — window-min in SQL.
+    "text_dedup_keep_planted" -> ((s, dir) => {
+      val docs = plantedDocs(s, dir)
+      val comps = Dedup.minHashComponents(docs, "doc_id", "text", threshold = 1.0)
+      docs.join(
+        comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_len"))
+    }))
+
+  /** The planted near-dup fixture (shared by the three _planted queries):
+    * source docs + whitespace variants (+1e6) + exact copies (+2e6). */
+  private def plantedDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+  }
+
+  /** The same fixture as a DuckDB CTE. */
+  private val fixtureCte =
+    """fixture AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, ' ', '  ', 'g') AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0)""".stripMargin
 
   /** Mined cosine candidate distances, memoized per dataset like
     * `IndexQueries.pqModelFor`: candidate generation is
@@ -427,6 +502,48 @@ object PipelineQueries {
          |  UNION
          |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d)
          |SELECT id AS vec_id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    // Stub-decode replay: f0's low-16-bit fold state is a mod-65536
+    // recurrence (seed 2^50−27 ≡ 65509; per-byte term = ascii·7 since
+    // j = 0 → multiplier 7), so acc' = (acc·31 + byte·7) mod 65536 over
+    // the ASCII bytes reproduces `(acc & 0xFFFF)` of the wrapping Long
+    // fold exactly; f0 = state/32768 − 1 (exact in float).
+    "multimodal_features" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(8 AS BIGINT) AS n_features,
+        | round(CAST(list_reduce(
+        |   list_prepend(CAST(65509 AS BIGINT),
+        |     list_transform(generate_series(1, greatest(length(text), 0)),
+        |       i -> CAST(ascii(substring(text, i, 1)) * 7 AS BIGINT))),
+        |   (acc, x) -> (acc * 31 + x) % 65536) AS DOUBLE) / 32768 - 1, 6) AS f0
+        |FROM documents""".stripMargin,
+
+    "minhash_neardup_planted" ->
+      s"""WITH $fixtureCte,
+         |sh AS (SELECT doc_id, md5(CAST(list_sort(${shSql("text")}) AS VARCHAR)) AS key
+         |       FROM fixture WHERE len(${shSql("text")}) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM sh a JOIN sh b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "simhash_neardup_planted" ->
+      s"""WITH $fixtureCte,
+         |tk AS (SELECT doc_id,
+         |  md5(CAST(list_sort(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')) AS VARCHAR)) AS key
+         |       FROM fixture)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+         |FROM tk a JOIN tk b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "text_dedup_keep_planted" ->
+      s"""WITH $fixtureCte,
+         |sh AS (SELECT doc_id, md5(CAST(list_sort(${shSql("text")}) AS VARCHAR)) AS key
+         |       FROM fixture WHERE len(${shSql("text")}) > 0),
+         |dropped AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS m FROM sh)
+         |  WHERE doc_id != m)
+         |SELECT f.doc_id AS doc_id, CAST(length(f.text) AS BIGINT) AS n_len
+         |FROM fixture f WHERE f.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     "cosine_neardup" ->
       s"""WITH ${IndexQueries.hpCte},

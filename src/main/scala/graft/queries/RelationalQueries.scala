@@ -243,6 +243,30 @@ object RelationalQueries {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_approx"))),
 
+    // HLL in its provably-exact regime (VERDICT r4 item 1): 8 distinct
+    // values per group against 2^16 registers put the estimator in pure
+    // linear counting with (near-certainly) zero register collisions, so
+    // the rounded estimate equals the true count — and the register-max
+    // merge is order-independent, so the result is partitioning-proof.
+    // The oracle is plain COUNT(DISTINCT).
+    "q_sketch_distinct_exact" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(pmod(col("user_id"), lit(8)), 0.005)
+          .as("n_user_mod"))),
+
+    // The quantile sketch in its provably-exact regime: accuracy 10^6 →
+    // relative error 10^-6, so at group sizes ≪ 10^6 the summary retains
+    // every observation (no compression, lossless merges) and the query
+    // returns the exact order statistic at rank ceil(p·n) — which the
+    // oracle computes directly with a window rank.
+    "q_approx_percentile_exact" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000000)).as("p50_sketch"),
+          percentile_approx(col("value"), lit(0.95), lit(1000000)).as("p95_sketch"))),
+
     // Semi-structured JSON column: extract a typed field from the props
     // payload and aggregate on it (get_json_object ↔ json_extract).
     "q_json_extract" -> ((s, dir) =>
@@ -415,6 +439,25 @@ object RelationalQueries {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_sketch_distinct_exact" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT ((user_id % 8) + 8) % 8) AS BIGINT) AS n_user_mod
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // The exact-regime sketch returns the order statistic at 1-indexed
+    // rank ceil(p·n) — replayed with an explicit window rank (DuckDB's
+    // quantile_disc uses a different rank rule, so it is NOT used here).
+    "q_approx_percentile_exact" ->
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50_sketch,
+        |  max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95_sketch
+        |FROM v GROUP BY event_type""".stripMargin,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,

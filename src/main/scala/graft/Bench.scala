@@ -2,8 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness. One warm-up pass absorbs session/codegen startup,
-  * then each query runs 3 times and reports the per-query median — so
-  * round-over-round deltas reflect plans, not JIT noise.
+  * then each query is timed. Sub-second keys are scheduler-latency-bound
+  * and jitter ±30% between rounds (r5 verdict item 3), so they re-run to
+  * `SPARK_GRAFT_REPS` (default 3) and report the median; multi-second
+  * keys are data-bound and stable, so one run suffices — re-running the
+  * dedup pipelines would double the wall clock for no extra signal. The
+  * JSON carries a `runs` map with the per-query rep count actually used.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,17 +37,40 @@ object Bench {
       // clean block manager, not its predecessor's garbage — the prime
       // suspect for r3's unreproducible 2-3× smears on unrelated queries
       System.gc()
-      val times = (1 to reps).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2) // median
+      }
+      val first = once()
+      // 3 s cutoff: everything under it can be smeared by a single GC
+      // pause or a predecessor's stale blocks (a 0.3 s key has measured
+      // 5× on its first run after the dedup pipelines), so those report
+      // a median; above it the dedup pipelines are data-bound and
+      // stable, and re-running them only doubles the driver's wall clock
+      val times =
+        if (first < 3.0 && reps > 1) (first +: (2 to reps).map(_ => once())).sorted
+        else Seq(first)
+      (name, times(times.size / 2), times.size) // median of the runs taken
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // serve-path microbench (r5 verdict item 7): the reference's bar is
+    // sub-100 ms warm single queries through its service process; this
+    // times the FULL REST round-trip (HTTP parse → facade KDTree dispatch
+    // on warm local indexes → JSON encode) via VectorHttpServer
+    // .searchNearest and reports the median of 20 warm requests
+    val serve =
+      if (only.forall(_.contains("serve_knn_p50")))
+        try Seq(("serve_knn_p50", serveKnnP50(spark, sfDir), 20))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] serve bench failed: $e"); Seq.empty }
+      else Seq.empty
+    val all = results ++ serve
+    val qs = all.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val runs = all.map { case (k, _, n) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val total = all.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // also land the full artifact on disk: the driver's stdout capture has
     // truncated the alphabetical head of the per-query map before (r4) —
@@ -53,5 +80,49 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+  }
+
+  /** p50 of 20 warm REST kNN round-trips against a served facade loaded
+    * with a capped slice of the embeddings table (the serving tier holds
+    * a working set, not the corpus — the corpus-scale paths are the
+    * distributed queries above). Includes everything a client sees:
+    * HTTP parse, warm-index dispatch, result join, JSON encode. */
+  private def serveKnnP50(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy("vec_id").limit(4096)
+    val dim = graft.core.VectorSchema.dimensionOf(emb, "embedding")
+    val db = new graft.api.NeighborlySpark(spark, dim)
+    val srv = new graft.api.VectorHttpServer(db)
+    try {
+      // a few-thousand-vector serving working set lives in a handful of
+      // partitions — at 32, every warm request would schedule 32 near-empty
+      // tasks and the p50 would measure the scheduler, not the search
+      db.addVectors(emb.select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding").as("values"),
+        array().cast("array<smallint>").as("tags"),
+        lit("").as("original_text"),
+        lit(0).cast("tinyint").as("priority"),
+        lit(0L).as("user_id"),
+        lit(0L).as("org_id")).repartition(4))
+      db.buildAllIndexes()
+      val port = srv.start()
+      val body = emb.select("embedding").head().getSeq[Float](0)
+        .mkString("{\"values\":[", ",", "]}")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val request = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/vectors/searchNearest?k=10"))
+        .method("POST", java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val r = client.send(request, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200, s"serve bench got HTTP ${r.statusCode()}")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 5).foreach(_ => once()) // warm the serve plans
+      val times = (1 to 20).map(_ => once()).sorted
+      times(times.size / 2)
+    } finally { srv.stop(); db.close() }
   }
 }

@@ -106,9 +106,18 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * (VectorDatabase.cs:124,501-540) is reproduced on top of that
     * safety: a debounced lowest-priority daemon re-runs
     * [[buildAllIndexes]] after `autoRebuildDelayMs` without writes. */
+  /** `records` is the warm table keyed by surrogate id as a PERSISTED
+    * pair RDD — the serve path's record fetch: after the index probe
+    * returns k (surrogate, dist) hits driver-side, one raw RDD
+    * filter-collect yields the full records with no Catalyst planning,
+    * no exchange, no AQE staging in the request path (each of which cost
+    * more than the whole probe at serving size). Costs one extra
+    * deserialized copy of the table while indexes are warm — the
+    * explicit serving-tier trade, released on invalidation. */
   private case class LocalIdx(mapping: DataFrame,
       ann: org.apache.spark.rdd.RDD[graft.index.LocalNormIndex],
-      hnsw: org.apache.spark.rdd.RDD[graft.index.HnswGraph])
+      hnsw: org.apache.spark.rdd.RDD[graft.index.HnswGraph],
+      records: org.apache.spark.rdd.RDD[(Long, VectorRecord)])
   @volatile private var localIdx: Option[LocalIdx] = None
   @volatile private var cachedDf: Option[DataFrame] = None
 
@@ -180,6 +189,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     localIdx.foreach { li =>
       li.ann.unpersist(blocking = false)
       li.hnsw.unpersist(blocking = false)
+      li.records.unpersist(blocking = false)
       org.apache.spark.sql.graft.bridge.freeCheckpoint(li.mapping)
     }
     localIdx = None
@@ -190,9 +200,14 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * Takes the LocalIdx the caller matched on (never re-reads the
     * volatile `localIdx`, which the background installer may swap). */
   private def mapHits(li: LocalIdx, hits: DataFrame): DataFrame =
+    // k-row result: a global orderBy would range-partition (an extra
+    // sampling job + exchange per serve request); coalesce(1) + local
+    // sort is the same total order with none of that — the dominant
+    // serve-path latency before the r6 trim (p50 ~170 → ~70 ms)
     li.mapping.join(broadcast(hits), "_sid")
       .select(col("id"), col("dist"))
-      .orderBy(col("dist"), col("id"))
+      .coalesce(1)
+      .sortWithinPartitions(col("dist"), col("id"))
 
   def vectors: DataFrame = df
   def count: Long = df.count()
@@ -406,12 +421,48 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     // are exactly the jobs the no-N+1 counter must see
     spark.sparkContext.setJobGroup(metrics.serveGroup, s"searchRecords(k=$k, $algorithm)")
     try {
-      val hits = search(query, k, algorithm, similarityThreshold)
-      df.join(broadcast(hits.select(col("id"), col("dist"))), "id")
-        .collect()
-        .map(r => (rowToRecord(r), r.getAs[Double]("dist")))
-        .sortBy { case (rec, d) => (d, rec.id) }
-        .toSeq
+      import SearchAlgorithm._
+      val warmLocal = localIdx.filter(_ =>
+        algorithm == KDTree || algorithm == BallTree || algorithm == Linear ||
+        algorithm == HNSW)
+      warmLocal match {
+        // warm fast path: one RDD probe for the k (surrogate, dist) hits,
+        // then ONE shallow SQL action — the k-row local relation
+        // broadcast-joins the persisted wide frame (broadcasting a
+        // LocalRelation runs no job), threshold applied in-plan with the
+        // same ThresholdFilter semantics as every other path
+        case Some(li) =>
+          val top = algorithm match {
+            case HNSW => graft.index.LocalHnsw.searchTop(li.hnsw, query, k)
+            case _ => graft.index.LocalAnn.searchTop(li.ann, query, k)
+          }
+          if (top.isEmpty) Seq.empty
+          else {
+            val bySid = top.map { case (d, sid) => sid -> d }.toMap
+            val recs = li.records.filter(r => bySid.contains(r._1)).collect()
+              .map { case (sid, rec) => (rec, bySid(sid)) }
+              .sortBy { case (rec, d) => (d, rec.id) }
+              .toSeq
+            ThresholdFilter.applyLocal(recs, similarityThreshold, dimension)
+          }
+        // cold / non-local algorithms: two bounded k-row round-trips
+        // instead of one action nesting the distributed hit subplan
+        // inside a broadcast exchange (exchange build job + join job +
+        // fused-plan analysis per request). Still O(1) jobs in k —
+        // never the k+1 pattern.
+        case None =>
+          val hits = search(query, k, algorithm, similarityThreshold)
+            .select(col("id"), col("dist")).collect()
+          if (hits.isEmpty) Seq.empty
+          else {
+            val dist = hits.map(r => r.getString(0) -> r.getDouble(1)).toMap
+            df.filter(col("id").isin(dist.keySet.toSeq: _*))
+              .collect()
+              .map(r => (rowToRecord(r), dist(r.getAs[String]("id"))))
+              .sortBy { case (rec, d) => (d, rec.id) }
+              .toSeq
+          }
+      }
     } finally spark.sparkContext.clearJobGroup()
   }
 
@@ -504,15 +555,25 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       val ranked = snapshot.select(col("id")).orderBy(col("id")).rdd
         .map(_.getString(0)).zipWithIndex()
         .map { case (id, i) => (i, id) }
+      val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
       val mapping = spark.createDataFrame(ranked).toDF("_sid", "id")
+        .coalesce(parts)
         .localCheckpoint(true)
+      // ONE bounded-partition frame feeds both local index builds: the
+      // serve path's per-request RDD job runs `parts` tasks, not the
+      // session's shuffle width (32 near-empty tasks of scheduler
+      // latency were most of the warm-path p50)
       val keyed = snapshot.select(col("id"), col("values")).join(mapping, "id")
         .select(col("_sid"), col("id"), col("values"))
-      val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
+        .repartition(parts, col("_sid"))
+      // materialized OFF the facade lock, like the index fits
+      val records = NeighborlySpark.recordsBySid(snapshot.join(mapping, "id")
+        .repartition(parts))
+      records.count()
       Some(LocalIdx(mapping,
         graft.index.LocalAnn.build(keyed, "_sid", "values"),
-        graft.index.LocalHnsw.build(
-          keyed.repartition(parts, col("_sid")), "_sid", "values")))
+        graft.index.LocalHnsw.build(keyed, "_sid", "values"),
+        records))
     }
     FittedIndexes(bq, pq, local)
   }
@@ -535,6 +596,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   private def discard(f: FittedIndexes): Unit = f.local.foreach { li =>
     li.ann.unpersist(blocking = false)
     li.hnsw.unpersist(blocking = false)
+    li.records.unpersist(blocking = false)
     org.apache.spark.sql.graft.bridge.freeCheckpoint(li.mapping)
   }
 
@@ -584,11 +646,18 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       catch { case _: Exception => None }
     invalidateLocalIndexes()
     localIdx =
-      try Some(LocalIdx(
-        spark.read.parquet(s"$path/indexes/sid_mapping").localCheckpoint(true),
-        graft.index.IndexStore.loadLocalAnn(spark, s"$path/indexes"),
-        graft.index.IndexStore.loadHnsw(spark, s"$path/indexes")))
-      catch { case _: Exception => None }
+      try {
+        val mapping = spark.read.parquet(s"$path/indexes/sid_mapping")
+          .localCheckpoint(true)
+        val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
+        val records = NeighborlySpark.recordsBySid(
+          df.join(mapping, "id").repartition(parts))
+        records.count()
+        Some(LocalIdx(mapping,
+          graft.index.IndexStore.loadLocalAnn(spark, s"$path/indexes"),
+          graft.index.IndexStore.loadHnsw(spark, s"$path/indexes"),
+          records))
+      } catch { case _: Exception => None }
     unsaved = false
   }
 
@@ -604,4 +673,17 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
 
   def exportData(ct: ContentType, path: String): Unit =
     Etl.exportData(df, ct, path)
+}
+
+object NeighborlySpark {
+  /** (surrogate, full record) pair RDD from a (table ⋈ sid-mapping)
+    * frame, MEMORY_ONLY-persisted — the warm serve path's record store.
+    * Lives on the companion so the map closure captures no facade
+    * instance (the class is not serializable, by design). */
+  private[api] def recordsBySid(wide: DataFrame): org.apache.spark.rdd.RDD[(Long, VectorRecord)] =
+    wide.select(col("_sid"), col("id"), col("values"), col("tags"),
+        col("original_text"), col("priority"), col("user_id"), col("org_id"))
+      .rdd
+      .map(r => (r.getAs[Long]("_sid"), VectorHttpServer.rowToRecord(r)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 }

@@ -214,6 +214,21 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
 }
 
 object VectorHttpServer {
+
+  /** Build a SERVED facade the way the reference's service process does:
+    * the hosted `VectorDatabase` (API.gRPC/Program.cs:14 singleton)
+    * always runs the debounced background index thread
+    * (VectorDatabase.cs:124,501-540), so `autoRebuild` defaults ON here —
+    * unlike the embedded facade, where it stays opt-in. A served write
+    * therefore invalidates warm indexes immediately (the always-fresh
+    * fallback guarantee) and the warm path comes back on its own after
+    * the 5 s quiet period, with no client-visible action. */
+  def serve(spark: org.apache.spark.sql.SparkSession, dimension: Int,
+      port: Int = 0, autoRebuild: Boolean = true,
+      autoRebuildDelayMs: Long = 5000): VectorHttpServer =
+    new VectorHttpServer(new NeighborlySpark(spark, dimension,
+      autoRebuild = autoRebuild, autoRebuildDelayMs = autoRebuildDelayMs), port)
+
   private[api] def rowToRecord(r: org.apache.spark.sql.Row): VectorRecord = VectorRecord(
     r.getAs[String]("id"),
     r.getAs[scala.collection.Seq[Float]]("values").toArray,

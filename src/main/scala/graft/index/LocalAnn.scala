@@ -105,13 +105,18 @@ object LocalAnn {
     rdd
   }
 
+  /** Driver-side (dist, id) top-k: parts×k local candidates merged in one
+    * RDD job — the serve path consumes this directly (no SQL action). */
+  def searchTop(index: RDD[LocalNormIndex], query: Array[Float], k: Int): Array[(Double, Long)] =
+    index.flatMap(_.topKWithStats(query, k)._1.map { case (id, d) => (d, id) })
+      .takeOrdered(k)(Ordering.Tuple2[Double, Long])
+
   /** Single-query exact kNN over a built index: parts×k local candidates,
     * driver merge, canonical (dist, id) order. Result is identical to the
     * brute-force exact scan (norm pruning is lossless). */
   def search(index: RDD[LocalNormIndex], spark: SparkSession,
       query: Array[Float], k: Int, idColName: String): DataFrame = {
-    val top = index.flatMap(_.topKWithStats(query, k)._1.map { case (id, d) => (d, id) })
-      .takeOrdered(k)(Ordering.Tuple2[Double, Long])
+    val top = searchTop(index, query, k)
     val schema = StructType(Seq(
       StructField(idColName, LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false)))

@@ -161,12 +161,18 @@ object LocalHnsw {
     rdd
   }
 
+  /** Driver-side (dist, id) top-k: per-partition graph search merged in
+    * one RDD job — the serve path consumes this directly. */
+  def searchTop(index: RDD[HnswGraph], query: Array[Float], k: Int,
+      ef: Int = 64): Array[(Double, Long)] =
+    index.flatMap(_.search(query, k, ef).map { case (id, dd) => (dd, id) })
+      .takeOrdered(k)(Ordering.Tuple2[Double, Long])
+
   /** Single-query approximate kNN: per-partition graph search, driver
     * merge, canonical (dist, id) order. */
   def search(index: RDD[HnswGraph], spark: SparkSession,
       query: Array[Float], k: Int, idColName: String, ef: Int = 64): DataFrame = {
-    val top = index.flatMap(_.search(query, k, ef).map { case (id, dd) => (dd, id) })
-      .takeOrdered(k)(Ordering.Tuple2[Double, Long])
+    val top = searchTop(index, query, k, ef)
     val schema = StructType(Seq(
       StructField(idColName, LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false)))

@@ -25,6 +25,16 @@ object ThresholdFilter {
       results.filter(col(distCol) <= threshold)
     }
 
+  /** The same semantics over an already-collected k-row result (the warm
+    * serve path holds its hits driver-side; re-entering Catalyst just to
+    * filter k rows would cost a full SQL action). One source of truth
+    * for the quirk: same bypass condition, same comparisons. */
+  def applyLocal[T](results: Seq[(T, Double)], threshold: Double, dim: Int): Seq[(T, Double)] =
+    if (dim > 50 && threshold > 1.5) {
+      val maxDist = if (results.isEmpty) Double.NegativeInfinity else results.map(_._2).max
+      if (maxDist > 5.0) results else results.filter(_._2 <= threshold)
+    } else results.filter(_._2 <= threshold)
+
   /** Default threshold by query-text length (SearchService.cs:82-102):
     * <5 chars → 0.9, <20 → 0.8, else 0.5. */
   def defaultThreshold(queryText: String): Double =

@@ -145,9 +145,29 @@ object Dedup {
 
   // ----------------------------------------------------------- components
 
-  /** Rounds the last components call took to converge (test telemetry —
-    * the deep-chain spec pins the contraction's round advantage). */
-  @volatile private[graft] var lastComponentRounds: Int = 0
+  /** Rounds the last components call took to converge (telemetry — the
+    * deep-chain specs pin the contraction's round advantage, and callers
+    * can audit convergence after the fact). */
+  @volatile var lastComponentRounds: Int = 0
+
+  /** Whether the last components call reached its fixpoint. `false`
+    * means `maxIter` truncated the iteration and the returned labels are
+    * best-so-far (each node still gets ONE label, but distant chain ends
+    * may not have met yet) — the call also logs a loud warning, so a
+    * silent wrong-ish answer can't slip through a pipeline. */
+  @volatile var lastComponentConverged: Boolean = true
+
+  /** Per-round canonical (post-distinct) edge counts of the last stars
+    * contraction, initial edge set first (empty for the propagation
+    * engine) — the adversarial-scale spec asserts no round re-expands
+    * the edge set beyond the structural 2×|E₀| bound. */
+  @volatile var lastComponentEdgeCounts: List[Long] = Nil
+
+  /** Below this live-edge count the per-round pointer jump is skipped:
+    * its chain-halving no longer buys back its two extra shuffles of
+    * fixed latency (the star passes alone converge in O(log n) rounds,
+    * and sub-100k-edge rounds are latency-bound, not data-bound). */
+  private val JumpMinEdges = 1L << 17
 
   /** Connected components over near-dup pairs — the resolution step a
     * dedup pipeline runs after pair mining: every document gets the
@@ -165,7 +185,12 @@ object Dedup {
     *    hops + a pointer jump per eager-localCheckpoint round) — kept for
     *    its directly-replayable SQL semantics; O(log diameter) rounds
     *    with a higher per-round join count.
-    * Self-pairs are ignored (mining emits strictly `id_a < id_b`). */
+    * Self-pairs are ignored (mining emits strictly `id_a < id_b`).
+    *
+    * Observability: [[lastComponentRounds]], [[lastComponentConverged]]
+    * and [[lastComponentEdgeCounts]] describe the last call; hitting
+    * `maxIter` before the fixpoint logs a loud warning and leaves
+    * `lastComponentConverged = false` (labels are then best-so-far). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, algorithm: String = "stars"): DataFrame = algorithm match {
     case "stars" => componentsStars(pairs, aCol, bCol, maxIter)
@@ -197,28 +222,33 @@ object Dedup {
           lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), r.getDecimal(1))
     }
-    // intermediate stages tolerate duplicate edge rows (group-bys and the
-    // round-final distinct absorb them) — ONE distinct shuffle per round,
-    // at the point the signature needs canonical form, instead of one per
-    // stage; at small pair counts the fixed per-stage shuffle latency is
-    // the entire round cost
+    // intermediate stages tolerate duplicate edge rows (window-mins and
+    // the round-final distinct absorb them) — ONE distinct shuffle per
+    // round, at the point the signature needs canonical form, instead of
+    // one per stage; at small pair counts the fixed per-stage shuffle
+    // latency is the entire round cost.
+    // Both star passes take their per-node minimum with a WINDOW over the
+    // src-partitioned rows instead of a groupBy + re-join (r5 verdict:
+    // round-cost trim): the min rides the same exchange the rows need
+    // anyway, so each pass is one shuffle, not an aggregate plus a join
+    // exchange. Skew note: a hot node's rows land in one window group
+    // either way — the old join shuffled the full neighbor list by src
+    // too, so the window moves no more data, it only drops passes.
+    val wSrc = Window.partitionBy(col("src"))
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = nbrs.groupBy(col("src"))
-        .agg(min(col("dst")).as("_mn"))
-        .select(col("src"), least(col("src"), col("_mn")).as("_m"))
-      nbrs.join(mins, "src")
+      nbrs
+        .withColumn("_m", least(col("src"), min(col("dst")).over(wSrc)))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("_m").as("dst"))
         .filter(col("src") =!= col("dst"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       // e is (src > dst)-oriented: every dst is a strictly smaller neighbor
-      val mins = e.groupBy(col("src")).agg(min(col("dst")).as("_m"))
-      val moved = e.join(mins, "src")
-        .filter(col("dst") =!= col("_m"))
+      val withM = e.withColumn("_m", min(col("dst")).over(wSrc))
+      val moved = withM.filter(col("dst") =!= col("_m"))
         .select(col("dst").as("src"), col("_m").as("dst"))
-      moved.unionByName(mins.select(col("src"), col("_m").as("dst")))
+      moved.unionByName(withM.select(col("src"), col("_m").as("dst")))
         .filter(col("src") =!= col("dst"))
     }
     // min-parent pointer jump (the Shiloach–Vishkin shortcut): rewrite
@@ -235,18 +265,30 @@ object Dedup {
         .distinct()
     }
     var sig = signature(edges)
-    var converged = false
+    var counts = List(sig._1)
+    var converged = sig._1 == 0L // an empty pair set is already a fixpoint
     var i = 0
     while (!converged && i < maxIter) {
-      val next = jump(smallStar(largeStar(edges))).localCheckpoint(true)
+      // the jump pays its two extra shuffles only while the edge set is
+      // deep-chain-big; small rounds are pure fixed latency, so they run
+      // star passes + one canonicalizing distinct and nothing else
+      val contracted = smallStar(largeStar(edges))
+      val next = (if (sig._1 > JumpMinEdges) jump(contracted)
+        else contracted.distinct()).localCheckpoint(true)
       val nsig = signature(next)
       org.apache.spark.sql.graft.bridge.freeCheckpoint(edges)
       edges = next
       converged = nsig == sig
       sig = nsig
+      counts ::= nsig._1
       i += 1
     }
     lastComponentRounds = i
+    lastComponentConverged = converged
+    lastComponentEdgeCounts = counts.reverse
+    if (!converged)
+      println(s"[dedup] connectedComponents(stars) truncated at maxIter=$maxIter " +
+        s"with ${sig._1} edges still live — labels are best-so-far, NOT a fixpoint")
     org.apache.spark.sql.graft.bridge.freeCheckpoint(p)
     // label derivation that is exact at the fixpoint (star forest: each
     // src has ONE dst = its component minimum; roots appear only as dst)
@@ -317,6 +359,11 @@ object Dedup {
       i += 1
     }
     lastComponentRounds = i
+    lastComponentConverged = converged
+    lastComponentEdgeCounts = Nil
+    if (!converged)
+      println(s"[dedup] connectedComponents(propagation) truncated at maxIter=$maxIter " +
+        "with labels still improving — labels are best-so-far, NOT a fixpoint")
     // the result is checkpoint-backed and self-contained: the pair source
     // and edge frames are no longer reachable from it
     org.apache.spark.sql.graft.bridge.freeCheckpoint(p)
@@ -382,16 +429,20 @@ object Dedup {
         .filter(col(idCol) < col("_id_b"))
         .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
         .dropDuplicates("id_a", "id_b")
-      // exact-Jaccard verify: carry raw texts through the joins and shingle
-      // AFTER them, so the (non-codegen) shingle HOFs run only on the few
-      // candidate rows, not the whole corpus
+      // exact-Jaccard verify: carry raw texts through the joins and
+      // shingle AFTER them, so shingling runs only on the candidate
+      // rows, not the whole corpus. |∩|/|∪| is computed over DISTINCT
+      // 64-bit shingle hashes (the codegen kernel the signatures already
+      // trust) instead of materialized shingle strings — identical set
+      // cardinalities, so identical Jaccard values, at a fraction of the
+      // per-pair cost (no split/concat_ws string churn)
       val texts = df.select(col(idCol), col(textCol))
       candidates
         .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_t_a")), "id_a")
         .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_t_b")), "id_b")
         .select(col("id_a"), col("id_b"),
-          round(jaccard(shingles(col("_t_a"), shingleSize),
-            shingles(col("_t_b"), shingleSize)), 6).as("jaccard"))
+          round(jaccard(array_distinct(ShingleHashExpr(col("_t_a"), shingleSize)),
+            array_distinct(ShingleHashExpr(col("_t_b"), shingleSize))), 6).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
     if (!expandDuplicates) repPairs

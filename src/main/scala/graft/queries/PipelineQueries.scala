@@ -247,7 +247,7 @@ object PipelineQueries {
 
   /** The planted near-dup fixture (shared by the three _planted queries):
     * source docs + whitespace variants (+1e6) + exact copies (+2e6). */
-  private def plantedDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
@@ -257,7 +257,7 @@ object PipelineQueries {
   }
 
   /** The same fixture as a DuckDB CTE. */
-  private val fixtureCte =
+  private[queries] val fixtureCte =
     """fixture AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

@@ -74,6 +74,45 @@ class AutoRebuildSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("served facade: REST writes → quiet cadence → warm-path serve (server defaults autoRebuild ON)") {
+    // the reference's service process always runs the background index
+    // thread (API.gRPC/Program.cs:14 hosts the VectorDatabase whose
+    // rebuild thread starts in the ctor — VectorDatabase.cs:124): the
+    // served facade here defaults autoRebuild ON, so a REST client's
+    // writes come back to warm-index serving with no explicit rebuild
+    val srv = VectorHttpServer.serve(spark, 2, autoRebuildDelayMs = 200)
+    val db = srv.db
+    val base = s"http://127.0.0.1:${srv.start()}"
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String) = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+        .method("POST", java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(db.autoRebuild, "a SERVED facade must default the background rebuild on")
+      (1 to 12).foreach { i =>
+        val r = post("/vector", f"""{"id":"v$i%02d","values":[$i.0,0.0]}""")
+        assert(r.statusCode() === 201)
+      }
+      assert(!db.hasWarmIndexes) // writes invalidate; quiet period not yet elapsed
+      assert(awaitWarm(db), "served auto-rebuild never produced warm indexes")
+      // warm-path serve: the default KDTree dispatch now runs the local
+      // index, and serving does NOT invalidate it; the serve job-group
+      // counter is the evidence the request ran Spark work on the serve path
+      val before = db.metrics.serveJobs.get()
+      // query next to v01 — the REST path applies the facade's default
+      // similarity threshold (0.5), so only the adjacent vector qualifies
+      val hits = post("/vectors/searchNearest?k=3", """{"values":[1.2,0.0]}""")
+      assert(hits.statusCode() === 200)
+      assert(hits.body().contains("\"v01\"") && hits.body().contains("\"dist\""))
+      assert(db.hasWarmIndexes, "a read must not drop the warm indexes")
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (System.nanoTime() < deadline && db.metrics.serveJobs.get() == before)
+        Thread.sleep(50)
+      assert(db.metrics.serveJobs.get() > before, "no serve-group job observed for the warm search")
+    } finally { srv.stop(); db.close() }
+  }
+
   test("debounce: a write burst schedules ONE rebuild after the last write, not one per write") {
     val db = new NeighborlySpark(spark, 2, autoRebuild = true, autoRebuildDelayMs = 400)
     try {

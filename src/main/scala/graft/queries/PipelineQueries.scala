@@ -254,6 +254,7 @@ object PipelineQueries {
           regexp_replace(col("text"), " ", "  ").as("text")))
       .unionByName(d.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .localCheckpoint(true)
   }
 
   /** The same fixture as a DuckDB CTE. */

@@ -677,7 +677,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
 
 object NeighborlySpark {
   /** (surrogate, full record) pair RDD from a (table ⋈ sid-mapping)
-    * frame, MEMORY_ONLY-persisted — the warm serve path's record store.
+    * frame, persisted MEMORY_AND_DISK — the warm serve path's record store.
     * Lives on the companion so the map closure captures no facade
     * instance (the class is not serializable, by design). */
   private[api] def recordsBySid(wide: DataFrame): org.apache.spark.rdd.RDD[(Long, VectorRecord)] =
@@ -685,5 +685,5 @@ object NeighborlySpark {
         col("original_text"), col("priority"), col("user_id"), col("org_id"))
       .rdd
       .map(r => (r.getAs[Long]("_sid"), VectorHttpServer.rowToRecord(r)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 }

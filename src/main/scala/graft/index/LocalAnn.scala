@@ -12,9 +12,11 @@ import org.apache.spark.storage.StorageLevel
   * Neighborly/Search/KDTree.cs).
   *
   * Shape: one JVM index object per partition, persisted DESERIALIZED
-  * (`StorageLevel.MEMORY_ONLY` on an RDD of plain objects), so repeated
-  * single queries touch warm in-heap arrays instead of re-running the
-  * parquet scan + codegen pipeline. Each partition answers with its local
+  * (`StorageLevel.MEMORY_AND_DISK` on an RDD of plain objects — disk
+  * spill instead of eviction, so a pressured executor degrades to a
+  * local read rather than a recompute through freed upstream blocks),
+  * so repeated single queries touch warm in-heap arrays instead of
+  * re-running the parquet scan + codegen pipeline. Each partition answers with its local
   * top-k; the driver merges parts×k candidates — exactly the KD-tree
   * "build once, query many" contract, distributed.
   *
@@ -101,7 +103,7 @@ object LocalAnn {
           sorted.map(_._1), sorted.map(_._3), sorted.map(_._2)))
       }
     }
-    rdd.persist(StorageLevel.MEMORY_ONLY)
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
     rdd
   }
 

@@ -157,7 +157,7 @@ object LocalHnsw {
       if (rows.isEmpty) Iterator.empty
       else Iterator.single(new HnswGraph(rows.map(_._1), rows.map(_._2), m, efConstruction, seed))
     }
-    rdd.persist(StorageLevel.MEMORY_ONLY)
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
     rdd
   }
 

@@ -106,6 +106,36 @@ object Ivf {
       .limit(k)
   }
 
+  /** IVF-ADC kNN — the composed IVFPQ layout (Jégou, Douze & Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+    * §V's IVFADC): the coarse cells prune the scan to `nprobe/nlist` of
+    * the table, the survivors are scored in the COMPRESSED domain (one
+    * `AdcExpr` table lookup per code row — the float vectors stay
+    * unread), and only the `candidateFactor×k` best ADC candidates pay
+    * an exact distance. This is the 100 TB read-path shape:
+    * cell-partitioned storage turns the probe filter into partition
+    * pruning, the code column is ~32× smaller than the vectors, and the
+    * exact re-rank touches O(k) rows. */
+  def searchPq(ivf: IvfModel, pq: PqModel, vectors: DataFrame,
+      idCol: String, vecCol: String, query: Array[Float], k: Int,
+      nprobe: Int = 4, metric: String = "euclidean",
+      candidateFactor: Int = 10): DataFrame = {
+    if (pq.numSubVectors == 0)
+      return search(ivf, vectors, idCol, vecCol, query, k, nprobe, metric)
+    val probeSet = ivf.probes(query, nprobe)
+    val probed = assign(ivf, vectors, vecCol)
+      .filter(col("cluster").isin(probeSet: _*))
+    val tables = pq.adcTables(query)
+    ProductQuantization.quantize(pq, probed, vecCol)
+      .withColumn("adc", graft.functions.AdcExpr(col("codes"), tables))
+      .orderBy(col("adc"), col(idCol))
+      .limit(math.max(k, candidateFactor * k))
+      .withColumn("dist", round(Distances.metric(metric)(col(vecCol), typedLit(query)), 6))
+      .select(col(idCol), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Batch probe-limited kNN — the multi-query scale path. Each query
     * ranks the `nlist`-row centroid table (exploded per query — tiny) and
     * keeps its `nprobe` nearest clusters; the (query, cluster) probe

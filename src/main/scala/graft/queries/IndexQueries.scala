@@ -83,6 +83,17 @@ object IndexQueries {
         embeddingOf(s, dir, 0), k = 10, nprobe = 4)
     }),
 
+    // Composed IVF-ADC (IVFPQ): probe-pruned cells → compressed-domain
+    // ADC scan → exact re-rank of the candidate pool. The oracle is the
+    // ivf_knn probe replay's exact top-k — hash-matching it proves the
+    // compressed stage never drops a true neighbor at this pool size
+    // (the same guarantee pq_knn's oracle pins for the unprobed scan).
+    "ivfpq_knn" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Ivf.searchPq(ivfModelFor(s, dir), pqModelFor(s, dir), e,
+        "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10, nprobe = 4)
+    }),
+
     // IVF batch kNN: per-query probe sets over the replayable sampled
     // centroids, probe pairs broadcast-joined against the assigned table,
     // bounded-heap per-query top-k. Full-pipeline oracle like ivf_knn.
@@ -340,6 +351,33 @@ object IndexQueries {
     // sequential-double folds, and only then does the exact top-k run on
     // the probed clusters.
     "ivf_knn" -> {
+      val hashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY $hashExpr, vec_id) - 1 AS cid,
+         |         embedding AS cv
+         |  FROM embeddings ORDER BY $hashExpr, vec_id LIMIT 16),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cid AS cid FROM cent c, q
+         |          ORDER BY ${sqlEuclidSq("c.cv", "q.qv")}, c.cid LIMIT 4),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id AS vec_id, c.cid AS cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+         |SELECT e.vec_id AS vec_id, ${sqlEuclid("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e
+         |JOIN assign a ON a.vec_id = e.vec_id
+         |JOIN probe p ON p.cid = a.cid, q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+    },
+
+    // IVF-ADC must land on the SAME rows as the probe replay's exact
+    // top-k: the compressed-domain candidate pool (100 rows here) has to
+    // contain the true top-10 of the probed cells, and the exact re-rank
+    // then restores exact distances and order. Any ADC-induced miss
+    // hash-mismatches this oracle.
+    "ivfpq_knn" -> {
       val hashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
       s"""WITH cent AS (
          |  SELECT row_number() OVER (ORDER BY $hashExpr, vec_id) - 1 AS cid,

@@ -29,6 +29,21 @@ class IvfSpec extends SparkSpec {
     assert(all === exact)
   }
 
+  test("IVF-ADC (searchPq) lands on the probe replay's exact rows — the compressed stage drops nothing") {
+    val q = emb.filter($"vec_id" === 0).head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val pq = ProductQuantization.fit(emb, "embedding")
+    val composed = Ivf.searchPq(model, pq, emb, "vec_id", "embedding", q, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probeExact = Ivf.search(model, emb, "vec_id", "embedding", q, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(composed === probeExact)
+    // an inert PQ model degrades to the plain probe-pruned exact search
+    val inert = Ivf.searchPq(model, PqModel(Array.empty, 0), emb,
+      "vec_id", "embedding", q, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inert === probeExact.take(5))
+  }
+
   test("self-query lands in its own probe; probe-limited search finds it first") {
     val q = emb.filter($"vec_id" === 5).head().getAs[scala.collection.Seq[Float]]("embedding").toArray
     val out = Ivf.search(model, emb, "vec_id", "embedding", q, k = 3, nprobe = 1).collect()

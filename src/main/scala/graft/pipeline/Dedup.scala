@@ -379,6 +379,37 @@ object Dedup {
   def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
     MinHashSigExpr(transform(shinglesCol, s => xxhash64(s)), numHashes)
 
+  /** The per-band bucket keys of a signature: band i hashes lanes
+    * [i·rows, (i+1)·rows) — one 64-bit bucket id per band. */
+  private def bandBuckets(sigCol: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sigCol, b * lit(rows) + 1, lit(rows))))
+  }
+
+  /** (id, band, bucket) MinHash-LSH banding rows for every eligible doc
+    * (≥ 1 shingle) — the candidate-generation key, exposed standalone so
+    * a PERSISTED bucket index can be built over a kept corpus (the
+    * streaming near-dup store) and probed with the same keys batch
+    * mining uses. */
+  def minHashBands(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    df.select(col(idCol), ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idCol),
+        posexplode(bandBuckets(MinHashSigExpr(col("_sh"), numHashes), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Exact n-gram Jaccard of two text columns over distinct 64-bit
+    * shingle hashes — the verify kernel shared by batch mining and the
+    * streaming cross-store verify (identical set cardinalities to
+    * string shingles, a fraction of the cost). */
+  def jaccardByHash(textA: Column, textB: Column, shingleSize: Int): Column =
+    jaccard(array_distinct(ShingleHashExpr(textA, shingleSize)),
+      array_distinct(ShingleHashExpr(textB, shingleSize)))
+
   /** MinHash-LSH near-duplicate pairs (id_a < id_b, verified Jaccard ≥
     * `threshold`). Signature → `bands` bands of `numHashes/bands` rows;
     * a shared band bucket makes a candidate pair; candidates (and only
@@ -399,7 +430,6 @@ object Dedup {
       logDroppedBuckets: Boolean = false,
       repPairs0: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val rows = numHashes / bands
     val members = memberFrame(df, idCol, col(textCol))
     // repPairs0 skips the signature pipeline entirely (callers memoize
     // rep-level pairs per corpus — the kernels are the dominant cost)
@@ -418,9 +448,7 @@ object Dedup {
         .select(col(idCol), col("_ch"), col("_n"), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
         .localCheckpoint(true)
       val banded = withSig.select(
-        col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+        col(idCol), posexplode(bandBuckets(col("sig"), numHashes, bands)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       logDrops("minhash", banded, Seq("band", "bucket"), idCol, maxBucket, logDroppedBuckets)
       val capped = capBuckets(banded, Seq("band", "bucket"), idCol, maxBucket)
@@ -441,8 +469,7 @@ object Dedup {
         .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_t_a")), "id_a")
         .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_t_b")), "id_b")
         .select(col("id_a"), col("id_b"),
-          round(jaccard(array_distinct(ShingleHashExpr(col("_t_a"), shingleSize)),
-            array_distinct(ShingleHashExpr(col("_t_b"), shingleSize))), 6).as("jaccard"))
+          round(jaccardByHash(col("_t_a"), col("_t_b"), shingleSize), 6).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
     if (!expandDuplicates) repPairs

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming exact deduplication for the ingest path — the stream form of
   * `pipeline.Dedup.exact` (build-brief LLM-pipeline extension; SURVEY
@@ -9,8 +11,10 @@ import org.apache.spark.sql.functions._
   * duplicates never reach storage, rather than re-scanning the corpus
   * per batch.
   *
-  * Two shapes, both backed by Spark's streaming state store (state lives
-  * in the checkpoint, so dedup survives query restarts):
+  * Exact dedup comes in two shapes, both backed by Spark's streaming
+  * state store (state lives in the checkpoint, so dedup survives query
+  * restarts); NEAR-dup dedup ([[nearDupKeep]]) runs as a foreachBatch
+  * pipeline against a persisted LSH bucket index over the kept corpus:
   *
   *  - `exactForever(df, idCols)`: `dropDuplicates` on the content hash —
   *    state grows with the distinct-content count, the right tool for
@@ -47,4 +51,111 @@ object StreamingDedup {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("_ck")
       .drop("_ck")
+
+  // ------------------------------------------------- streaming near-dup
+
+  /** Streaming NEAR-duplicate keep: each micro-batch is deduped within
+    * itself (MinHash components, min-id representative — the batch
+    * operator unchanged) and then against EVERYTHING kept so far, via a
+    * persisted LSH bucket index over the kept corpus:
+    *
+    *  1. within-batch: `Dedup.minHashComponents` collapses the batch's
+    *     near-dup clusters to their min-id representative;
+    *  2. cross-store: the survivors' band buckets equi-join the store's
+    *     bucket index — only COLLIDING (band, bucket) rows meet, never
+    *     batch × corpus — and candidates are verified with the exact
+    *     hash-shingle Jaccard against the kept texts;
+    *  3. the verified-novel docs append to the store: their rows under
+    *     `kept/batch<id>/`, their bucket rows under `buckets/batch<id>/`.
+    *
+    * Crash/idempotency contract: Structured Streaming re-runs a failed
+    * batch with the SAME batch id, and both writes use overwrite mode
+    * into batch-deterministic directories; readers (including step 2 of
+    * the next batch) list only directories carrying Spark's _SUCCESS
+    * marker, so a half-written batch is invisible until its retry
+    * commits. Single writer, like every store in this module.
+    *
+    * Scale shape: per batch the work is O(batch signatures) + one
+    * equi-join against the bucket index + O(candidates) verify. The
+    * bucket index grows with the kept corpus; at warehouse scale it
+    * would live bucket-partitioned (bucketBy/liquid clustering) so the
+    * probe join shuffles only the batch side — documented, not required
+    * by the local layout.
+    */
+  def nearDupKeep(stream: DataFrame, idCol: String, textCol: String,
+      storePath: String, checkpoint: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupBatch(batch, batchId, idCol, textCol, storePath,
+          threshold, shingleSize, numHashes, bands)
+      }
+      .start()
+
+  /** Kept corpus so far: (idCol, textCol) of every committed batch. */
+  def readKept(spark: SparkSession, storePath: String): DataFrame = {
+    val dirs = committedDirs(spark, s"$storePath/kept")
+    require(dirs.nonEmpty, s"no committed batches under $storePath/kept")
+    spark.read.parquet(dirs: _*)
+  }
+
+  private def committedDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+      .map(_.toString).toSeq
+  }
+
+  private[streaming] def nearDupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, storePath: String,
+      threshold: Double, shingleSize: Int, numHashes: Int, bands: Int): Unit = {
+    import graft.pipeline.Dedup
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+
+    // 1. within-batch collapse: keep each near-dup cluster's min id
+    val comps = Dedup.minHashComponents(docs, idCol, textCol, threshold,
+      shingleSize, numHashes, bands)
+    val batchKeep = docs.join(
+        comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+
+    // 2. cross-store: probe the kept corpus's bucket index
+    val keptDirs = committedDirs(spark, s"$storePath/kept")
+    val bucketDirs = committedDirs(spark, s"$storePath/buckets")
+    val survivors =
+      if (keptDirs.isEmpty || bucketDirs.isEmpty) batchKeep
+      else {
+        val kept = spark.read.parquet(keptDirs: _*)
+        val bucketIdx = spark.read.parquet(bucketDirs: _*)
+        val probes = Dedup.minHashBands(batchKeep, idCol, textCol,
+          shingleSize, numHashes, bands)
+        val candidates = probes
+          .join(bucketIdx.withColumnRenamed(idCol, "_kept_id"), Seq("band", "bucket"))
+          .select(col(idCol), col("_kept_id"))
+          .dropDuplicates(idCol, "_kept_id")
+        val dropIds = candidates
+          .join(batchKeep.select(col(idCol), col(textCol).as("_t_new")), idCol)
+          .join(kept.select(col(idCol).as("_kept_id"), col(textCol).as("_t_old")), "_kept_id")
+          .filter(round(Dedup.jaccardByHash(col("_t_new"), col("_t_old"), shingleSize), 6)
+            >= threshold)
+          .select(col(idCol)).distinct()
+        batchKeep.join(dropIds, Seq(idCol), "left_anti")
+      }
+
+    // 3. commit the novel docs + their bucket rows (deterministic dirs —
+    // a retried batch overwrites its own partial output)
+    val survived = survivors.localCheckpoint(true)
+    survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
+    Dedup.minHashBands(survived, idCol, textCol, shingleSize, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$storePath/buckets/batch$batchId")
+  }
 }

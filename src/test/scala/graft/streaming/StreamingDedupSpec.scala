@@ -40,6 +40,48 @@ class StreamingDedupSpec extends SparkSpec {
       s"cross-batch duplicate must stay suppressed, got $ids")
   }
 
+  test("nearDupKeep: cross-batch near-dups drop via the persisted bucket index; novel docs survive") {
+    implicit val sql = spark.sqlContext
+    import sqlImplicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sneardup_${System.nanoTime()}"
+    val source = MemoryStream[Doc]
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val ws = base.replace(" ", "  ") // whitespace variant: same tokens → jaccard 1.0
+    val other = "completely different content about spark query engines and distributed joins at scale"
+
+    def run(): Unit = {
+      val q = StreamingDedup.nearDupKeep(
+        source.toDF().select($"doc_id", $"text"), "doc_id", "text",
+        s"$dir/store", s"$dir/ckpt", threshold = 0.8,
+        trigger = Trigger.AvailableNow())
+      q.processAllAvailable(); q.awaitTermination()
+    }
+
+    // batch 1: base + an in-batch whitespace near-dup + one novel doc
+    source.addData(Doc(1, base, t(0)), Doc(2, ws, t(1)), Doc(3, other, t(2)))
+    run()
+    val kept1 = StreamingDedup.readKept(spark, s"$dir/store")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept1 === Seq(1L, 3L)) // 2 collapsed into 1 within the batch
+
+    // batch 2 (restarted query, same store): a cross-batch near-dup of
+    // doc 1, an exact copy of doc 3, and one genuinely new doc
+    val near = base.replace("dog", "cat") // 1 token of ~17 changed → jaccard ≈ 0.84
+    source.addData(Doc(10, ws, t(3)), Doc(11, other, t(4)), Doc(12, near, t(5)),
+      Doc(13, "unrelated words entirely standing alone here today", t(6)))
+    run()
+    val kept2 = StreamingDedup.readKept(spark, s"$dir/store")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // 10 (≡1 by tokens) and 11 (=3) must drop THROUGH THE STORE, not
+    // in-batch; 12 is near but below... — check which side of 0.8 it is:
+    // shingle sets of base vs near differ in 3 of ~15 3-grams → ≈ 0.67 < 0.8 → kept
+    assert(kept2.contains(13L) && kept2.contains(12L),
+      s"novel docs must survive, got $kept2")
+    assert(!kept2.contains(10L) && !kept2.contains(11L),
+      s"cross-batch near-dups must drop via the bucket index, got $kept2")
+    assert(kept2 === Seq(1L, 3L, 12L, 13L))
+  }
+
   test("exactWithin evicts state past the watermark horizon (bounded state)") {
     implicit val sql = spark.sqlContext
     import sqlImplicits._

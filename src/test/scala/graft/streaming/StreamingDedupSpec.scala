@@ -82,6 +82,18 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept2 === Seq(1L, 3L, 12L, 13L))
   }
 
+  test("nearDupKeep: an empty micro-batch commits cleanly and leaves the store intact") {
+    import sqlImplicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sneardup_empty_${System.nanoTime()}"
+    val seed = Seq((1L, "seed document with enough tokens to shingle today")).toDF("doc_id", "text")
+    StreamingDedup.nearDupBatch(seed, 0L, "doc_id", "text", s"$dir/store", 0.8, 3, 128, 32)
+    val empty = seed.limit(0)
+    StreamingDedup.nearDupBatch(empty, 1L, "doc_id", "text", s"$dir/store", 0.8, 3, 128, 32)
+    val kept = StreamingDedup.readKept(spark, s"$dir/store")
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("exactWithin evicts state past the watermark horizon (bounded state)") {
     implicit val sql = spark.sqlContext
     import sqlImplicits._

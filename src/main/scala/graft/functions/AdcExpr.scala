@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
@@ -51,4 +51,49 @@ case class AdcExpr(child: Expression, tables: Array[Array[Double]])
 object AdcExpr {
   def apply(codes: Column, tables: Array[Array[Double]]): Column =
     bridge.column(AdcExpr(bridge.expression(codes), tables))
+}
+
+/** Row-level ADC: like [[AdcExpr]] but the lookup tables arrive as a
+  * COLUMN (`ARRAY<ARRAY<DOUBLE>>`, one tables value per row) — the
+  * BATCH path computes each query's tables once on the broadcast side,
+  * so every (query, code-row) bucket collision is scored with pure
+  * table lookups, never the original floats. */
+case class AdcLookupExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"adc_lookup requires (ARRAY<INT> codes, ARRAY<ARRAY<DOUBLE>> tables), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lookup"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcLookupExpr =
+    copy(left = l, right = r)
+
+  override def nullSafeEval(c: Any, t: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val tables = t.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), tables.numElements())
+    var s = 0.0; var b = 0
+    while (b < m) { s += tables.getArray(b).getDouble(codes.getInt(b)); b += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val b = ctx.freshName("b"); val m = ctx.freshName("m"); val s = ctx.freshName("s")
+      s"""int $m = java.lang.Math.min($c.numElements(), $t.numElements());
+         |double $s = 0.0;
+         |for (int $b = 0; $b < $m; $b++) {
+         |  $s += $t.getArray($b).getDouble($c.getInt($b));
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);""".stripMargin
+    })
+}
+
+object AdcLookupExpr {
+  def apply(codes: Column, tables: Column): Column =
+    bridge.column(AdcLookupExpr(bridge.expression(codes), bridge.expression(tables)))
 }

@@ -116,17 +116,26 @@ object Ivf {
     * cell-partitioned storage turns the probe filter into partition
     * pruning, the code column is ~32× smaller than the vectors, and the
     * exact re-rank touches O(k) rows. */
+  /** The persisted IVF-PQ index artifact: every row with its coarse cell
+    * and PQ code. `assign` + `quantize` are BUILD-time work — run once,
+    * checkpoint/persist, and pass to the search verbs via `coded0`
+    * (recomputing codes per query would put the codebook scoring back
+    * on the read path). */
+  def codedTable(ivf: IvfModel, pq: PqModel, vectors: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    ProductQuantization.quantize(pq, assign(ivf, vectors, vecCol), vecCol)
+      .select(col(idCol), col(vecCol), col("cluster"), col("codes"))
+
   def searchPq(ivf: IvfModel, pq: PqModel, vectors: DataFrame,
       idCol: String, vecCol: String, query: Array[Float], k: Int,
       nprobe: Int = 4, metric: String = "euclidean",
-      candidateFactor: Int = 10): DataFrame = {
+      candidateFactor: Int = 10, coded0: Option[DataFrame] = None): DataFrame = {
     if (pq.numSubVectors == 0)
       return search(ivf, vectors, idCol, vecCol, query, k, nprobe, metric)
     val probeSet = ivf.probes(query, nprobe)
-    val probed = assign(ivf, vectors, vecCol)
-      .filter(col("cluster").isin(probeSet: _*))
     val tables = pq.adcTables(query)
-    ProductQuantization.quantize(pq, probed, vecCol)
+    coded0.getOrElse(codedTable(ivf, pq, vectors, idCol, vecCol))
+      .filter(col("cluster").isin(probeSet: _*))
       .withColumn("adc", graft.functions.AdcExpr(col("codes"), tables))
       .orderBy(col("adc"), col(idCol))
       .limit(math.max(k, candidateFactor * k))
@@ -134,6 +143,65 @@ object Ivf {
       .select(col(idCol), col("dist"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
+  }
+
+  /** Batch IVF-ADC — [[searchPq]]'s multi-query form. Probe selection
+    * and the (query, cluster)-pair broadcast join are [[searchBatch]]'s;
+    * the difference is the scoring of each collision: every query's
+    * 256-entry-per-block ADC tables are computed ONCE on the broadcast
+    * side (a per-row HOF over the codebook literals — |Q|·nprobe rows,
+    * never data), and each probed row then costs `numSubVectors` table
+    * lookups over its 8-byte code instead of a full-width float fold.
+    * The per-query `candidateFactor×k` ADC pool (bounded-heap partial
+    * aggregate) re-ranks exactly, so the output matches the exact probe
+    * replay whenever the pool contains the true top-k — the property
+    * the oracle pins. */
+  def searchPqBatch(ivf: IvfModel, pq: PqModel, vectors: DataFrame,
+      idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int = 4, metric: String = "euclidean",
+      candidateFactor: Int = 10, coded0: Option[DataFrame] = None): DataFrame = {
+    if (pq.numSubVectors == 0)
+      return searchBatch(ivf, vectors, idCol, vecCol,
+        queries, queryIdCol, queryVecCol, k, nprobe, metric)
+    import org.apache.spark.sql.expressions.Window
+    val centersLit = typedLit(ivf.centers.map(_.toSeq).toSeq)
+    val probes = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .select(col(queryIdCol), col(queryVecCol),
+        posexplode(centersLit).as(Seq("_cid", "_cv")))
+      .withColumn("_cd", Distances.euclidean(col(queryVecCol), col("_cv")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("_cd"), col("_cid"))))
+      .filter(col("_rn") <= nprobe)
+      .select(col(queryIdCol), col(queryVecCol).as("_qv"), col("_cid").as("cluster"))
+    // per-query ADC tables: tables[b][c] = ‖q_block_b − centroid_{b,c}‖²
+    val subDim = pq.subDim
+    val pqCentsLit = typedLit(
+      pq.models.map(_.clusterCenters.map(_.toArray.toSeq).toSeq).toSeq)
+    val probesT = probes.withColumn("_tables",
+      transform(pqCentsLit, (blockCents, b) =>
+        transform(blockCents, cv =>
+          aggregate(
+            zip_with(slice(col("_qv"), b * lit(subDim) + lit(1), lit(subDim)), cv,
+              (x, y) => { val d = x.cast("double") - y; d * d }),
+            lit(0.0), (acc, v) => acc + v))))
+    // the (cluster, codes) table is the build-time artifact; the probe
+    // join reads only colliding cells of it
+    val coded = coded0.getOrElse(codedTable(ivf, pq, vectors, idCol, vecCol))
+    val scored = coded.select(col(idCol), col("cluster"), col("codes"))
+      .join(broadcast(probesT), "cluster")
+      .withColumn("dist", graft.functions.AdcLookupExpr(col("codes"), col("_tables")))
+    val pool = graft.ops.Knn.batchOver(scored, idCol, queryIdCol,
+      math.max(k, candidateFactor * k))
+    // exact re-rank of the bounded pool: candidate ids broadcast back to
+    // the table; query vectors re-attach by query id
+    val rescored = vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(pool.select(col(queryIdCol), col(idCol))), idCol)
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol).as("_qv"))),
+        queryIdCol)
+      .withColumn("dist", round(Distances.metric(metric)(col(vecCol), col("_qv")), 6))
+    graft.ops.Knn.batchOver(rescored, idCol, queryIdCol, k)
   }
 
   /** Batch probe-limited kNN — the multi-query scale path. Each query

@@ -91,7 +91,21 @@ object IndexQueries {
     "ivfpq_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Ivf.searchPq(ivfModelFor(s, dir), pqModelFor(s, dir), e,
-        "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10, nprobe = 4)
+        "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10, nprobe = 4,
+        coded0 = Some(ivfpqCodedFor(s, dir)))
+    }),
+
+    // Batch IVF-ADC: per-query ADC tables broadcast with the probe
+    // pairs, collisions scored by table lookup over the 8-byte codes,
+    // bounded ADC pool re-ranked exactly. Oracle = the exact per-query
+    // probe replay (same candidates-contain-truth pin as ivfpq_knn).
+    "ivfpq_knn_batch" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Ivf.searchPqBatch(ivfModelFor(s, dir), pqModelFor(s, dir), e,
+        "vec_id", "embedding", q, "query_id", "qv", k = 5, nprobe = 4,
+        coded0 = Some(ivfpqCodedFor(s, dir)))
     }),
 
     // IVF batch kNN: per-query probe sets over the replayable sampled
@@ -200,6 +214,15 @@ object IndexQueries {
   private def hnswFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     hnswIdx.computeIfAbsent(sessionKey(s, dir), _ => LocalHnsw.build(
       table(s, dir, "embeddings").repartition(4, col("vec_id")), "vec_id", "embedding"))
+
+  // the IVF-PQ (cluster, codes) table is an index-BUILD artifact:
+  // assign + quantize run once per dataset and checkpoint; the search
+  // verbs read only colliding cells of it per query
+  private val ivfpqCoded = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def ivfpqCodedFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ivfpqCoded.computeIfAbsent(sessionKey(s, dir),
+      _ => Ivf.codedTable(ivfModelFor(s, dir), pqModelFor(s, dir),
+        table(s, dir, "embeddings"), "vec_id", "embedding").localCheckpoint(true))
 
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
   private def ivfModelFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfModel =
@@ -401,6 +424,43 @@ object IndexQueries {
 
     // Same full replay as ivf_knn, per query: centroid selection, probe
     // ranking, assignment, and the ranked top-k.
+    // Batch IVF-ADC lands on the exact per-query probe replay — the
+    // compressed pool must contain each query's true top-k and the
+    // re-rank restores exact order (hash-mismatch otherwise).
+    "ivfpq_knn_batch" -> {
+      val hashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY $hashExpr, vec_id) - 1 AS cid,
+         |         embedding AS cv
+         |  FROM embeddings ORDER BY $hashExpr, vec_id LIMIT 16),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.query_id AS query_id, c.cid AS cid,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${sqlEuclidSq("c.cv", "q.qv")}, c.cid) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id AS vec_id, c.cid AS cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |d AS (
+         |  SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+         |         ${sqlEuclid("e.embedding", "q.qv")} AS dist
+         |  FROM embeddings e
+         |  JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN probe p ON p.cid = a.cid
+         |  JOIN q ON q.query_id = p.query_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
+         |FROM (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |WHERE rank <= 5""".stripMargin
+    },
+
     "ivf_knn_batch" -> {
       val hashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
       s"""WITH cent AS (

@@ -44,6 +44,22 @@ class IvfSpec extends SparkSpec {
     assert(inert === probeExact.take(5))
   }
 
+  test("batch IVF-ADC (searchPqBatch) matches the exact probe-limited batch per query") {
+    import sqlImplicits._
+    val pq = ProductQuantization.fit(emb, "embedding")
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("dist"))).sortBy(t => (t._1, t._2)).toSeq
+    val adc = rows(Ivf.searchPqBatch(model, pq, emb, "vec_id", "embedding",
+      q, "query_id", "qv", k = 5, nprobe = 4))
+    val exact = rows(Ivf.searchBatch(model, emb, "vec_id", "embedding",
+      q, "query_id", "qv", k = 5, nprobe = 4))
+    assert(adc === exact)
+    assert(adc.map(_._1).distinct.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("self-query lands in its own probe; probe-limited search finds it first") {
     val q = emb.filter($"vec_id" === 5).head().getAs[scala.collection.Seq[Float]]("embedding").toArray
     val out = Ivf.search(model, emb, "vec_id", "embedding", q, k = 3, nprobe = 1).collect()

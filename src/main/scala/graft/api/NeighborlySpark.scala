@@ -427,10 +427,11 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
         algorithm == HNSW)
       warmLocal match {
         // warm fast path: one RDD probe for the k (surrogate, dist) hits,
-        // then ONE shallow SQL action — the k-row local relation
-        // broadcast-joins the persisted wide frame (broadcasting a
-        // LocalRelation runs no job), threshold applied in-plan with the
-        // same ThresholdFilter semantics as every other path
+        // then one raw RDD filter-collect over the persisted record store
+        // — no Catalyst planning, exchange, or AQE staging per request;
+        // the threshold applies driver-side with the SAME semantics as
+        // the plan-side filter (ThresholdFilter.applyLocal, property-
+        // pinned equal in ThresholdFilterLocalSpec)
         case Some(li) =>
           val top = algorithm match {
             case HNSW => graft.index.LocalHnsw.searchTop(li.hnsw, query, k)

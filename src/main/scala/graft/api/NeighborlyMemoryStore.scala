@@ -115,23 +115,25 @@ class NeighborlyMemoryStore(val db: NeighborlySpark,
     * fresh id; returns the caller's key when it was a valid Guid, else
     * the generated id. `collectionName` is ignored (reference does). */
   def upsert(collectionName: String, record: MemoryRecord): String = {
-    val requestHadValidId =
-      try { java.util.UUID.fromString(record.key); true }
-      catch { case _: IllegalArgumentException => false }
     val newId = db.addVector(VectorRecord("", record.embedding,
       original_text = record.metadata.text))
-    if (requestHadValidId) record.key else newId
+    if (isValidGuid(record.key)) record.key else newId
   }
+
+  /** The echo-key rule shared by point and batch upsert: a caller key is
+    * echoed back iff it parses as a Guid (null or malformed → the fresh
+    * id), one definition for both verbs. */
+  private def isValidGuid(key: String): Boolean =
+    key != null &&
+      (try { java.util.UUID.fromString(key); true }
+      catch { case _: IllegalArgumentException => false })
 
   /** Batch upsert with the point verb's exact semantics (every record
     * inserts a NEW vector; returned key echoes the caller's when it was a
     * valid Guid) — but as ONE union plan rewrite via
     * `addVectorRecords`, not N per-record rewrites. Zero Spark actions. */
   def upsertBatch(collectionName: String, records: Seq[MemoryRecord]): Seq[String] = {
-    val echoKey = records.map { r =>
-      try { java.util.UUID.fromString(r.key); true }
-      catch { case _: IllegalArgumentException => false }
-    }
+    val echoKey = records.map(r => isValidGuid(r.key))
     val newIds = db.addVectorRecords(records.map(r =>
       VectorRecord("", r.embedding, original_text = r.metadata.text)))
     records.zip(echoKey).zip(newIds).map { case ((r, echo), id) => if (echo) r.key else id }

@@ -148,11 +148,16 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * timer, so the rebuild runs once per quiet period, not per write. */
   private def scheduleRebuild(): Unit = rebuildExec.foreach { ex =>
     pendingRebuild.foreach(_.cancel(false))
-    pendingRebuild = Some(ex.schedule(new Runnable {
-      override def run(): Unit =
-        try rebuildIfQuiet()
-        catch { case e: Throwable => System.err.println(s"[graft] auto-rebuild failed: $e") }
-    }, autoRebuildDelayMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    // a mutation after (or racing) close() must stay the pre-daemon
+    // benign no-op, not a RejectedExecutionException from the
+    // shut-down executor (r6 review)
+    if (!ex.isShutdown)
+      try pendingRebuild = Some(ex.schedule(new Runnable {
+        override def run(): Unit =
+          try rebuildIfQuiet()
+          catch { case e: Throwable => System.err.println(s"[graft] auto-rebuild failed: $e") }
+      }, autoRebuildDelayMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      catch { case _: java.util.concurrent.RejectedExecutionException => () }
   }
 
   /** One background rebuild attempt: fit OUTSIDE the lock against a
@@ -161,7 +166,12 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   private[api] def rebuildIfQuiet(onFitted: () => Unit = () => ()): Unit = {
     val (e0, snapshot) = synchronized { (mutationEpoch.get(), df) }
     val cached = snapshot.cache()
-    val fitted = fitIndexes(cached)
+    // a failed fit must not pin the snapshot cache forever (r6 review;
+    // artifacts the fit created before throwing are best-effort — the
+    // ContextCleaner reclaims unreferenced checkpoint blocks)
+    val fitted =
+      try fitIndexes(cached)
+      catch { case t: Throwable => cached.unpersist(false); throw t }
     onFitted()
     synchronized {
       if (mutationEpoch.get() == e0) install(cached, fitted)
@@ -234,8 +244,14 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * Synchronized against the background installer: the epoch bump and
     * the index invalidation must be atomic w.r.t. an install's epoch
     * check, or a stale fit could land right after an invalidation. */
-  private def noteMutation(): Unit = {
+  /** Swap the table and record the mutation under ONE lock acquisition:
+    * a background install checks the epoch under this same lock, so it
+    * can never observe the new epoch without the new table or the new
+    * table without the epoch bump — a torn pair would let an epoch-clean
+    * install overwrite `df` and silently revert the write (r6 review). */
+  private def mutate(newDf: => DataFrame): Unit = {
     synchronized {
+      df = newDf
       mutations += 1
       mutationEpoch.incrementAndGet()
       unsaved = true
@@ -256,8 +272,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     val id = if (r.id == null || r.id.isEmpty) java.util.UUID.randomUUID().toString else r.id
     require(r.values.length == dimension,
       s"dimension ${r.values.length} != table dimension $dimension (enforced at ingest, SURVEY §1.4)")
-    df = df.unionByName(toRow(r.copy(id = id)))
-    noteMutation()
+    mutate(df.unionByName(toRow(r.copy(id = id))))
     id
   }
 
@@ -288,16 +303,15 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   def updateVector(id: String, values: Array[Float], originalText: String = ""): Boolean = {
     if (getVector(id).isEmpty) false
     else {
-      df = df.filter(col("id") =!= id)
-        .unionByName(toRow(VectorRecord(id, values, original_text = originalText)))
-      noteMutation()
+      mutate(df.filter(col("id") =!= id)
+        .unionByName(toRow(VectorRecord(id, values, original_text = originalText))))
       true
     }
   }
 
   def removeVector(id: String): Boolean = {
     if (getVector(id).isEmpty) false
-    else { df = df.filter(col("id") =!= id); noteMutation(); true }
+    else { mutate(df.filter(col("id") =!= id)); true }
   }
 
   /** Bulk record insert: ONE union plan rewrite and ONE mutation for the
@@ -314,8 +328,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     val rows: java.util.List[Row] = new java.util.ArrayList[Row](withIds.size)
     withIds.foreach(r => rows.add(Row(
       r.id, r.values.toSeq, r.tags.toSeq, r.original_text, r.priority, r.user_id, r.org_id)))
-    df = df.unionByName(spark.createDataFrame(rows, VectorSchema.schema))
-    noteMutation()
+    mutate(df.unionByName(spark.createDataFrame(rows, VectorSchema.schema)))
     withIds.map(_.id)
   }
 
@@ -348,12 +361,17 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   /** Bulk remove: ONE broadcast anti-join plan rewrite for the whole key
     * set (vs N existence jobs + N filter rewrites of per-key
     * `removeVector`). Absent ids are no-ops, matching the point verb's
-    * observable outcome. Zero Spark actions until the next read. */
+    * observable outcome — including that an ALL-absent batch mutates
+    * nothing (no dirty flag, no warm-index drop, no rebuild), which one
+    * bounded existence probe (`limit(1)` semi-join) establishes before
+    * the rewrite (r6 review: the unconditional path dirtied state and
+    * dropped the warm serve tier for a no-op). */
   def removeVectors(ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
     import spark.implicits._
-    df = df.join(broadcast(ids.toDF("id")), Seq("id"), "left_anti")
-    noteMutation()
+    val keys = broadcast(ids.toDF("id"))
+    if (df.join(keys, Seq("id"), "left_semi").limit(1).isEmpty) return
+    mutate(df.join(keys, Seq("id"), "left_anti"))
   }
 
   /** Vectors.Clear parity (VectorService.cs:100-110): drops every row;
@@ -530,16 +548,31 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * LSH projections are pure functions of (dim, seed) and need no
     * fitting. */
   def buildAllIndexes(): Unit = {
-    // explicit build: fit against the live table and install
-    // unconditionally (the caller asked for exactly this state); any
-    // pending debounced rebuild is now redundant
+    // explicit build: any pending debounced rebuild is now redundant.
+    // The install is epoch-guarded exactly like the background path — an
+    // unconditional `df = cached` would REVERT a mutation another thread
+    // landed during the multi-second fit (r6 review); when overtaken,
+    // the mutation's own debounce (or the caller's retry) owns the
+    // refresh and this fit is discarded.
     pendingRebuild.foreach(_.cancel(false))
-    val cached = df.cache()
-    val fitted = fitIndexes(cached)
-    synchronized { install(cached, fitted) }
+    rebuildIfQuiet()
   }
 
   private case class FittedIndexes(bq: Double, pq: PqModel, local: Option[LocalIdx])
+
+  /** Serving-tier partition clamp shared by every local-index artifact. */
+  private def serveParts: Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
+
+  /** Build + materialize the warm record store (ONE shape for the fit
+    * and load paths — r6 review: the two sites had drifted-in-waiting
+    * copies of the clamp + materialize sequence). */
+  private def buildRecordStore(table: DataFrame, mapping: DataFrame) = {
+    val records = NeighborlySpark.recordsBySid(
+      table.join(mapping, "id").repartition(serveParts))
+    records.count()
+    records
+  }
 
   /** Fit every index artifact from a snapshot — runs Spark jobs but
     * touches NO facade state, so the background thread can run it without
@@ -556,7 +589,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       val ranked = snapshot.select(col("id")).orderBy(col("id")).rdd
         .map(_.getString(0)).zipWithIndex()
         .map { case (id, i) => (i, id) }
-      val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
+      val parts = serveParts
       val mapping = spark.createDataFrame(ranked).toDF("_sid", "id")
         .coalesce(parts)
         .localCheckpoint(true)
@@ -567,14 +600,10 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       val keyed = snapshot.select(col("id"), col("values")).join(mapping, "id")
         .select(col("_sid"), col("id"), col("values"))
         .repartition(parts, col("_sid"))
-      // materialized OFF the facade lock, like the index fits
-      val records = NeighborlySpark.recordsBySid(snapshot.join(mapping, "id")
-        .repartition(parts))
-      records.count()
       Some(LocalIdx(mapping,
         graft.index.LocalAnn.build(keyed, "_sid", "values"),
         graft.index.LocalHnsw.build(keyed, "_sid", "values"),
-        records))
+        buildRecordStore(snapshot, mapping)))
     }
     FittedIndexes(bq, pq, local)
   }
@@ -650,14 +679,10 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       try {
         val mapping = spark.read.parquet(s"$path/indexes/sid_mapping")
           .localCheckpoint(true)
-        val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 8))
-        val records = NeighborlySpark.recordsBySid(
-          df.join(mapping, "id").repartition(parts))
-        records.count()
         Some(LocalIdx(mapping,
           graft.index.IndexStore.loadLocalAnn(spark, s"$path/indexes"),
           graft.index.IndexStore.loadHnsw(spark, s"$path/indexes"),
-          records))
+          buildRecordStore(df, mapping)))
       } catch { case _: Exception => None }
     unsaved = false
   }

@@ -113,6 +113,58 @@ class AutoRebuildSpec extends SparkSpec {
     } finally { srv.stop(); db.close() }
   }
 
+  test("a point write racing a fit is never reverted (atomic table+epoch swap)") {
+    val db = new NeighborlySpark(spark, 2) // manual driving, no timer
+    try {
+      (1 to 5).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
+      // the write lands between fit completion and the install lock — the
+      // r6 review's lost-update window: a torn (df, epoch) pair would let
+      // the epoch-clean install set df back to the pre-write snapshot
+      db.rebuildIfQuiet(onFitted = () => { db.addVector(VectorRecord("v99", vec(99f))); () })
+      assert(!db.hasWarmIndexes) // the overtaken fit was discarded
+      assert(db.getVector("v99").isDefined, "the racing write must survive the discarded install")
+      assert(db.count === 6)
+    } finally db.close()
+  }
+
+  test("explicit buildAllIndexes overtaken mid-fit discards instead of reverting the table") {
+    val db = new NeighborlySpark(spark, 2)
+    try {
+      (1 to 5).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
+      // same window, via the public verb (it shares the epoch-guarded path)
+      db.rebuildIfQuiet(onFitted = () => { db.removeVector("v01"); () })
+      assert(!db.hasWarmIndexes)
+      assert(db.getVector("v01").isEmpty && db.count === 4)
+      db.buildAllIndexes() // quiet now: installs
+      assert(db.hasWarmIndexes)
+    } finally db.close()
+  }
+
+  test("mutations after close() stay benign no-ops (no rejected-execution crash)") {
+    val db = new NeighborlySpark(spark, 2, autoRebuild = true, autoRebuildDelayMs = 50)
+    db.addVector(VectorRecord("a", vec(1f)))
+    db.close()
+    db.addVector(VectorRecord("b", vec(2f))) // must not throw on the dead executor
+    assert(db.count === 2)
+  }
+
+  test("removeVectors with only absent keys is a true no-op: no dirty flag, no warm-index drop") {
+    val db = new NeighborlySpark(spark, 2)
+    try {
+      (1 to 4).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rmv_${System.nanoTime()}"
+      db.save(dir) // clears the dirty flag
+      db.buildAllIndexes()
+      assert(!db.hasUnsavedChanges && db.hasWarmIndexes)
+      db.removeVectors(Seq("nope-1", "nope-2"))
+      assert(!db.hasUnsavedChanges, "an all-absent batch must not dirty the store")
+      assert(db.hasWarmIndexes, "an all-absent batch must not drop the warm serve tier")
+      db.removeVectors(Seq("nope-1", "v02")) // one real key: mutates as before
+      assert(db.hasUnsavedChanges && !db.hasWarmIndexes)
+      assert(db.count === 3)
+    } finally db.close()
+  }
+
   test("debounce: a write burst schedules ONE rebuild after the last write, not one per write") {
     val db = new NeighborlySpark(spark, 2, autoRebuild = true, autoRebuildDelayMs = 400)
     try {

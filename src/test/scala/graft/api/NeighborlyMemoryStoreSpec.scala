@@ -113,9 +113,11 @@ class NeighborlyMemoryStoreSpec extends SparkSpec {
       while (System.nanoTime() < deadline &&
         { val c = jobs.get(); val changed = c != last; last = c; if (changed) Thread.sleep(100); changed }) ()
       // per-key loops would run ≥100 existence jobs; the bulk verbs are
-      // lazy plan rewrites — only the final count (plus a possible AQE/
-      // broadcast helper) submits work
-      assert(jobs.get() >= 1 && jobs.get() <= 4, s"bulk verbs ran ${jobs.get()} jobs")
+      // lazy plan rewrites — the work submitted is the final count,
+      // removeBatch's ONE bounded existence probe (the all-absent-batch
+      // no-op guarantee), and possible AQE/broadcast helpers. O(1) in
+      // the key count either way.
+      assert(jobs.get() >= 1 && jobs.get() <= 5, s"bulk verbs ran ${jobs.get()} jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

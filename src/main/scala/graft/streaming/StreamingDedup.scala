@@ -97,11 +97,37 @@ object StreamingDedup {
       }
       .start()
 
-  /** Kept corpus so far: (idCol, textCol) of every committed batch. */
+  /** Kept corpus so far: (idCol, textCol) of every committed batch. The
+    * distinct() absorbs the full-row duplicates a crash mid-[[compact]]
+    * can leave behind (idempotent-healing layout, not atomic). */
   def readKept(spark: SparkSession, storePath: String): DataFrame = {
     val dirs = committedDirs(spark, s"$storePath/kept")
     require(dirs.nonEmpty, s"no committed batches under $storePath/kept")
-    spark.read.parquet(dirs: _*)
+    spark.read.parquet(dirs: _*).dropDuplicates()
+  }
+
+  /** Fold the store's per-batch directories into one compacted dir per
+    * side — long streams otherwise accumulate one small parquet dir per
+    * micro-batch and every probe pays O(#batches) listings. Run while
+    * the stream is stopped (the store is single-writer). Crash-safe by
+    * IDEMPOTENCE, not atomicity: the compacted dir commits (_SUCCESS)
+    * BEFORE the source dirs are deleted, so a crash between the two can
+    * leave full-row duplicates visible — every consumer tolerates them
+    * (the probe path dedups candidates, [[readKept]] is distinct) and
+    * re-running compact() heals the layout. */
+  def compact(spark: SparkSession, storePath: String): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq("kept", "buckets").foreach { side =>
+      val dirs = committedDirs(spark, s"$storePath/$side")
+      if (dirs.size > 1) {
+        val merged = spark.read.parquet(dirs: _*).dropDuplicates()
+          .localCheckpoint(true) // materialize BEFORE touching source dirs
+        merged.write.mode("overwrite")
+          .parquet(s"$storePath/$side/compact${System.nanoTime()}")
+        dirs.foreach(d => fs.delete(new Path(d), true))
+        org.apache.spark.sql.graft.bridge.freeCheckpoint(merged)
+      }
+    }
   }
 
   private def committedDirs(spark: SparkSession, dir: String): Seq[String] = {

@@ -82,6 +82,38 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept2 === Seq(1L, 3L, 12L, 13L))
   }
 
+  test("compact folds batch dirs into one; the store keeps deduping through it") {
+    import sqlImplicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sneardup_cmp_${System.nanoTime()}"
+    val store = s"$dir/store"
+    val a = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val b = "completely different content about spark query engines and distributed joins at scale"
+    val c = "unrelated words entirely standing alone here today in this corpus"
+    def batch(bid: Long, rows: (Long, String)*): Unit =
+      StreamingDedup.nearDupBatch(rows.toDF("doc_id", "text"), bid,
+        "doc_id", "text", store, 0.8, 3, 128, 32)
+    batch(0, (1L, a)); batch(1, (2L, b)); batch(2, (3L, c))
+    val before = StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(before === Seq(1L, 2L, 3L))
+
+    StreamingDedup.compact(spark, store)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq("kept", "buckets").foreach { side =>
+      val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$side"))
+        .filter(_.isDirectory)
+      assert(subdirs.length === 1, s"$side should hold one compacted dir, got ${subdirs.length}")
+    }
+    assert(StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq === before)
+
+    // the compacted bucket index still catches a cross-batch near-dup
+    batch(3, (10L, a.replace(" ", "  ")), (11L, "fresh novel content appearing only now"))
+    val after = StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(after === Seq(1L, 2L, 3L, 11L), s"got $after")
+  }
+
   test("nearDupKeep: an empty micro-batch commits cleanly and leaves the store intact") {
     import sqlImplicits._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sneardup_empty_${System.nanoTime()}"

@@ -97,6 +97,68 @@ object StreamingDedup {
       }
       .start()
 
+  /** Streaming near-dup keep for EMBEDDINGS — [[nearDupKeep]]'s vector
+    * twin, same store layout and commit protocol: within-batch cosine
+    * components (LSH-bucketed, exact-verified — the batch operator
+    * unchanged), then the batch's LSH codes probe a persisted code
+    * index over every kept vector, candidates pay one exact cosine
+    * distance, and survivors append with their codes. */
+  def nearDupKeepVectors(stream: DataFrame, idCol: String, vecCol: String,
+      storePath: String, checkpoint: String,
+      maxCosineDistance: Double, params: graft.index.LshParams,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupVecBatch(batch, batchId, idCol, vecCol, storePath,
+          maxCosineDistance, params)
+      }
+      .start()
+
+  private[streaming] def nearDupVecBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, storePath: String,
+      maxCosineDistance: Double, params: graft.index.LshParams): Unit = {
+    import graft.pipeline.Dedup
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(vecCol)).localCheckpoint(true)
+
+    val comps = Dedup.cosineComponents(docs, idCol, vecCol, maxCosineDistance, params)
+    val batchKeep = docs.join(
+        comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+
+    val keptDirs = committedDirs(spark, s"$storePath/kept")
+    val bucketDirs = committedDirs(spark, s"$storePath/buckets")
+    val survivors =
+      if (keptDirs.isEmpty || bucketDirs.isEmpty) batchKeep
+      else {
+        val kept = spark.read.parquet(keptDirs: _*)
+        val codeIdx = spark.read.parquet(bucketDirs: _*)
+        val probes = graft.index.Lsh.withCodes(batchKeep, vecCol, params)
+          .select(col(idCol), explode(col("codes")).as("code"))
+        val candidates = probes
+          .join(codeIdx.withColumnRenamed(idCol, "_kept_id"), Seq("code"))
+          .select(col(idCol), col("_kept_id"))
+          .dropDuplicates(idCol, "_kept_id")
+        val dropIds = candidates
+          .join(batchKeep.select(col(idCol), col(vecCol).as("_v_new")), idCol)
+          .join(kept.select(col(idCol).as("_kept_id"), col(vecCol).as("_v_old")), "_kept_id")
+          .filter(graft.functions.Distances.cosineDistance(col("_v_new"), col("_v_old"))
+            <= maxCosineDistance)
+          .select(col(idCol)).distinct()
+        batchKeep.join(dropIds, Seq(idCol), "left_anti")
+      }
+
+    val survived = survivors.localCheckpoint(true)
+    survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
+    graft.index.Lsh.withCodes(survived, vecCol, params)
+      .select(explode(col("codes")).as("code"), col(idCol))
+      .write.mode("overwrite").parquet(s"$storePath/buckets/batch$batchId")
+  }
+
   /** Kept corpus so far: (idCol, textCol) of every committed batch. The
     * distinct() absorbs the full-row duplicates a crash mid-[[compact]]
     * can leave behind (idempotent-healing layout, not atomic). */

@@ -82,6 +82,41 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept2 === Seq(1L, 3L, 12L, 13L))
   }
 
+  test("nearDupKeepVectors: embedding near-dups drop across batches via the code index") {
+    implicit val sql = spark.sqlContext
+    import sqlImplicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_svecdup_${System.nanoTime()}"
+    val rnd = new scala.util.Random(21)
+    val v1 = Array.fill(64)(rnd.nextFloat())
+    val v1near = v1.clone(); v1near(0) += 0.001f // cosine-dist ≈ 0 to v1
+    val far = Array.fill(64)(rnd.nextFloat() - 0.9f)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val params = graft.index.LshParams.adaptive(64)
+
+    def run(): Unit = {
+      val q = StreamingDedup.nearDupKeepVectors(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$dir/store", s"$dir/ckpt", maxCosineDistance = 0.1, params,
+        trigger = Trigger.AvailableNow())
+      q.processAllAvailable(); q.awaitTermination()
+    }
+
+    // batch 1: v1 + an in-batch near-dup + one far vector
+    source.addData((1L, v1.toSeq), (2L, v1near.toSeq), (3L, far.toSeq))
+    run()
+    val kept1 = StreamingDedup.readKept(spark, s"$dir/store")
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(kept1 === Seq(1L, 3L))
+
+    // batch 2: a cross-batch near-dup of v1, an exact copy of far, a novel one
+    val novel = Array.fill(64)(rnd.nextFloat() + 2f)
+    source.addData((10L, v1near.toSeq), (11L, far.toSeq), (12L, novel.toSeq))
+    run()
+    val kept2 = StreamingDedup.readKept(spark, s"$dir/store")
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(kept2 === Seq(1L, 3L, 12L), s"got $kept2")
+  }
+
   test("compact folds batch dirs into one; the store keeps deduping through it") {
     import sqlImplicits._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sneardup_cmp_${System.nanoTime()}"

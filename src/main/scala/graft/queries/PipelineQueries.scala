@@ -243,6 +243,31 @@ object PipelineQueries {
         comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
         Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_len"))
+    }),
+
+    // The STREAMING near-dup keep, driven as two deterministic
+    // micro-batches over the planted fixture (nearDupKeep's foreachBatch
+    // body is a plain batch function): batch 1 = the source docs,
+    // batch 2 = the planted whitespace variants + exact copies. Every
+    // shingled batch-2 doc shares its token stream with a batch-1 doc,
+    // so the cross-STORE probe must drop all of them (identical
+    // signatures collide in every band, Jaccard is exactly 1.0) while
+    // zero-shingle docs of either batch carry no evidence and survive —
+    // giving the streaming store a driver-checkable oracle, not just a
+    // spec.
+    "streaming_neardup_keep" -> ((s, dir) => {
+      // a fifth of the fixture: the two-batch drive pays two full mining
+      // passes plus the bucket-index write, and the evidence (all
+      // shingled batch-2 docs drop through the store, zero-shingle docs
+      // survive) is scale-invariant
+      val all = plantedDocs(s, dir).filter((col("doc_id") % 1000000) % 5 === 0)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_sndk_${java.util.UUID.randomUUID()}"
+      graft.streaming.StreamingDedup.nearDupBatch(
+        all.filter(col("doc_id") < 1000000L), 0L, "doc_id", "text", store, 1.0, 3, 128, 32)
+      graft.streaming.StreamingDedup.nearDupBatch(
+        all.filter(col("doc_id") >= 1000000L), 1L, "doc_id", "text", store, 1.0, 3, 128, 32)
+      graft.streaming.StreamingDedup.readKept(s, store)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_len"))
     }))
 
   /** The planted near-dup fixture (shared by the three _planted queries):
@@ -545,6 +570,25 @@ object PipelineQueries {
          |  WHERE doc_id != m)
          |SELECT f.doc_id AS doc_id, CAST(length(f.text) AS BIGINT) AS n_len
          |FROM fixture f WHERE f.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+
+    // Streaming two-batch keep: batch-1 (doc_id < 1e6) keeps one rep per
+    // shingle-set group; every shingled batch-2 doc matches a kept
+    // batch-1 doc through the store probe and drops; zero-shingle docs
+    // of both batches survive untouched.
+    "streaming_neardup_keep" ->
+      s"""WITH $fixtureCte,
+         |fixture5 AS (SELECT * FROM fixture WHERE (doc_id % 1000000) % 5 = 0),
+         |sh AS (SELECT doc_id, md5(CAST(list_sort(${shSql("text")}) AS VARCHAR)) AS key
+         |       FROM fixture5 WHERE len(${shSql("text")}) > 0),
+         |b1keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS m
+         |    FROM sh WHERE doc_id < 1000000)
+         |  WHERE doc_id = m)
+         |SELECT f.doc_id AS doc_id, CAST(length(f.text) AS BIGINT) AS n_len
+         |FROM fixture5 f
+         |WHERE f.doc_id IN (SELECT doc_id FROM b1keep)
+         |   OR f.doc_id NOT IN (SELECT doc_id FROM sh)""".stripMargin,
 
     "cosine_neardup" ->
       s"""WITH ${IndexQueries.hpCte},

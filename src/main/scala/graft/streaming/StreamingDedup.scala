@@ -201,7 +201,9 @@ object StreamingDedup {
       .map(_.toString).toSeq
   }
 
-  private[streaming] def nearDupBatch(batch: DataFrame, batchId: Long,
+  /** One micro-batch step, exposed for deterministic batch-context
+    * drives (the driver's oracle gate replays two batches through it). */
+  def nearDupBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, storePath: String,
       threshold: Double, shingleSize: Int, numHashes: Int, bands: Int): Unit = {
     import graft.pipeline.Dedup

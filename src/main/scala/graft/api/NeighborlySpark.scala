@@ -171,7 +171,14 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     // ContextCleaner reclaims unreferenced checkpoint blocks)
     val fitted =
       try fitIndexes(cached)
-      catch { case t: Throwable => cached.unpersist(false); throw t }
+      catch { case t: Throwable =>
+        // never evict the LIVE serving cache: on a quiet store the
+        // snapshot IS the installed cachedDf — dropping its entry on the
+        // error path would silently cold-path every read until the next
+        // successful install
+        if (!cachedDf.exists(_ eq cached)) cached.unpersist(false)
+        throw t
+      }
     onFitted()
     synchronized {
       if (mutationEpoch.get() == e0) install(cached, fitted)
@@ -279,13 +286,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
   /** Bulk ingest (the scale path). */
   def addVectors(rows: DataFrame): Unit = {
     VectorSchema.validateDimension(rows, "values", dimension)
-    synchronized {
-      df = df.unionByName(rows.select(VectorSchema.schema.fieldNames.map(col): _*))
-      mutationEpoch.incrementAndGet()
-      unsaved = true
-      invalidateLocalIndexes()
-    }
-    scheduleRebuild()
+    mutate(df.unionByName(rows.select(VectorSchema.schema.fieldNames.map(col): _*)))
   }
 
   def getVector(id: String): Option[VectorRecord] =
@@ -349,13 +350,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     val full = VectorSchema.schema.fieldNames.foldLeft(rows) { (d, f) =>
       if (have.contains(f)) d else d.withColumn(f, defaults(f))
     }
-    synchronized {
-      df = full.select(VectorSchema.schema.fieldNames.map(col): _*)
-      mutationEpoch.incrementAndGet()
-      unsaved = true
-      invalidateLocalIndexes()
-    }
-    scheduleRebuild()
+    mutate(full.select(VectorSchema.schema.fieldNames.map(col): _*))
   }
 
   /** Bulk remove: ONE broadcast anti-join plan rewrite for the whole key
@@ -370,7 +365,12 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     if (ids.isEmpty) return
     import spark.implicits._
     val keys = broadcast(ids.toDF("id"))
-    if (df.join(keys, Seq("id"), "left_semi").limit(1).isEmpty) return
+    // the probe only pays for itself when a no-op outcome would protect
+    // observable state (a clean dirty flag, warm indexes, or the
+    // debounce timer); on an already-dirty cold store the verb stays the
+    // documented lazy plan rewrite
+    val guardWorthwhile = !unsaved || hasWarmIndexes || rebuildExec.isDefined
+    if (guardWorthwhile && df.join(keys, Seq("id"), "left_semi").limit(1).isEmpty) return
     mutate(df.join(keys, Seq("id"), "left_anti"))
   }
 
@@ -378,6 +378,10 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * fitted index artifacts stay until the next buildAllIndexes, like the
     * reference's stale indexes after a clear. */
   def clear(): Unit = {
+    // the one mutator NOT routed through mutate(): it also RESETS the
+    // plan-growth counter (an empty table has no plan to truncate), so
+    // it keeps its own copy of the swap+epoch+invalidate block — keep
+    // the two in lockstep when touching mutation bookkeeping
     synchronized {
       df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], VectorSchema.schema)
       mutations = 0

@@ -261,7 +261,16 @@ object PipelineQueries {
       // shingled batch-2 docs drop through the store, zero-shingle docs
       // survive) is scale-invariant
       val all = plantedDocs(s, dir).filter((col("doc_id") % 1000000) % 5 === 0)
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_sndk_${java.util.UUID.randomUUID()}"
+      // session-keyed store path: repeat invocations (bench reps) reuse
+      // and overwrite the same two batch dirs instead of leaking a fresh
+      // tmp store per call; distinct sessions never collide
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_sndk_" +
+        java.lang.Integer.toHexString(sessionKey(s, dir).hashCode)
+      // fresh store per invocation: batch 0 must NOT cross-probe a
+      // previous run's kept dirs (it would dedup the corpus against
+      // itself and keep nothing)
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
       graft.streaming.StreamingDedup.nearDupBatch(
         all.filter(col("doc_id") < 1000000L), 0L, "doc_id", "text", store, 1.0, 3, 128, 32)
       graft.streaming.StreamingDedup.nearDupBatch(

@@ -146,8 +146,8 @@ object StreamingDedup {
         val dropIds = candidates
           .join(batchKeep.select(col(idCol), col(vecCol).as("_v_new")), idCol)
           .join(kept.select(col(idCol).as("_kept_id"), col(vecCol).as("_v_old")), "_kept_id")
-          .filter(graft.functions.Distances.cosineDistance(col("_v_new"), col("_v_old"))
-            <= maxCosineDistance)
+          .filter(round(graft.functions.Distances.cosineDistance(
+            col("_v_new"), col("_v_old")), 6) <= maxCosineDistance)
           .select(col(idCol)).distinct()
         batchKeep.join(dropIds, Seq(idCol), "left_anti")
       }
@@ -180,6 +180,14 @@ object StreamingDedup {
   def compact(spark: SparkSession, storePath: String): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     Seq("kept", "buckets").foreach { side =>
+      // sweep orphans first: a compact() that crashed mid-write left a
+      // dir with no _SUCCESS — invisible to readers AND to the
+      // committed-dirs delete below, so it would leak forever
+      val sideDir = new Path(s"$storePath/$side")
+      if (fs.exists(sideDir))
+        fs.listStatus(sideDir).filter(_.isDirectory).map(_.getPath)
+          .filterNot(d => fs.exists(new Path(d, "_SUCCESS")))
+          .foreach(d => fs.delete(d, true))
       val dirs = committedDirs(spark, s"$storePath/$side")
       if (dirs.size > 1) {
         val merged = spark.read.parquet(dirs: _*).dropDuplicates()
@@ -201,9 +209,11 @@ object StreamingDedup {
       .map(_.toString).toSeq
   }
 
-  /** One micro-batch step, exposed for deterministic batch-context
-    * drives (the driver's oracle gate replays two batches through it). */
-  def nearDupBatch(batch: DataFrame, batchId: Long,
+  /** One micro-batch step, exposed package-wide for deterministic
+    * batch-context drives (the driver's oracle gate replays two batches
+    * through it) — NOT public API: concurrent calls against a store a
+    * running stream owns would violate the single-writer contract. */
+  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, storePath: String,
       threshold: Double, shingleSize: Int, numHashes: Int, bands: Int): Unit = {
     import graft.pipeline.Dedup

@@ -31,8 +31,11 @@ object ThresholdFilter {
     * for the quirk: same bypass condition, same comparisons. */
   def applyLocal[T](results: Seq[(T, Double)], threshold: Double, dim: Int): Seq[(T, Double)] =
     if (dim > 50 && threshold > 1.5) {
-      val maxDist = if (results.isEmpty) Double.NegativeInfinity else results.map(_._2).max
-      if (maxDist > 5.0) results else results.filter(_._2 <= threshold)
+      // Spark SQL orders NaN GREATEST, so `max(dist) > 5.0` fires when
+      // any distance is NaN — mirror that (Scala's own NaN comparisons
+      // would silently drop such rows only on this driver-side path)
+      val bypass = results.exists { case (_, d) => d.isNaN || d > 5.0 }
+      if (bypass) results else results.filter(_._2 <= threshold)
     } else results.filter(_._2 <= threshold)
 
   /** Default threshold by query-text length (SearchService.cs:82-102):

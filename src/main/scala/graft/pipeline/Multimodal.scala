@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, encoders, per-partition batch shape,
   * partition preservation — is real and tested. The IMAGE decode path is
-  * real (JDK `javax.imageio`, PNG/JPEG/GIF/BMP → pixel statistics +
+  * real (JDK `javax.imageio`, PNG/JPEG/GIF/BMP/TIFF → pixel statistics +
   * luminance histogram), and the AUDIO path is real for the JDK-native
   * container formats (`javax.sound.sampled`, WAV/AIFF/AU PCM → amplitude
   * statistics + RMS histogram). Payloads neither stack can parse, and the
@@ -58,7 +58,7 @@ object Multimodal {
     out
   }
 
-  /** Real image decode: PNG/JPEG/GIF/BMP payload → pixels via the JDK's
+  /** Real image decode: PNG/JPEG/GIF/BMP/TIFF payload → pixels via the JDK's
     * `javax.imageio` (None when the bytes are not a parseable image). */
   def decodeImage(media: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
@@ -158,7 +158,10 @@ object Multimodal {
     (b(0) == 0x89.toByte && b(1) == 'P'.toByte) ||                  // PNG
     (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                 // JPEG
     (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) || // GIF
-    (b(0) == 'B'.toByte && b(1) == 'M'.toByte))                     // BMP
+    (b(0) == 'B'.toByte && b(1) == 'M'.toByte) ||                   // BMP
+    // TIFF (JDK 9+ ships an ImageIO TIFF plugin): II*\0 or MM\0*
+    (b(0) == 'I'.toByte && b(1) == 'I'.toByte && b(2) == 42 && b(3) == 0) ||
+    (b(0) == 'M'.toByte && b(1) == 'M'.toByte && b(2) == 0 && b(3) == 42))
 
   private def looksLikeAudio(b: Array[Byte]): Boolean = b.length >= 4 && (
     (b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte) || // WAV
@@ -184,7 +187,7 @@ object Multimodal {
       MediaFeatures(r.doc_id, r.kind, decode(r.kind, r.media, dim))))(
       Encoders.product[MediaFeatures])
 
-  /** Resize: payloads that decode as real images (PNG/JPEG/GIF/BMP magic
+  /** Resize: payloads that decode as real images (PNG/JPEG/GIF/BMP/TIFF magic
     * + imageio) are ACTUALLY resampled — Java2D bilinear draw into a
     * w×h RGB canvas, re-encoded as PNG (deterministic for a given JDK);
     * everything else keeps the stub plumbing (truncate/pad to the target

@@ -66,6 +66,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).features.toSeq === Multimodal.stubDecode(png, 16).toSeq)
   }
 
+  test("TIFF payloads decode through the same real-pixel path (JDK ImageIO TIFF plugin)") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF000000); img.setRGB(1, 0, 0xFFFFFFFF)
+    img.setRGB(0, 1, 0xFFFF0000); img.setRGB(1, 1, 0xFF0000FF)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", baos), "JDK TIFF writer missing")
+    val tiff = baos.toByteArray
+    // II*\0 or MM\0* magic — the sniffer must admit it to the real path
+    assert((tiff(0) == 'I' && tiff(1) == 'I') || (tiff(0) == 'M' && tiff(1) == 'M'))
+    val ds = Seq(Multimodal.MediaRecord(1L, "image", tiff, 2, 2, 0)).toDS()
+    val f = Multimodal.extractFeatures(ds, dim = 16).collect().head.features
+    // same pixels as the PNG case: means R=0.5 G=0.25 B=0.5 (A=1 for RGB)
+    assert(math.abs(f(0) - 0.5f) < 1e-6 && math.abs(f(1) - 0.25f) < 1e-6)
+    assert(math.abs(f(2) - 0.5f) < 1e-6 && math.abs(f(3) - 1.0f) < 1e-6)
+    // and NOT the stub (the sniffer really routed it to imageio)
+    assert(f.toSeq !== Multimodal.stubDecode(tiff, 16).toSeq)
+  }
+
   test("real WAV payloads decode to hand-computed sample features") {
     import javax.sound.sampled._
     // 4 mono 16-bit samples: +0.5, -0.5, 0, +0.25

@@ -83,4 +83,26 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(js(1) === 0.0)
     assert(js(2) > 0.0 && js(2) < 1.0)
   }
+
+  test("AdcLookupExpr (column tables) is bit-identical to AdcExpr (literal tables)") {
+    // the single-query and batch IVF-ADC paths score through two codegen
+    // kernels; same (codes, tables) must yield the same double, bit for bit
+    val rnd = new scala.util.Random(33)
+    val m = 4; val codebook = 16
+    val tables = Array.fill(m, codebook)(rnd.nextDouble() * 10)
+    val rows = (1 to 50).map(i => (i.toLong, Seq.fill(m)(rnd.nextInt(codebook))))
+    val df = rows.toDF("id", "codes")
+    val tablesLit = typedLit(tables.map(_.toSeq).toSeq)
+    val out = df.select(
+        col("id"),
+        graft.functions.AdcExpr(col("codes"), tables).as("lit_adc"),
+        graft.functions.AdcLookupExpr(col("codes"), tablesLit).as("col_adc"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"kernels diverged for id ${r.getLong(0)}")
+    }
+    assert(out.length === 50)
+  }
 }

@@ -27,9 +27,13 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm-up: run everything once (codegen + parquet footer caches warm).
-    queries.foreach { case (_, fn) =>
+    // The per-query warm-up time also feeds the rerun gate below: the
+    // one-run-vs-median decision must not key off a single measurement.
+    val warmSecs = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val results = queries.map { case (name, fn) =>
       // measurement hygiene: drain the previous query's dead checkpoint /
       // shuffle blocks (ContextCleaner frees them only after a driver GC
@@ -47,9 +51,14 @@ object Bench {
       // pause or a predecessor's stale blocks (a 0.3 s key has measured
       // 5× on its first run after the dedup pipelines), so those report
       // a median; above it the dedup pipelines are data-bound and
-      // stable, and re-running them only doubles the driver's wall clock
+      // stable, and re-running them only doubles the driver's wall clock.
+      // Gate on the FASTER of the warm-up pass and the first timed run —
+      // keying off the first timed run alone let the exact smear this
+      // distinguishes (a sub-3s key measuring 5× once) cross the cutoff,
+      // earn zero re-runs, and report the outlier as its value (r6 advice)
+      val gate = math.min(warmSecs.getOrElse(name, first), first)
       val times =
-        if (first < 3.0 && reps > 1) (first +: (2 to reps).map(_ => once())).sorted
+        if (gate < 3.0 && reps > 1) (first +: (2 to reps).map(_ => once())).sorted
         else Seq(first)
       (name, times(times.size / 2), times.size) // median of the runs taken
     }

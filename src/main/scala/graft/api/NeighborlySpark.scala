@@ -162,8 +162,11 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
 
   /** One background rebuild attempt: fit OUTSIDE the lock against a
     * snapshot, install under the lock only if no mutation raced the fit
-    * (`onFitted` is a deterministic race hook for the spec). */
-  private[api] def rebuildIfQuiet(onFitted: () => Unit = () => ()): Unit = {
+    * (`onFitted` is a deterministic race hook for the spec). Returns
+    * true when the fit installed, false when a racing mutation overtook
+    * it and the fit was discarded (the mutation's own debounce — or the
+    * explicit path's retry loop — then owns the refresh). */
+  private[api] def rebuildIfQuiet(onFitted: () => Unit = () => ()): Boolean = {
     val (e0, snapshot) = synchronized { (mutationEpoch.get(), df) }
     val cached = snapshot.cache()
     // a failed fit must not pin the snapshot cache forever (r6 review;
@@ -181,10 +184,11 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
       }
     onFitted()
     synchronized {
-      if (mutationEpoch.get() == e0) install(cached, fitted)
+      if (mutationEpoch.get() == e0) { install(cached, fitted); true }
       else { // a mutation overtook this fit: its own timer owns the rebuild
         cached.unpersist(false)
         discard(fitted)
+        false
       }
     }
   }
@@ -551,15 +555,34 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
     * indexes (exact norm index + true HNSW graphs) over surrogate keys;
     * LSH projections are pure functions of (dim, seed) and need no
     * fitting. */
-  def buildAllIndexes(): Unit = {
+  def buildAllIndexes(): Boolean = buildAllIndexes(() => ())
+
+  /** Explicit-build body with the spec's deterministic race hook.
+    *
+    * The install is epoch-guarded exactly like the background path — an
+    * unconditional `df = cached` would REVERT a mutation another thread
+    * landed during the multi-second fit (r6 review). But unlike the
+    * background path, an EXPLICIT caller-requested build must not be
+    * silently discarded when overtaken (with `autoRebuild` off — the
+    * embedded default — nothing would reschedule and the store would
+    * serve cold with no signal): re-fit against the post-mutation table
+    * up to [[NeighborlySpark.ExplicitBuildAttempts]] times, and return
+    * whether an install landed so a caller under continuous mutation can
+    * tell and retry on its own schedule. */
+  private[api] def buildAllIndexes(onFitted: () => Unit): Boolean = {
     // explicit build: any pending debounced rebuild is now redundant.
-    // The install is epoch-guarded exactly like the background path — an
-    // unconditional `df = cached` would REVERT a mutation another thread
-    // landed during the multi-second fit (r6 review); when overtaken,
-    // the mutation's own debounce (or the caller's retry) owns the
-    // refresh and this fit is discarded.
     pendingRebuild.foreach(_.cancel(false))
-    rebuildIfQuiet()
+    var attempt = 0
+    var installed = false
+    while (!installed && attempt < NeighborlySpark.ExplicitBuildAttempts) {
+      attempt += 1
+      installed = rebuildIfQuiet(onFitted)
+    }
+    if (!installed)
+      System.err.println(s"[graft] buildAllIndexes: overtaken by mutations " +
+        s"on all $attempt attempts; indexes not installed (store serves " +
+        s"via the always-fresh fallback until a quieter retry)")
+    installed
   }
 
   private case class FittedIndexes(bq: Double, pq: PqModel, local: Option[LocalIdx])
@@ -706,6 +729,13 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
 }
 
 object NeighborlySpark {
+  /** How many times an explicit [[NeighborlySpark!.buildAllIndexes()*
+    * buildAllIndexes]] re-fits when mutations keep overtaking the
+    * multi-second fit. Bounded: under CONTINUOUS writes an explicit
+    * build could otherwise spin forever; after this many overtakes the
+    * call returns false and the caller owns the retry schedule. */
+  private[api] val ExplicitBuildAttempts = 3
+
   /** (surrogate, full record) pair RDD from a (table ⋈ sid-mapping)
     * frame, persisted MEMORY_AND_DISK — the warm serve path's record store.
     * Lives on the companion so the map closure captures no facade

@@ -113,7 +113,7 @@ object Dedup {
           Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(idCol))))
         .filter(col("_rn") > maxBucket).count()
       if (dropped > 0)
-        println(s"[dedup] $name: bucket cap $maxBucket dropped $dropped banded rows (recall, not precision)")
+        log.warn(s"$name: bucket cap $maxBucket dropped $dropped banded rows (recall, not precision)")
     }
 
   /** Expand verified rep-level pairs to all member-level pairs (groups
@@ -145,23 +145,31 @@ object Dedup {
 
   // ----------------------------------------------------------- components
 
-  /** Rounds the last components call took to converge (telemetry — the
-    * deep-chain specs pin the contraction's round advantage, and callers
-    * can audit convergence after the fact). */
-  @volatile var lastComponentRounds: Int = 0
+  /** Convergence telemetry of a components call: rounds taken, whether
+    * the fixpoint was reached (`false` = `maxIter` truncated — each node
+    * still gets ONE label, but distant chain ends may not have met yet;
+    * the call also logs a loud warning), and the per-round canonical
+    * (post-distinct) edge counts of the stars contraction, initial edge
+    * set first (empty for the propagation engine) — the
+    * adversarial-scale spec asserts no round re-expands the edge set
+    * beyond the structural 2×|E₀| bound. */
+  case class ComponentStats(rounds: Int, converged: Boolean,
+      edgeCounts: List[Long])
 
-  /** Whether the last components call reached its fixpoint. `false`
-    * means `maxIter` truncated the iteration and the returned labels are
-    * best-so-far (each node still gets ONE label, but distant chain ends
-    * may not have met yet) — the call also logs a loud warning, so a
-    * silent wrong-ish answer can't slip through a pipeline. */
-  @volatile var lastComponentConverged: Boolean = true
+  /** THREAD-LOCAL: concurrent components calls in one JVM (a streaming
+    * foreachBatch dedup running beside a batch pipeline) must not
+    * interleave each other's telemetry — each thread audits the call IT
+    * made (r6 advice; previously public @volatile vars). */
+  private val componentStats = ThreadLocal.withInitial[ComponentStats](() =>
+    ComponentStats(0, converged = true, Nil))
 
-  /** Per-round canonical (post-distinct) edge counts of the last stars
-    * contraction, initial edge set first (empty for the propagation
-    * engine) — the adversarial-scale spec asserts no round re-expands
-    * the edge set beyond the structural 2×|E₀| bound. */
-  @volatile var lastComponentEdgeCounts: List[Long] = Nil
+  /** Telemetry of the calling thread's last components call. */
+  def lastComponentStats: ComponentStats = componentStats.get()
+  def lastComponentRounds: Int = componentStats.get().rounds
+  def lastComponentConverged: Boolean = componentStats.get().converged
+  def lastComponentEdgeCounts: List[Long] = componentStats.get().edgeCounts
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
 
   /** Below this live-edge count the per-round pointer jump is skipped:
     * its chain-halving no longer buys back its two extra shuffles of
@@ -283,11 +291,9 @@ object Dedup {
       counts ::= nsig._1
       i += 1
     }
-    lastComponentRounds = i
-    lastComponentConverged = converged
-    lastComponentEdgeCounts = counts.reverse
+    componentStats.set(ComponentStats(i, converged, counts.reverse))
     if (!converged)
-      println(s"[dedup] connectedComponents(stars) truncated at maxIter=$maxIter " +
+      log.warn(s"connectedComponents(stars) truncated at maxIter=$maxIter " +
         s"with ${sig._1} edges still live — labels are best-so-far, NOT a fixpoint")
     org.apache.spark.sql.graft.bridge.freeCheckpoint(p)
     // label derivation that is exact at the fixpoint (star forest: each
@@ -358,11 +364,9 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    lastComponentRounds = i
-    lastComponentConverged = converged
-    lastComponentEdgeCounts = Nil
+    componentStats.set(ComponentStats(i, converged, Nil))
     if (!converged)
-      println(s"[dedup] connectedComponents(propagation) truncated at maxIter=$maxIter " +
+      log.warn(s"connectedComponents(propagation) truncated at maxIter=$maxIter " +
         "with labels still improving — labels are best-so-far, NOT a fixpoint")
     // the result is checkpoint-backed and self-contained: the pair source
     // and edge frames are no longer reachable from it

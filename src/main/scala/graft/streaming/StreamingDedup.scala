@@ -73,7 +73,11 @@ object StreamingDedup {
     * into batch-deterministic directories; readers (including step 2 of
     * the next batch) list only directories carrying Spark's _SUCCESS
     * marker, so a half-written batch is invisible until its retry
-    * commits. Single writer, like every store in this module.
+    * commits. Step 2 additionally EXCLUDES the current batch id's own
+    * directories: a crash can land after both stores commit but before
+    * the streaming checkpoint records the batch, and the replay must not
+    * collide with its own prior output (see [[priorCommittedDirs]]).
+    * Single writer, like every store in this module.
     *
     * Scale shape: per batch the work is O(batch signatures) + one
     * equi-join against the bucket index + O(candidates) verify. The
@@ -130,8 +134,8 @@ object StreamingDedup {
         Seq(idCol), "left_anti")
       .localCheckpoint(true)
 
-    val keptDirs = committedDirs(spark, s"$storePath/kept")
-    val bucketDirs = committedDirs(spark, s"$storePath/buckets")
+    val keptDirs = priorCommittedDirs(spark, s"$storePath/kept", batchId)
+    val bucketDirs = priorCommittedDirs(spark, s"$storePath/buckets", batchId)
     val survivors =
       if (keptDirs.isEmpty || bucketDirs.isEmpty) batchKeep
       else {
@@ -170,8 +174,11 @@ object StreamingDedup {
 
   /** Fold the store's per-batch directories into one compacted dir per
     * side — long streams otherwise accumulate one small parquet dir per
-    * micro-batch and every probe pays O(#batches) listings. Run while
-    * the stream is stopped (the store is single-writer). Crash-safe by
+    * micro-batch and every probe pays O(#batches) listings. Run only
+    * after a CLEAN stream shutdown (the store is single-writer, and a
+    * batch whose stores committed but whose checkpoint offset didn't
+    * must stay in its `batch<id>` dirs so its replay can exclude them —
+    * [[priorCommittedDirs]]). Crash-safe by
     * IDEMPOTENCE, not atomicity: the compacted dir commits (_SUCCESS)
     * BEFORE the source dirs are deleted, so a crash between the two can
     * leave full-row duplicates visible — every consumer tolerates them
@@ -199,6 +206,21 @@ object StreamingDedup {
       }
     }
   }
+
+  /** Committed dirs EXCLUDING the current batch's own output. foreachBatch
+    * is at-least-once: a crash after `kept/batchN` and `buckets/batchN`
+    * commit (_SUCCESS written) but before the streaming checkpoint records
+    * batch N replays batch N — and if the replay probed its own prior
+    * output, every survivor would collide with itself (Jaccard 1.0 /
+    * cosine distance 0) and the retry would overwrite `batchN` with EMPTY
+    * frames, permanently losing the batch. A retry must dedup only
+    * against strictly EARLIER batches and compacted dirs. (Corollary:
+    * [[compact]] must only run after a CLEAN stream shutdown — folding an
+    * uncommitted trailing batch into a `compact*` dir would defeat this
+    * exclusion; see its scaladoc.) */
+  private def priorCommittedDirs(spark: SparkSession, dir: String,
+      batchId: Long): Seq[String] =
+    committedDirs(spark, dir).filterNot(_.endsWith(s"/batch$batchId"))
 
   private def committedDirs(spark: SparkSession, dir: String): Seq[String] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -229,8 +251,8 @@ object StreamingDedup {
       .localCheckpoint(true)
 
     // 2. cross-store: probe the kept corpus's bucket index
-    val keptDirs = committedDirs(spark, s"$storePath/kept")
-    val bucketDirs = committedDirs(spark, s"$storePath/buckets")
+    val keptDirs = priorCommittedDirs(spark, s"$storePath/kept", batchId)
+    val bucketDirs = priorCommittedDirs(spark, s"$storePath/buckets", batchId)
     val survivors =
       if (keptDirs.isEmpty || bucketDirs.isEmpty) batchKeep
       else {

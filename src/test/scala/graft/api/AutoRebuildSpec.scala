@@ -131,11 +131,51 @@ class AutoRebuildSpec extends SparkSpec {
     val db = new NeighborlySpark(spark, 2)
     try {
       (1 to 5).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
-      // same window, via the public verb (it shares the epoch-guarded path)
+      // same window, via the epoch-guarded path the public verb shares
       db.rebuildIfQuiet(onFitted = () => { db.removeVector("v01"); () })
       assert(!db.hasWarmIndexes)
       assert(db.getVector("v01").isEmpty && db.count === 4)
-      db.buildAllIndexes() // quiet now: installs
+      assert(db.buildAllIndexes(), "quiet build must report installed") // quiet now: installs
+      assert(db.hasWarmIndexes)
+    } finally db.close()
+  }
+
+  test("explicit buildAllIndexes overtaken ONCE re-fits and installs the post-mutation table") {
+    val db = new NeighborlySpark(spark, 2) // autoRebuild OFF — the embedded default
+    try {
+      (1 to 5).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
+      // the hook mutates during attempt 1's install window only; attempt 2
+      // runs against the post-mutation table and must land — with no
+      // background timer, a silent discard here would serve cold forever
+      val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val installed = db.buildAllIndexes(onFitted = () =>
+        if (raced.compareAndSet(false, true)) { db.removeVector("v01"); () })
+      assert(installed, "an explicit build overtaken once must retry and install")
+      assert(db.hasWarmIndexes)
+      // the installed index serves the POST-mutation table (v01 gone)
+      val warm = db.search(vec(0f), 3, SearchAlgorithm.KDTree, similarityThreshold = 1000)
+        .collect().map(_.getString(0)).toSeq
+      assert(warm === Seq("v02", "v03", "v04"))
+    } finally db.close()
+  }
+
+  test("explicit buildAllIndexes under continuous mutation returns false, never spins or reverts") {
+    val db = new NeighborlySpark(spark, 2)
+    try {
+      (1 to 5).foreach(i => db.addVector(VectorRecord(f"v$i%02d", vec(i.toFloat))))
+      // every attempt's install window is raced: the bounded loop must
+      // give up after ExplicitBuildAttempts and SAY so (false), leaving
+      // every racing write intact and no stale index installed
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val installed = db.buildAllIndexes(onFitted = () => {
+        db.addVector(VectorRecord(f"w${n.incrementAndGet()}%02d", vec(100f))); ()
+      })
+      assert(!installed, "a continuously-overtaken explicit build must report failure")
+      assert(!db.hasWarmIndexes, "no overtaken fit may install")
+      assert(n.get() === graft.api.NeighborlySpark.ExplicitBuildAttempts,
+        s"bounded retry: expected exactly ${NeighborlySpark.ExplicitBuildAttempts} attempts, got ${n.get()}")
+      assert(db.count === 5 + n.get(), "every racing write must survive")
+      assert(db.buildAllIndexes(), "a later quiet build installs normally")
       assert(db.hasWarmIndexes)
     } finally db.close()
   }

@@ -93,15 +93,31 @@ class DedupSpec extends SparkSpec {
   }
 
   test("logDroppedBuckets reports the capped-away row count (no silent caps)") {
-    val out = new java.io.ByteArrayOutputStream()
-    val result = Console.withOut(new java.io.PrintStream(out)) {
-      Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+    // the drop report goes through the logging facility (r6 advice: not
+    // println) — capture it with a scoped log4j2 appender
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val appender = new AbstractAppender("graft-test-capture", null, null,
+        false, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = LoggerContext.getContext(false)
+    val cfg = ctx.getConfiguration.getLoggerConfig("graft.pipeline.Dedup")
+    cfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    try {
+      val result = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
         threshold = 0.4, maxBucket = 1, logDroppedBuckets = true)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
-    assert(result === Set((1L, 2L))) // same output as the silent cap
-    assert(out.toString.contains("[dedup] minhash: bucket cap 1 dropped"),
-      s"expected drop log, got: ${out.toString.take(200)}")
+      assert(result === Set((1L, 2L))) // same output as the silent cap
+      val msgs = new java.util.ArrayList[String](captured)
+      assert(msgs.toArray.exists(_.toString.contains("minhash: bucket cap 1 dropped")),
+        s"expected drop log, got: $msgs")
+    } finally cfg.removeAppender("graft-test-capture")
   }
 
   test("simhash skew: identical docs contribute one rep; clique re-expands") {

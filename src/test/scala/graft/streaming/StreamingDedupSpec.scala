@@ -161,6 +161,57 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept === Seq(1L))
   }
 
+  test("nearDupBatch retry-replay: a replayed batch must not collide with its own prior output") {
+    import sqlImplicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sneardup_retry_${System.nanoTime()}"
+    val store = s"$dir/store"
+    val a = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val b = "completely different content about spark query engines and distributed joins at scale"
+    def batch(bid: Long, rows: (Long, String)*): Unit =
+      StreamingDedup.nearDupBatch(rows.toDF("doc_id", "text"), bid,
+        "doc_id", "text", store, 0.8, 3, 128, 32)
+
+    batch(0, (1L, a))
+    batch(1, (2L, b))
+    // at-least-once crash window: kept/batch1 + buckets/batch1 committed
+    // (_SUCCESS written) but the streaming checkpoint never recorded
+    // batch 1 → the engine replays batch 1 with the SAME id and input.
+    // Doc 2 is now IN the store; without the current-batch exclusion it
+    // would collide with itself (jaccard 1.0) and the replay would
+    // overwrite kept/batch1 with an empty frame — losing doc 2 forever.
+    batch(1, (2L, b))
+    val kept = StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(1L, 2L),
+      s"replayed batch must keep its own docs (dedup only vs earlier batches), got $kept")
+    // and the replay must STILL drop true cross-batch dups (vs batch 0)
+    batch(2, (3L, a.replace(" ", "  ")), (4L, "fresh novel content appearing only now"))
+    batch(2, (3L, a.replace(" ", "  ")), (4L, "fresh novel content appearing only now"))
+    val kept2 = StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept2 === Seq(1L, 2L, 4L), s"got $kept2")
+  }
+
+  test("nearDupVecBatch retry-replay: vector twin keeps its own docs on replay") {
+    import sqlImplicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_svecdup_retry_${System.nanoTime()}"
+    val store = s"$dir/store"
+    val rnd = new scala.util.Random(7)
+    val v1 = Array.fill(64)(rnd.nextFloat()).toSeq
+    val far = Array.fill(64)(rnd.nextFloat() - 0.9f).toSeq
+    val params = graft.index.LshParams.adaptive(64)
+    def batch(bid: Long, rows: (Long, Seq[Float])*): Unit =
+      StreamingDedup.nearDupVecBatch(rows.toDF("vec_id", "embedding"), bid,
+        "vec_id", "embedding", store, 0.1, params)
+
+    batch(0, (1L, v1))
+    batch(1, (2L, far))
+    batch(1, (2L, far)) // replay: must not self-collide via the code index
+    val kept = StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(kept === Seq(1L, 2L), s"got $kept")
+  }
+
   test("exactWithin evicts state past the watermark horizon (bounded state)") {
     implicit val sql = spark.sqlContext
     import sqlImplicits._

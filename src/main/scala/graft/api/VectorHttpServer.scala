@@ -14,11 +14,15 @@ import graft.core.VectorRecord
   * API.gRPC/Protos/Vector.proto:31-38 +
   * API.gRPC/Services/VectorService.cs:18-110 method semantics).
   *
-  * Transport substitution (declared): the reference serves gRPC
-  * (protobuf/HTTP2) and REST side by side from ASP.NET. This build has no
-  * protobuf/grpc dependency surface, so BOTH are served as JSON over the
-  * JDK's built-in HTTP server; every gRPC rpc maps to a route with the
-  * same observable semantics:
+  * Transport: the reference serves gRPC (protobuf/HTTP2) and REST side
+  * by side from ASP.NET. Here both run over the JDK's built-in HTTP
+  * server: the six `service Vector` rpcs are served WIRE-FAITHFULLY over
+  * gRPC-Web framing at `POST /Vector/<Method>` (hand-rolled proto3
+  * codec — [[ProtoWire]]/[[VectorProto]] — and the reference's own
+  * `Vector.ToBinary()` payload layout — [[VectorBinary]]; gRPC-Web
+  * rather than native gRPC because the JDK has no HTTP/2 server, and the
+  * protocol is gRPC's own HTTP/1.1-compatible transport). The REST
+  * routes below serve the same verbs as JSON:
   *
   * | rpc / REST route            | here                          |
   * |-----------------------------|-------------------------------|
@@ -64,6 +68,7 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
         case ("POST", "/vectors/searchNearest")    => searchNearest(ex)
         case ("GET", "/metrics")                   => metrics(ex)
         case ("DELETE", "/db/clear")               => clearVectors(ex)
+        case ("POST", GrpcPath(method))            => grpcWeb(ex, method)
         case _                                     => respond(ex, 404, None)
       }
     } catch {
@@ -78,6 +83,112 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
   private object VectorId {
     def unapply(path: String): Option[String] =
       if (path.startsWith("/vector/") && path.length > 8) Some(path.drop(8)) else None
+  }
+
+  /** gRPC path convention: `/<service-full-name>/<Method>`; `Vector.proto`
+    * declares no package, so the service full name is just `Vector`. */
+  private object GrpcPath {
+    def unapply(path: String): Option[String] =
+      if (path.startsWith("/Vector/") && path.length > 8) Some(path.drop(8)) else None
+  }
+
+  // ---------------------------------------------------- gRPC-Web endpoint
+
+  /** The six `service Vector` rpcs (Vector.proto:31-39), served over
+    * gRPC-Web framing (see [[GrpcWeb]]) so a proto-faithful client can
+    * exchange the reference's actual wire messages — `VectorMessage`
+    * payloads are the reference's `Vector.ToBinary()` layout, see
+    * [[VectorBinary]]. Method semantics mirror `VectorService.cs`:
+    *
+    *  - `GetVectors` (:19-38): every vector, as binary blobs;
+    *  - `AddVector` (:87-99): the id rides INSIDE the binary payload
+    *    (Utility.cs:7-17 parses it back out); always `success = true`;
+    *  - `GetVectorById` (:40-56): Guid-parses the id — a malformed id is
+    *    an ERROR (C# `Guid.Parse` throws → gRPC status UNKNOWN), while a
+    *    well-formed id that's absent returns an EMPTY `GetVectorResponse`;
+    *  - `UpdateVector` (:58-72): decodes the replacement vector and
+    *    updates at the REQUEST's id; update drops tags/attributes (the
+    *    facade's VectorList.cs:184-187 parity); `success` reports found;
+    *  - `SearchNearest` (:74-84): facade default dispatch (`_db.Search
+    *    (query, k)`), full records back as binary blobs;
+    *  - `ClearVectors` (:101-110): clear, `success = true`.
+    *
+    * Unary gRPC-Web exchange: HTTP 200 always; the rpc outcome travels in
+    * the body's trailers frame (`grpc-status` 0 = OK; unhandled server
+    * exceptions map to UNKNOWN (2), unknown methods to UNIMPLEMENTED
+    * (12) — Grpc.Core's own mappings). Supports both
+    * `application/grpc-web+proto` and the base64 `grpc-web-text` form. */
+  private def grpcWeb(ex: HttpExchange, method: String): Unit = {
+    val reqCt = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val isText = reqCt.startsWith("application/grpc-web-text")
+    val rawBody = ex.getRequestBody.readAllBytes()
+    val frames: Array[Byte] =
+      try {
+        val body = if (isText) java.util.Base64.getDecoder.decode(
+          new String(rawBody, StandardCharsets.US_ASCII).trim) else rawBody
+        val req = GrpcWeb.firstMessage(body)
+        val reply = dispatchRpc(method, req)
+        GrpcWeb.messageFrame(reply) ++ GrpcWeb.trailersFrame(0)
+      } catch {
+        case GrpcWeb.StatusException(code, msg) => GrpcWeb.trailersFrame(code, msg)
+        case e: IllegalArgumentException =>
+          GrpcWeb.trailersFrame(2, String.valueOf(e.getMessage))
+        case scala.util.control.NonFatal(e) => GrpcWeb.trailersFrame(2, e.toString)
+      }
+    val payload =
+      if (isText) java.util.Base64.getEncoder.encode(frames)
+      else frames
+    ex.getResponseHeaders.set("Content-Type",
+      if (isText) "application/grpc-web-text" else "application/grpc-web+proto")
+    ex.sendResponseHeaders(200, payload.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(payload) finally os.close()
+  }
+
+  private def dispatchRpc(method: String, req: Array[Byte]): Array[Byte] = method match {
+    case "GetVectors" =>
+      VectorProto.encodeVectorList(
+        db.vectors.collect().toSeq
+          .map(r => VectorBinary.toBinary(VectorHttpServer.rowToRecord(r))))
+    case "AddVector" =>
+      val payload = VectorProto.decodeAddVectorRequest(req)
+      require(payload.nonEmpty, "AddVectorRequest carried no vector")
+      db.addVector(VectorBinary.fromBinary(payload))
+      VectorProto.encodeResponse(success = true)
+    case "GetVectorById" =>
+      val id = VectorProto.decodeGetVectorByIdRequest(req)
+      val canonical = parseGuid(id) // malformed id throws (Guid.Parse parity)
+      VectorProto.encodeGetVectorResponse(
+        db.getVector(canonical).map(VectorBinary.toBinary))
+    case "UpdateVector" =>
+      val (id, payload) = VectorProto.decodeUpdateVectorRequest(req)
+      require(payload.nonEmpty, "UpdateVectorRequest carried no vector")
+      val next = VectorBinary.fromBinary(payload)
+      val ok = db.updateVector(parseGuid(id), next.values, next.original_text)
+      VectorProto.encodeResponse(ok)
+    case "SearchNearest" =>
+      val (payload, k) = VectorProto.decodeSearchNearestRequest(req)
+      require(payload.nonEmpty, "SearchNearestRequest carried no query vector")
+      val query = VectorBinary.fromBinary(payload)
+      VectorProto.encodeVectorList(
+        db.searchRecords(query.values, k).map { case (r, _) => VectorBinary.toBinary(r) })
+    case "ClearVectors" =>
+      db.clear()
+      VectorProto.encodeResponse(success = true)
+    case other =>
+      throw GrpcWeb.StatusException(12, s"method Vector/$other is not implemented")
+  }
+
+  /** C# `Guid.Parse` parity: flexible in, canonical lowercase out — the
+    * store's ids are canonical UUID strings, so lookups must normalize
+    * (`Guid.Parse("ABC…").ToString()` is lowercase hyphenated). */
+  private def parseGuid(id: String): String = {
+    val bare = id.trim.stripPrefix("{").stripSuffix("}")
+    val canonical =
+      if (bare.length == 32 && !bare.contains('-'))
+        s"${bare.substring(0, 8)}-${bare.substring(8, 12)}-${bare.substring(12, 16)}-${bare.substring(16, 20)}-${bare.substring(20)}"
+      else bare
+    java.util.UUID.fromString(canonical).toString
   }
 
   // ------------------------------------------------------------- routes

@@ -1,0 +1,229 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.core.VectorRecord
+
+/** Wire parity for the six `service Vector` rpcs
+  * (API.gRPC/Protos/Vector.proto:31-39) served as gRPC-Web.
+  *
+  * The codec goldens are HAND-COMPUTED from the public protobuf wire
+  * spec and the reference's binary layout (Vector.cs:327-395,
+  * VectorAttributes.cs:26-48) — they pin the format independently of the
+  * codec itself, so the HTTP round-trips below (which use the same codec
+  * on both sides) cannot be self-consistently wrong. */
+class GrpcWebSpec extends SparkSpec {
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xFF}%02x").mkString
+
+  // ------------------------------------------------------ codec goldens
+
+  test("proto3 goldens: tags, varints, defaults-omitted (hand-computed)") {
+    // GetVectorByIdRequest{id:"abc"}: tag (1<<3)|2 = 0x0a, len 3, bytes
+    assert(hex(VectorProto.encodeGetVectorByIdRequest("abc")) === "0a03616263")
+    // Response{success:true}: tag 0x08, varint 1; message omitted (default)
+    assert(hex(VectorProto.encodeResponse(success = true)) === "0801")
+    // Response{success:false, message:"x"}: success omitted, tag 0x12
+    assert(hex(VectorProto.encodeResponse(success = false, "x")) === "120178")
+    // SearchNearestRequest{query: VectorMessage{values:[0xAA]}, k:300}:
+    // nested: inner VectorMessage = 0a 01 aa; outer field1 = 0a 03 <inner>;
+    // k: tag 0x10, varint(300) = ac 02
+    assert(hex(VectorProto.encodeSearchNearestRequest(Array(0xAA.toByte), 300))
+      === "0a030a01aa10ac02")
+    // negative int32 sign-extends to a 10-byte varint (proto3 rule)
+    assert(hex(VectorProto.encodeSearchNearestRequest(Array(0x01.toByte), -1))
+      === "0a030a010110ffffffffffffffffff01")
+  }
+
+  test("proto3 decode skips unknown fields and round-trips every message") {
+    // a message with an unknown field 9 (varint) prepended: 48 2a = tag 72, 42
+    val withUnknown = Array(0x48, 0x2A, 0x0A, 0x03, 0x61, 0x62, 0x63).map(_.toByte)
+    assert(VectorProto.decodeGetVectorByIdRequest(withUnknown) === "abc")
+
+    val payload = Array.tabulate(7)(i => (i * 17).toByte)
+    assert(VectorProto.decodeVectorMessage(
+      VectorProto.encodeVectorMessage(payload)).toSeq === payload.toSeq)
+    assert(VectorProto.decodeAddVectorRequest(
+      VectorProto.encodeAddVectorRequest(payload)).toSeq === payload.toSeq)
+    assert(VectorProto.decodeResponse(
+      VectorProto.encodeResponse(success = true, "done")) === ((true, "done")))
+    val (qp, k) = VectorProto.decodeSearchNearestRequest(
+      VectorProto.encodeSearchNearestRequest(payload, 42))
+    assert(qp.toSeq === payload.toSeq && k === 42)
+    val (uid, up) = VectorProto.decodeUpdateVectorRequest(
+      VectorProto.encodeUpdateVectorRequest("some-id", payload))
+    assert(uid === "some-id" && up.toSeq === payload.toSeq)
+    val list = Seq(payload, Array(0x01.toByte))
+    assert(VectorProto.decodeVectorList(VectorProto.encodeVectorList(list))
+      .map(_.toSeq) === list.map(_.toSeq))
+    assert(VectorProto.decodeGetVectorResponse(
+      VectorProto.encodeGetVectorResponse(None)) === None)
+    assert(VectorProto.decodeGetVectorResponse(
+      VectorProto.encodeGetVectorResponse(Some(payload))).get.toSeq === payload.toSeq)
+  }
+
+  test("C# Guid byte order golden (Data1/2/3 little-endian, Data4 verbatim)") {
+    val id = "00112233-4455-6677-8899-aabbccddeeff"
+    assert(hex(VectorBinary.guidToBytes(id)) === "33221100554477668899aabbccddeeff")
+    assert(VectorBinary.bytesToGuid(VectorBinary.guidToBytes(id), 0) === id)
+    // C# Guid.ToString() is lowercase — uppercase input normalizes down
+    assert(VectorBinary.bytesToGuid(VectorBinary.guidToBytes(id.toUpperCase), 0) === id)
+  }
+
+  test("Vector.ToBinary layout golden (Vector.cs:327-395) + round-trip") {
+    val r = VectorRecord("00112233-4455-6677-8899-aabbccddeeff",
+      Array(1.0f), Array(5.toShort), "hi", priority = 3, user_id = 7L, org_id = 9L)
+    val expected =
+      "33221100554477668899aabbccddeeff" + // guid
+      "01000000" +                          // int32 LE values count = 1
+      "02000000" +                          // int32 LE text bytes = 2
+      "6869" +                              // "hi"
+      "0000803f" +                          // float32 LE 1.0
+      "0100" + "0500" +                     // int16 LE tag count, tag 5
+      "03" +                                // sbyte priority
+      "07000000" + "09000000"               // uint32 LE userId, orgId
+    assert(hex(VectorBinary.toBinary(r)) === expected)
+    val back = VectorBinary.fromBinary(VectorBinary.toBinary(r))
+    assert(back.id === r.id && back.values.toSeq === r.values.toSeq &&
+      back.tags.toSeq === r.tags.toSeq && back.original_text === "hi" &&
+      back.priority === 3.toByte && back.user_id === 7L && back.org_id === 9L)
+    // boundary: ids that aren't Guids / attributes outside uint32 fail loudly
+    intercept[IllegalArgumentException](VectorBinary.toBinary(r.copy(id = "doc-42")))
+    intercept[IllegalArgumentException](VectorBinary.toBinary(r.copy(user_id = 1L << 33)))
+  }
+
+  test("gRPC-Web framing: 5-byte headers, trailers frame, empty-body request") {
+    val f = GrpcWeb.messageFrame(Array(0x61.toByte, 0x62.toByte))
+    assert(hex(f) === "00000000026162")
+    assert(GrpcWeb.firstMessage(f).toSeq === Seq(0x61.toByte, 0x62.toByte))
+    assert(GrpcWeb.firstMessage(Array.emptyByteArray).isEmpty) // GetVectorsRequest{}
+    val (msgs, trailers) = GrpcWeb.readFrames(
+      GrpcWeb.messageFrame(Array(0x01.toByte)) ++ GrpcWeb.trailersFrame(0))
+    assert(msgs.size === 1 && trailers("grpc-status") === "0")
+  }
+
+  // ------------------------------------------------- served round-trips
+
+  private def withServer(dim: Int)(body: (VectorHttpServer, String) => Unit): Unit = {
+    val srv = VectorHttpServer.serve(spark, dim, autoRebuild = false)
+    val base = s"http://127.0.0.1:${srv.start()}"
+    try body(srv, base) finally { srv.stop(); srv.db.close() }
+  }
+
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  /** Unary gRPC-Web call: returns (message payloads, trailers map). */
+  private def rpc(base: String, method: String, request: Array[Byte],
+      text: Boolean = false): (Seq[Array[Byte]], Map[String, String]) = {
+    val frames = GrpcWeb.messageFrame(request)
+    val body = if (text) java.util.Base64.getEncoder.encode(frames) else frames
+    val ct = if (text) "application/grpc-web-text" else "application/grpc-web+proto"
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/Vector/$method"))
+        .header("Content-Type", ct)
+        .method("POST", java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+        .build(),
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    assert(resp.statusCode() === 200, s"gRPC-Web always answers HTTP 200, got ${resp.statusCode()}")
+    val respBody =
+      if (text) java.util.Base64.getDecoder.decode(new String(resp.body()).trim)
+      else resp.body()
+    GrpcWeb.readFrames(respBody)
+  }
+
+  test("all six rpcs round-trip on the wire with reference semantics") {
+    withServer(4) { (srv, base) =>
+      val idA = "0f8fad5b-d9cb-469f-a165-70867728950e"
+      val idB = "7c9e6679-7425-40de-944b-e07fc1f90ae7"
+      val recA = VectorRecord(idA, Array(1f, 0f, 0f, 0f), Array(2.toShort, 7.toShort),
+        "alpha doc", priority = 1, user_id = 10L, org_id = 20L)
+      val recB = VectorRecord(idB, Array(0.9f, 0f, 0f, 0f), Array.empty, "beta doc")
+
+      // AddVector ×2: the id rides inside the binary payload
+      for (rec <- Seq(recA, recB)) {
+        val (msgs, trailers) = rpc(base, "AddVector",
+          VectorProto.encodeAddVectorRequest(VectorBinary.toBinary(rec)))
+        assert(trailers("grpc-status") === "0")
+        assert(VectorProto.decodeResponse(msgs.head) === ((true, "")))
+      }
+      assert(srv.db.count === 2)
+
+      // GetVectorById: flexible Guid parse (uppercase, braces) finds it
+      val (gm, gt) = rpc(base, "GetVectorById",
+        VectorProto.encodeGetVectorByIdRequest(s"{${idA.toUpperCase}}"))
+      assert(gt("grpc-status") === "0")
+      val got = VectorBinary.fromBinary(
+        VectorProto.decodeGetVectorResponse(gm.head).get)
+      assert(got.id === idA && got.values.toSeq === recA.values.toSeq &&
+        got.tags.toSeq === recA.tags.toSeq && got.original_text === "alpha doc" &&
+        got.priority === 1.toByte && got.user_id === 10L && got.org_id === 20L)
+
+      // absent-but-well-formed id: OK status, EMPTY GetVectorResponse
+      // (VectorService.cs:50-55 — not an error)
+      val (am, at) = rpc(base, "GetVectorById", VectorProto.encodeGetVectorByIdRequest(
+        "00000000-0000-0000-0000-000000000001"))
+      assert(at("grpc-status") === "0")
+      assert(VectorProto.decodeGetVectorResponse(am.head) === None)
+
+      // malformed id: Guid.Parse throws → gRPC UNKNOWN, trailers-only
+      val (mm, mt) = rpc(base, "GetVectorById",
+        VectorProto.encodeGetVectorByIdRequest("not-a-guid"))
+      assert(mm.isEmpty && mt("grpc-status") === "2")
+
+      // GetVectors: both come back as full binary records
+      val (lm, lt) = rpc(base, "GetVectors", Array.emptyByteArray)
+      assert(lt("grpc-status") === "0")
+      val listed = VectorProto.decodeVectorList(lm.head)
+        .map(VectorBinary.fromBinary).map(r => r.id -> r).toMap
+      assert(listed.keySet === Set(idA, idB))
+      assert(listed(idA).tags.toSeq === Seq(2.toShort, 7.toShort))
+
+      // SearchNearest: k=2 nearest to recA's vector, nearest first
+      val query = VectorRecord("9b2b1f92-8a77-4a34-9c3a-111111111111",
+        Array(1f, 0f, 0f, 0f))
+      val (sm, st) = rpc(base, "SearchNearest",
+        VectorProto.encodeSearchNearestRequest(VectorBinary.toBinary(query), 2))
+      assert(st("grpc-status") === "0")
+      val hits = VectorProto.decodeVectorList(sm.head).map(VectorBinary.fromBinary)
+      assert(hits.map(_.id) === Seq(idA, idB), s"got ${hits.map(_.id)}")
+
+      // UpdateVector: replaces values/text, drops tags (VectorList quirk)
+      val replacement = VectorRecord(idA, Array(0f, 1f, 0f, 0f),
+        Array(9.toShort), "updated doc")
+      val (um, ut) = rpc(base, "UpdateVector",
+        VectorProto.encodeUpdateVectorRequest(idA, VectorBinary.toBinary(replacement)))
+      assert(ut("grpc-status") === "0")
+      assert(VectorProto.decodeResponse(um.head)._1 === true)
+      val updated = srv.db.getVector(idA).get
+      assert(updated.values.toSeq === Seq(0f, 1f, 0f, 0f) &&
+        updated.original_text === "updated doc" &&
+        updated.tags.isEmpty, "update must drop tags (VectorList.cs:184-187)")
+
+      // UpdateVector on an absent id: success=false, still grpc-status 0
+      val (u2m, u2t) = rpc(base, "UpdateVector", VectorProto.encodeUpdateVectorRequest(
+        "00000000-0000-0000-0000-000000000001", VectorBinary.toBinary(replacement)))
+      assert(u2t("grpc-status") === "0")
+      assert(VectorProto.decodeResponse(u2m.head)._1 === false)
+
+      // ClearVectors: empties the store
+      val (cm, ct2) = rpc(base, "ClearVectors", Array.emptyByteArray)
+      assert(ct2("grpc-status") === "0")
+      assert(VectorProto.decodeResponse(cm.head)._1 === true)
+      assert(srv.db.count === 0)
+    }
+  }
+
+  test("grpc-web-text (base64) transport and UNIMPLEMENTED methods") {
+    withServer(2) { (srv, base) =>
+      val rec = VectorRecord("0f8fad5b-d9cb-469f-a165-70867728950e", Array(1f, 2f))
+      val (msgs, trailers) = rpc(base, "AddVector",
+        VectorProto.encodeAddVectorRequest(VectorBinary.toBinary(rec)), text = true)
+      assert(trailers("grpc-status") === "0")
+      assert(VectorProto.decodeResponse(msgs.head)._1 === true)
+      assert(srv.db.count === 1)
+
+      val (nm, nt) = rpc(base, "NoSuchMethod", Array.emptyByteArray)
+      assert(nm.isEmpty && nt("grpc-status") === "12")
+    }
+  }
+}

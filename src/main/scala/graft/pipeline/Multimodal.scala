@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, encoders, per-partition batch shape,
   * partition preservation — is real and tested. The IMAGE decode path is
   * real (JDK `javax.imageio`, PNG/JPEG/GIF/BMP/TIFF → pixel statistics +
-  * luminance histogram), and the AUDIO path is real for the JDK-native
+  * luminance histogram), the AUDIO path is real for the JDK-native
   * container formats (`javax.sound.sampled`, WAV/AIFF/AU PCM → amplitude
-  * statistics + RMS histogram). Payloads neither stack can parse, and the
-  * video kind (no codec in the JDK), fall back to the clearly-marked
-  * deterministic STUB (`stubDecode`) — swapping in a richer codec
-  * replaces only that one function.
+  * statistics + RMS histogram), and the VIDEO path is real for
+  * Motion-JPEG in AVI (hand-rolled RIFF walk — the container is a public
+  * format — + per-frame `javax.imageio` JPEG decode: [[decodeAviFrames]],
+  * [[videoFeatures]], real [[sampleFrames]]). Payloads none of those
+  * chains can open (e.g. H.264 — no JDK codec) fall back to the
+  * clearly-marked deterministic STUB (`stubDecode`) — swapping in a
+  * richer codec replaces only that one function.
   */
 object Multimodal {
 
@@ -168,16 +171,91 @@ object Multimodal {
     (b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte && b(3) == 'M'.toByte) || // AIFF
     (b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte && b(3) == 'd'.toByte))   // AU
 
+  /** AVI container magic: `RIFF <size> AVI ` (the RIFF prefix alone is
+    * ambiguous with WAV; the form type at offset 8 disambiguates —
+    * dispatch is by the `kind` column anyway, this only gates parsing). */
+  private def looksLikeAvi(b: Array[Byte]): Boolean = b.length >= 12 &&
+    b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+    b(8) == 'A'.toByte && b(9) == 'V'.toByte && b(10) == 'I'.toByte && b(11) == ' '.toByte
+
+  /** REAL video decode for the one codec chain the JDK can finish:
+    * Motion-JPEG in an AVI container. The RIFF/AVI layout is a public
+    * format (chunks of `fourcc + uint32-LE size + body`, word-aligned;
+    * frame data lives in the `movi` LIST — optionally grouped in
+    * `rec ` sub-lists — as `NNdc`/`NNdb` chunks); each MJPEG frame body
+    * is a standalone JPEG that `javax.imageio` opens. Returns the frame
+    * JPEGs in stream order, or None when the payload is not a parseable
+    * AVI or carries no JPEG frames (other codecs fall back to the
+    * declared stub — their bodies don't start with the JPEG SOI marker).
+    * Truncated containers yield the frames that fit, never an error. */
+  def decodeAviFrames(media: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (!looksLikeAvi(media)) return None
+    try {
+      val frames = Seq.newBuilder[Array[Byte]]
+      def fourcc(off: Int) = new String(media, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      def u32(off: Int): Long = java.nio.ByteBuffer.wrap(media, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        var ok = true
+        while (ok && pos + 8 <= end) {
+          val id = fourcc(pos)
+          val size = u32(pos + 4)
+          val body = pos + 8
+          if (size > Int.MaxValue) ok = false
+          else {
+            val sz = size.toInt
+            // a truncated LIST still yields the frames that fit inside
+            // it; a truncated frame chunk is dropped (never a partial
+            // JPEG), and the loop bound then ends the walk
+            val bodyEnd = math.min(body.toLong + sz, end.toLong).toInt
+            if (id == "LIST" && body + 4 <= bodyEnd) {
+              val listType = fourcc(body)
+              if (listType == "movi" || listType == "rec ") walk(body + 4, bodyEnd)
+            } else if ((id.endsWith("dc") || id.endsWith("db")) && body + sz <= end) {
+              if (sz >= 2 && media(body) == 0xFF.toByte && media(body + 1) == 0xD8.toByte)
+                frames += java.util.Arrays.copyOfRange(media, body, body + sz)
+            }
+            pos = body + sz + (sz & 1) // chunks are word-aligned
+          }
+        }
+      }
+      walk(12, math.min(8L + u32(4), media.length.toLong).toInt)
+      val out = frames.result()
+      if (out.isEmpty) None else Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decode dispatch: real pixel/sample features for parseable image and
-    * audio payloads, deterministic stub for everything else (video codecs
-    * are not in the JDK). */
+    * audio payloads; real per-frame pixel features (averaged over the
+    * stream) for MJPEG-AVI video; deterministic stub for everything else
+    * (non-MJPEG video codecs are not in the JDK). */
   def decode(kind: String, media: Array[Byte], dim: Int): Array[Float] = kind match {
     case "image" if looksLikeImage(media) =>
       decodeImage(media).map(imageFeatures(_, dim)).getOrElse(stubDecode(media, dim))
     case "audio" if looksLikeAudio(media) =>
       decodeAudio(media).map(audioFeatures(_, dim)).getOrElse(stubDecode(media, dim))
+    case "video" if looksLikeAvi(media) =>
+      videoFeatures(media, dim).getOrElse(stubDecode(media, dim))
     case _ => stubDecode(media, dim)
   }
+
+  /** Mean of the per-frame [[imageFeatures]] over every decodable MJPEG
+    * frame — the whole-clip summary a training pipeline keys on. */
+  def videoFeatures(media: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeAviFrames(media).flatMap { frames =>
+      val perFrame = frames.flatMap(f => decodeImage(f).map(imageFeatures(_, dim)))
+      if (perFrame.isEmpty) None
+      else {
+        val out = new Array[Float](dim)
+        perFrame.foreach { f =>
+          var j = 0; while (j < dim) { out(j) += f(j); j += 1 }
+        }
+        var j = 0
+        while (j < dim) { out(j) /= perFrame.size; j += 1 }
+        Some(out)
+      }
+    }
 
   /** Feature extraction as a partition-wise batch stage: one iterator pass
     * per partition (the shape a Pandas-UDF/mapInPandas stage has), no
@@ -214,16 +292,25 @@ object Multimodal {
       }
     })(Encoders.product[MediaRecord])
 
-  /** STUB frame sampling: every `stride`-th 64-byte slice of the payload
-    * becomes a "frame" row — the explode shape of real video sampling. */
+  /** Frame sampling: MJPEG-AVI payloads explode into REAL frames — every
+    * `stride`-th frame's standalone JPEG bytes, `frame_idx` = position in
+    * the stream (decodable downstream by [[decodeImage]]); payloads no
+    * JDK codec chain opens keep the STUB slicing (every `stride`-th
+    * 64-byte slice) so the explode shape is uniform. `mapPartitions`, no
+    * shuffle, partitioning preserved. */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2): Dataset[MediaFrame] =
     media.filter(col("kind") === "video").mapPartitions(_.flatMap { r =>
-      val frameSize = 64
-      val n = math.max(r.media.length / frameSize, 1)
-      (0 until n by stride).map { i =>
-        val from = i * frameSize
-        MediaFrame(r.doc_id, i,
-          java.util.Arrays.copyOfRange(r.media, from, math.min(from + frameSize, r.media.length)))
+      decodeAviFrames(r.media) match {
+        case Some(frames) =>
+          (0 until frames.size by stride).map(i => MediaFrame(r.doc_id, i, frames(i)))
+        case None =>
+          val frameSize = 64
+          val n = math.max(r.media.length / frameSize, 1)
+          (0 until n by stride).map { i =>
+            val from = i * frameSize
+            MediaFrame(r.doc_id, i,
+              java.util.Arrays.copyOfRange(r.media, from, math.min(from + frameSize, r.media.length)))
+          }
       }
     })(Encoders.product[MediaFrame])
 }

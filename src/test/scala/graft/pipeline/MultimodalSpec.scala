@@ -142,4 +142,111 @@ class MultimodalSpec extends SparkSpec {
     val videoIds = media.filter($"kind" === "video").collect().map(_.doc_id).toSet
     assert(frames.map(_.doc_id).toSet.subsetOf(videoIds))
   }
+
+  // ------------------------------------------------- MJPEG-AVI video path
+
+  /** Solid-color JPEG via ImageIO — each AVI frame body is a standalone
+    * JPEG, which is exactly what MJPEG stores. */
+  private def jpegFrame(c: java.awt.Color, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(c); g.fillRect(0, 0, w, h) } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** RIFF chunk: fourcc + uint32-LE size + body, padded to even length. */
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("ISO-8859-1")).putInt(body.length).put(body)
+    bb.array() // trailing pad byte (if any) stays zero
+  }
+
+  private def list(listType: String, parts: Array[Byte]*): Array[Byte] =
+    chunk("LIST", listType.getBytes("ISO-8859-1") ++ parts.flatten)
+
+  /** Minimal real-world-shaped MJPEG AVI: hdrl (avih + strl), a JUNK
+    * chunk with an ODD size (exercises word-alignment), then movi with
+    * one `00dc` chunk per frame. */
+  private def mjpegAvi(frames: Seq[Array[Byte]], groupInRec: Boolean = false): Array[Byte] = {
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)),
+      list("strl", chunk("strh", new Array[Byte](56)), chunk("strf", new Array[Byte](40))))
+    val junk = chunk("JUNK", Array.fill(7)(0x7A.toByte))
+    val frameChunks = frames.map(f => chunk("00dc", f))
+    val movi =
+      if (groupInRec) list("movi", list("rec ", frameChunks: _*))
+      else list("movi", frameChunks: _*)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ junk ++ movi
+    chunk("RIFF", body)
+  }
+
+  test("MJPEG-AVI payloads decode into their real JPEG frames (RIFF walk)") {
+    import java.awt.Color
+    val avi = mjpegAvi(Seq(jpegFrame(Color.RED), jpegFrame(Color.GREEN),
+      jpegFrame(Color.BLUE)))
+    val frames = Multimodal.decodeAviFrames(avi).get
+    assert(frames.size === 3)
+    // every frame is a standalone decodable JPEG with the right color
+    val rgb = frames.map { f =>
+      val img = Multimodal.decodeImage(f).get
+      val p = img.getRGB(4, 4)
+      (((p >>> 16) & 0xFF), ((p >>> 8) & 0xFF), (p & 0xFF))
+    }
+    assert(rgb(0)._1 > 200 && rgb(0)._2 < 80 && rgb(0)._3 < 80, s"frame 0 not red: ${rgb(0)}")
+    assert(rgb(1)._2 > 200, s"frame 1 not green: ${rgb(1)}")
+    assert(rgb(2)._3 > 200, s"frame 2 not blue: ${rgb(2)}")
+    // `rec `-grouped frames (the other layout real muxers emit) also parse
+    assert(Multimodal.decodeAviFrames(
+      mjpegAvi(Seq(jpegFrame(Color.RED)), groupInRec = true)).get.size === 1)
+  }
+
+  test("truncated AVI keeps the frames that fit; non-AVI yields None") {
+    import java.awt.Color
+    val avi = mjpegAvi(Seq(jpegFrame(Color.RED), jpegFrame(Color.BLUE)))
+    // cut mid-way through the second frame's chunk: first frame survives
+    val cut = java.util.Arrays.copyOf(avi, avi.length - 10)
+    assert(Multimodal.decodeAviFrames(cut).get.size === 1)
+    assert(Multimodal.decodeAviFrames("not an avi at all".getBytes).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("video decode is real for MJPEG-AVI (mean per-frame pixel features), stub otherwise") {
+    import java.awt.Color
+    val redAvi = mjpegAvi(Seq.fill(4)(jpegFrame(Color.RED)))
+    val feats = Multimodal.decode("video", redAvi, dim = 8)
+    // f0 = mean R (~1), f1/f2 = mean G/B (~0) — real pixels, not the stub
+    assert(feats(0) > 0.9f && feats(1) < 0.2f && feats(2) < 0.2f,
+      s"expected red-dominant features, got ${feats.toSeq}")
+    assert(feats.toSeq !== Multimodal.stubDecode(redAvi, 8).toSeq)
+    // a video payload no codec chain opens still takes the deterministic stub
+    val opaque = "h264 bytes the JDK cannot open".getBytes
+    assert(Multimodal.decode("video", opaque, 8).toSeq
+      === Multimodal.stubDecode(opaque, 8).toSeq)
+  }
+
+  test("frame sampling explodes MJPEG-AVI into real strided JPEG frames") {
+    import java.awt.Color
+    val colors = Seq(Color.RED, Color.GREEN, Color.BLUE, Color.WHITE, Color.BLACK)
+    val avi = mjpegAvi(colors.map(jpegFrame(_)))
+    val rows = Seq((1L, "video", avi, 8, 8, 0),
+      (2L, "image", jpegFrame(Color.RED), 8, 8, 0))
+      .toDF("doc_id", "kind", "media", "width", "height", "sample_rate")
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val frames = Multimodal.sampleFrames(rows, stride = 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4)) // only the video row explodes
+    // sampled frames are REAL standalone JPEGs carrying the source
+    // colors: stride 2 over (RED, GREEN, BLUE, WHITE, BLACK) keeps
+    // frames 0 = red, 2 = blue, 4 = black
+    val rgb = frames.map { fr =>
+      val img = Multimodal.decodeImage(fr.frame).get
+      val p = img.getRGB(4, 4)
+      (((p >>> 16) & 0xFF), ((p >>> 8) & 0xFF), (p & 0xFF))
+    }
+    assert(rgb(0)._1 > 200, s"frame 0 should be red, got ${rgb(0)}")
+    assert(rgb(1)._3 > 200, s"frame 2 should be blue, got ${rgb(1)}")
+    assert((rgb(2)._1 + rgb(2)._2 + rgb(2)._3) / 3 < 60, s"frame 4 should be black, got ${rgb(2)}")
+  }
 }

@@ -195,6 +195,18 @@ object PipelineQueries {
           size(col("features")).cast("long").as("n_features"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
 
+    // Frame sampling through the mapPartitions explode stage. The
+    // synthetic payloads are not AVI containers, so every video row takes
+    // the deterministic stub slicing (every stride-th 64-byte slice) —
+    // which the oracle replays byte-for-byte via substring + md5; the
+    // REAL MJPEG path over the same stage is pinned by MultimodalSpec.
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(table(s, dir, "documents")), stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))),
+
     // ---- planted-fixture variants (VERDICT r4 item 1): a deterministic
     // corpus whose expected near-dup output IS SQL-expressible, giving the
     // xxhash64-internal pipelines driver-checkable hash-match rows. The
@@ -553,6 +565,24 @@ object PipelineQueries {
         |       i -> CAST(ascii(substring(text, i, 1)) * 7 AS BIGINT))),
         |   (acc, x) -> (acc * 31 + x) % 65536) AS DOUBLE) / 32768 - 1, 6) AS f0
         |FROM documents""".stripMargin,
+
+    // Stub frame slicing replayed: video rows (doc_id % 3 = 2) explode
+    // into every 2nd 64-byte slice of the ASCII payload; frame count is
+    // max(len DIV 64, 1), so short payloads still yield frame 0.
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |         greatest(octet_length(encode(text)) // 64, 1) AS n
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |e AS (
+        |  SELECT doc_id, text, len,
+        |         unnest(generate_series(0, CAST(n - 1 AS BIGINT), 2)) AS i
+        |  FROM v)
+        |SELECT doc_id,
+        | CAST(i AS INT) AS frame_idx,
+        | CAST(least(i * 64 + 64, len) - i * 64 AS BIGINT) AS frame_len,
+        | md5(substring(text, CAST(i * 64 + 1 AS INT), CAST(least(64, len - i * 64) AS INT))) AS frame_md5
+        |FROM e""".stripMargin,
 
     "minhash_neardup_planted" ->
       s"""WITH $fixtureCte,

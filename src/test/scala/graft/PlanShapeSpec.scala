@@ -53,4 +53,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && (p.contains("EqualTo") || p.contains("In(")),
       s"point predicate must reach parquet, got:\n${p.take(800)}")
   }
+
+  test("minhash near-dup mining is equi-join-only: no cross product at any stage") {
+    // the 100 TB property: candidates come from banded (band, bucket)
+    // equi-joins — a refactor that lets the pair mining degenerate into
+    // batch × corpus must fail here, not at the cluster bill
+    val p = plan("minhash_neardup")
+    assert(!p.contains("CartesianProduct"), "banded mining must never cross-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "banded mining must stay an equi-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join, got:\n${p.take(800)}")
+  }
+
+  test("tag dictionary join broadcasts the dictionary side") {
+    val p = plan("tag_lookup")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the bounded tag dictionary must broadcast, got:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("brute-force ANN top-k compiles to a bounded heap, not a global sort") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"want bounded top-k, got:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

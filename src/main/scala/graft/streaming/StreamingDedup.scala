@@ -126,13 +126,16 @@ object StreamingDedup {
       maxCosineDistance: Double, params: graft.index.LshParams): Unit = {
     import graft.pipeline.Dedup
     val spark = batch.sparkSession
-    val docs = batch.select(col(idCol), col(vecCol)).localCheckpoint(true)
+    // lazy checkpoints in the batch body: lineage is cut either way, and
+    // the first consumer's job materializes the blocks — no dedicated
+    // materialization job per checkpoint (3 fewer driver actions/batch)
+    val docs = batch.select(col(idCol), col(vecCol)).localCheckpoint(false)
 
     val comps = Dedup.cosineComponents(docs, idCol, vecCol, maxCosineDistance, params)
     val batchKeep = docs.join(
         comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
         Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val keptDirs = priorCommittedDirs(spark, s"$storePath/kept", batchId)
     val bucketDirs = priorCommittedDirs(spark, s"$storePath/buckets", batchId)
@@ -156,7 +159,7 @@ object StreamingDedup {
         batchKeep.join(dropIds, Seq(idCol), "left_anti")
       }
 
-    val survived = survivors.localCheckpoint(true)
+    val survived = survivors.localCheckpoint(false) // kept-write materializes
     survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
     graft.index.Lsh.withCodes(survived, vecCol, params)
       .select(explode(col("codes")).as("code"), col(idCol))
@@ -240,7 +243,8 @@ object StreamingDedup {
       threshold: Double, shingleSize: Int, numHashes: Int, bands: Int): Unit = {
     import graft.pipeline.Dedup
     val spark = batch.sparkSession
-    val docs = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+    // lazy checkpoints: see nearDupVecBatch — 3 fewer actions per batch
+    val docs = batch.select(col(idCol), col(textCol)).localCheckpoint(false)
 
     // 1. within-batch collapse: keep each near-dup cluster's min id
     val comps = Dedup.minHashComponents(docs, idCol, textCol, threshold,
@@ -248,7 +252,7 @@ object StreamingDedup {
     val batchKeep = docs.join(
         comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
         Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // 2. cross-store: probe the kept corpus's bucket index
     val keptDirs = priorCommittedDirs(spark, s"$storePath/kept", batchId)
@@ -275,7 +279,7 @@ object StreamingDedup {
 
     // 3. commit the novel docs + their bucket rows (deterministic dirs —
     // a retried batch overwrites its own partial output)
-    val survived = survivors.localCheckpoint(true)
+    val survived = survivors.localCheckpoint(false) // kept-write materializes
     survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
     Dedup.minHashBands(survived, idCol, textCol, shingleSize, numHashes, bands)
       .write.mode("overwrite").parquet(s"$storePath/buckets/batch$batchId")

@@ -291,17 +291,24 @@ object PipelineQueries {
         .select(col("doc_id"), length(col("text")).cast("long").as("n_len"))
     }))
 
-  /** The planted near-dup fixture (shared by the three _planted queries):
-    * source docs + whitespace variants (+1e6) + exact copies (+2e6). */
-  private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          regexp_replace(col("text"), " ", "  ").as("text")))
-      .unionByName(d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-      .localCheckpoint(true)
-  }
+  /** The planted near-dup fixture (shared by the three _planted queries
+    * and the streaming drive): source docs + whitespace variants (+1e6)
+    * + exact copies (+2e6). Memoized per dataset like the mining
+    * artifacts below — the fixture is a pure function of the corpus, so
+    * the four consumers share ONE materialization instead of each paying
+    * the three-branch union scan. */
+  private val planted =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    planted.computeIfAbsent(sessionKey(s, dir), _ => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            regexp_replace(col("text"), " ", "  ").as("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .localCheckpoint(true)
+    })
 
   /** The same fixture as a DuckDB CTE. */
   private[queries] val fixtureCte =

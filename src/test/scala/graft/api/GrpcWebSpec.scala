@@ -224,6 +224,15 @@ class GrpcWebSpec extends SparkSpec {
 
       val (nm, nt) = rpc(base, "NoSuchMethod", Array.emptyByteArray)
       assert(nm.isEmpty && nt("grpc-status") === "12")
+
+      // a dimension-mismatched AddVector surfaces the facade's ingest
+      // guard as a gRPC error, never a silent drop or an HTTP 500
+      val bad = VectorRecord("7c9e6679-7425-40de-944b-e07fc1f90ae7", Array(1f, 2f, 3f))
+      val (bm, bt) = rpc(base, "AddVector",
+        VectorProto.encodeAddVectorRequest(VectorBinary.toBinary(bad)))
+      assert(bm.isEmpty && bt("grpc-status") === "2")
+      assert(bt.getOrElse("grpc-message", "").contains("dimension"))
+      assert(srv.db.count === 1, "the mismatched vector must not land")
     }
   }
 }

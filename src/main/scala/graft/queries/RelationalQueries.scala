@@ -290,11 +290,16 @@ object RelationalQueries {
     // Event-time tumbling-window aggregation (streaming-compatible shape:
     // the same plan runs under readStream+watermark, see graft.streaming).
     "q_events_window" -> ((s, dir) =>
+      // value carries exact 2-decimal amounts: summing as DECIMAL makes
+      // the aggregate order-INDEPENDENT (double partial-agg order flipped
+      // one group's 6th decimal at sf0.1), and avg derives from the exact
+      // sum so both engines divide the same double by the same count
       eventsTable(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("sum_value"),
-          round(avg(col("value")), 6).as("avg_value"))))
+          round(sum(col("value").cast("decimal(30,4)")), 4).cast("double").as("sum_value"),
+          round(sum(col("value").cast("decimal(30,4)")).cast("double") / count(lit(1)), 6)
+            .as("avg_value"))))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -481,7 +486,8 @@ object RelationalQueries {
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        | count(*) AS n, round(sum(value), 4) AS sum_value,
-        | round(avg(value), 6) AS avg_value
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(30,4))), 4) AS DOUBLE) AS sum_value,
+        | round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin)
 }

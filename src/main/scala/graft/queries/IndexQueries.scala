@@ -257,12 +257,30 @@ object IndexQueries {
       _ => Ivf.codedTable(ivfModelFor(s, dir), pqModelFor(s, dir),
         table(s, dir, "embeddings"), "vec_id", "embedding").localCheckpoint(true))
 
+  /** The planted-embeddings fixture as ONE shared DuckDB CTE — both
+    * ivfpq planted oracles embed this text, so the SQL side has a single
+    * definition to keep in lockstep with [[plantedEmbeddings]] (the
+    * Scala builder); `PlantedFixtureDriftSpec` pins the builder's plant
+    * arithmetic to the f32 semantics this text encodes. */
+  private val plantedEmbCte =
+    """qb AS (SELECT vec_id AS query_id, embedding AS qv
+      |      FROM embeddings WHERE vec_id < 3),
+      |plants AS (
+      |  SELECT CAST(1000000 * (query_id + 1) + i AS BIGINT) AS vec_id,
+      |    list_transform(generate_series(1, len(qv)), j ->
+      |      CASE WHEN j = 1
+      |        THEN CAST(CAST(qv[1] AS DOUBLE) + CAST(CAST(0.001 * i AS FLOAT) AS DOUBLE) AS FLOAT)
+      |        ELSE qv[j] END) AS embedding
+      |  FROM qb, generate_series(1, 10) t(i)),
+      |fix AS (SELECT vec_id, embedding FROM embeddings
+      |        UNION ALL SELECT vec_id, embedding FROM plants)""".stripMargin
+
   /** Corpus + 10 plants per query (vec_id < 3) at 0.001·i along dim 0 —
     * the margin-unambiguous IVFPQ fixture; plant float arithmetic matches
     * the oracle's f32+f32 replay exactly (hnsw_knn_planted's recipe).
     * Plant ids: 1e6·(query_id+1) + i. Memoized per dataset. */
   private val plantedEmb = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, dir: String) =
     plantedEmb.computeIfAbsent(sessionKey(s, dir), _ => {
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val qs = e.filter(col("vec_id") < 3).collect()
@@ -472,31 +490,12 @@ object IndexQueries {
 
     "ivfpq_knn_planted" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |qs AS (SELECT vec_id AS qid, embedding AS pqv FROM embeddings WHERE vec_id < 3),
-         |plants AS (
-         |  SELECT CAST(1000000 * (qid + 1) + i AS BIGINT) AS vec_id,
-         |    list_transform(generate_series(1, len(pqv)), j ->
-         |      CASE WHEN j = 1
-         |        THEN CAST(CAST(pqv[1] AS DOUBLE) + CAST(CAST(0.001 * i AS FLOAT) AS DOUBLE) AS FLOAT)
-         |        ELSE pqv[j] END) AS embedding
-         |  FROM qs, generate_series(1, 10) t(i)),
-         |fix AS (SELECT vec_id, embedding FROM embeddings
-         |        UNION ALL SELECT vec_id, embedding FROM plants)
+         |$plantedEmbCte
          |SELECT fix.vec_id AS vec_id, ${sqlEuclid("fix.embedding", "q.qv")} AS dist
          |FROM fix, q ORDER BY dist, fix.vec_id LIMIT 10""".stripMargin,
 
     "ivfpq_knn_batch_planted" ->
-      s"""WITH qb AS (SELECT vec_id AS query_id, embedding AS qv
-         |      FROM embeddings WHERE vec_id < 3),
-         |plants AS (
-         |  SELECT CAST(1000000 * (query_id + 1) + i AS BIGINT) AS vec_id,
-         |    list_transform(generate_series(1, len(qv)), j ->
-         |      CASE WHEN j = 1
-         |        THEN CAST(CAST(qv[1] AS DOUBLE) + CAST(CAST(0.001 * i AS FLOAT) AS DOUBLE) AS FLOAT)
-         |        ELSE qv[j] END) AS embedding
-         |  FROM qb, generate_series(1, 10) t(i)),
-         |fix AS (SELECT vec_id, embedding FROM embeddings
-         |        UNION ALL SELECT vec_id, embedding FROM plants),
+      s"""WITH $plantedEmbCte,
          |d AS (SELECT qb.query_id AS query_id, fix.vec_id AS vec_id,
          |        ${sqlEuclid("fix.embedding", "qb.qv")} AS dist
          |      FROM fix, qb)

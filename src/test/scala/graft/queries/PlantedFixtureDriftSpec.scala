@@ -49,4 +49,35 @@ class PlantedFixtureDriftSpec extends SparkSpec {
       assert(fromScala.exceptAll(fromSql).isEmpty && fromSql.exceptAll(fromScala).isEmpty)
     } finally spark.catalog.dropTempView("documents")
   }
+
+  test("planted embeddings fixture: builder plants replay the oracle CTE's f32 arithmetic") {
+    // The ivfpq planted oracles' CTE (IndexQueries.plantedEmbCte) uses
+    // DuckDB-only table functions, so it can't be replayed through Spark
+    // SQL like the documents fixture above. Instead both sides pin to
+    // the same spec-level ground truth: plant (q, i) is the query vector
+    // with dim 0 = f32(qv[0] + f32(0.001·i)) — the CTE's
+    // CAST(double + CAST(0.001*i AS FLOAT) AS FLOAT) is exactly IEEE
+    // f32 + f32 (the sum is exact in f64, then rounds once) — and plant
+    // ids are 1e6·(query_id+1)+i for query_ids 0..2.
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val corpus = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val fix = IndexQueries.plantedEmbeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(fix.size === corpus.size + 30, "corpus + 10 plants x 3 queries")
+    for (qid <- 0L to 2L; i <- 1 to 10) {
+      val qv = corpus(qid)
+      val plant = fix(1000000L * (qid + 1) + i)
+      assert(plant.length === qv.length)
+      assert(plant(0) === qv(0) + (0.001 * i).toFloat,
+        s"plant($qid,$i) dim 0 must be f32(qv0 + f32(0.001*$i))")
+      assert(plant.drop(1).toSeq === qv.drop(1).toSeq,
+        s"plant($qid,$i) must only perturb dim 0")
+    }
+    // corpus rows pass through unchanged
+    assert(corpus.forall { case (id, v) => fix(id).toSeq == v.toSeq })
+  }
 }

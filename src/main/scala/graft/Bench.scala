@@ -64,12 +64,15 @@ object Bench {
     }
     // serve-path microbench (r5 verdict item 7): the reference's bar is
     // sub-100 ms warm single queries through its service process; this
-    // times the FULL REST round-trip (HTTP parse → facade KDTree dispatch
-    // on warm local indexes → JSON encode) via VectorHttpServer
-    // .searchNearest and reports the median of 20 warm requests
+    // times the FULL round-trip for BOTH transports on one warm server —
+    // REST (HTTP parse → facade KDTree dispatch on warm local indexes →
+    // JSON encode) and gRPC-Web (frame parse → proto decode → the same
+    // dispatch → Vector.ToBinary encode) — p50 of 20 warm requests each
+    val serveKeys = Set("serve_knn_p50", "serve_grpc_p50")
     val serve =
-      if (only.forall(_.contains("serve_knn_p50")))
-        try Seq(("serve_knn_p50", serveKnnP50(spark, sfDir), 20))
+      if (only.forall(o => serveKeys.exists(o.contains)))
+        try servePercentiles(spark, sfDir)
+          .filter { case (n, _, _) => only.forall(_.contains(n)) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] serve bench failed: $e"); Seq.empty }
       else Seq.empty
@@ -91,12 +94,13 @@ object Bench {
     spark.stop()
   }
 
-  /** p50 of 20 warm REST kNN round-trips against a served facade loaded
-    * with a capped slice of the embeddings table (the serving tier holds
-    * a working set, not the corpus — the corpus-scale paths are the
-    * distributed queries above). Includes everything a client sees:
-    * HTTP parse, warm-index dispatch, result join, JSON encode. */
-  private def serveKnnP50(spark: SparkSession, sfDir: String): Double = {
+  /** p50 of 20 warm kNN round-trips per transport (REST JSON and
+    * gRPC-Web protobuf) against a served facade loaded with a capped
+    * slice of the embeddings table (the serving tier holds a working
+    * set, not the corpus — the corpus-scale paths are the distributed
+    * queries above). Includes everything a client sees: wire parse,
+    * warm-index dispatch, result join, response encode. */
+  private def servePercentiles(spark: SparkSession, sfDir: String): Seq[(String, Double, Int)] = {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .orderBy("vec_id").limit(4096)
@@ -107,8 +111,11 @@ object Bench {
       // a few-thousand-vector serving working set lives in a handful of
       // partitions — at 32, every warm request would schedule 32 near-empty
       // tasks and the p50 would measure the scheduler, not the search
+      // Guid ids, like every id the reference serves: the gRPC transport
+      // encodes result records in Vector.ToBinary layout whose id field
+      // IS a Guid — non-UUID ids cannot cross that wire
       db.addVectors(emb.select(
-        col("vec_id").cast("string").as("id"),
+        format_string("00000000-0000-0000-0000-%012x", col("vec_id")).as("id"),
         col("embedding").as("values"),
         array().cast("array<smallint>").as("tags"),
         lit("").as("original_text"),
@@ -117,21 +124,42 @@ object Bench {
         lit(0L).as("org_id")).repartition(4))
       db.buildAllIndexes()
       val port = srv.start()
-      val body = emb.select("embedding").head().getSeq[Float](0)
-        .mkString("{\"values\":[", ",", "]}")
+      val qv = emb.select("embedding").head().getSeq[Float](0)
       val client = java.net.http.HttpClient.newHttpClient()
-      val request = java.net.http.HttpRequest.newBuilder(
+
+      val restReq = java.net.http.HttpRequest.newBuilder(
           java.net.URI.create(s"http://127.0.0.1:$port/vectors/searchNearest?k=10"))
-        .method("POST", java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val r = client.send(request, java.net.http.HttpResponse.BodyHandlers.ofString())
-        require(r.statusCode() == 200, s"serve bench got HTTP ${r.statusCode()}")
-        (System.nanoTime() - t0) / 1e9
+        .method("POST", java.net.http.HttpRequest.BodyPublishers.ofString(
+          qv.mkString("{\"values\":[", ",", "]}"))).build()
+      val grpcFrame = graft.api.GrpcWeb.messageFrame(
+        graft.api.VectorProto.encodeSearchNearestRequest(
+          graft.api.VectorBinary.toBinary(graft.core.VectorRecord(
+            java.util.UUID.randomUUID().toString, qv.toArray)), 10))
+      val grpcReq = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/Vector/SearchNearest"))
+        .header("Content-Type", "application/grpc-web+proto")
+        .method("POST", java.net.http.HttpRequest.BodyPublishers.ofByteArray(grpcFrame))
+        .build()
+
+      def p50(req: java.net.http.HttpRequest, check: java.net.http.HttpResponse[Array[Byte]] => Unit): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val r = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          require(r.statusCode() == 200, s"serve bench got HTTP ${r.statusCode()}")
+          check(r)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to 5).foreach(_ => once()) // warm the serve plans
+        val times = (1 to 20).map(_ => once()).sorted
+        times(times.size / 2)
       }
-      (1 to 5).foreach(_ => once()) // warm the serve plans
-      val times = (1 to 20).map(_ => once()).sorted
-      times(times.size / 2)
+      Seq(
+        ("serve_knn_p50", p50(restReq, _ => ()), 20),
+        ("serve_grpc_p50", p50(grpcReq, r => {
+          val (_, trailers) = graft.api.GrpcWeb.readFrames(r.body())
+          require(trailers.get("grpc-status").contains("0"),
+            s"grpc serve bench got status ${trailers.get("grpc-status")}: ${trailers.get("grpc-message")}")
+        }), 20))
     } finally { srv.stop(); db.close() }
   }
 }

@@ -213,6 +213,30 @@ class GrpcWebSpec extends SparkSpec {
     }
   }
 
+  test("malformed framing maps to a grpc-status error, never an HTTP error or hang") {
+    withServer(2) { (_, base) =>
+      def raw(body: Array[Byte]): (Int, Map[String, String]) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"$base/Vector/GetVectors"))
+            .header("Content-Type", "application/grpc-web+proto")
+            .method("POST", java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        (resp.statusCode(), GrpcWeb.readFrames(resp.body())._2)
+      }
+      // truncated frame header (1 < 5 bytes)
+      val (c1, t1) = raw(Array(0x00.toByte))
+      assert(c1 === 200 && t1("grpc-status") === "2", s"got $c1 $t1")
+      // frame length overruns the body
+      val (c2, t2) = raw(Array(0x00, 0x00, 0x00, 0x00, 0x7F).map(_.toByte))
+      assert(c2 === 200 && t2("grpc-status") === "2", s"got $c2 $t2")
+      // request beginning with a trailers frame is not a valid unary call
+      val (c3, t3) = raw(GrpcWeb.trailersFrame(0))
+      assert(c3 === 200 && t3("grpc-status") === "2", s"got $c3 $t3")
+    }
+  }
+
   test("grpc-web-text (base64) transport and UNIMPLEMENTED methods") {
     withServer(2) { (srv, base) =>
       val rec = VectorRecord("0f8fad5b-d9cb-469f-a165-70867728950e", Array(1f, 2f))

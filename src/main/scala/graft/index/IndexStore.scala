@@ -117,6 +117,37 @@ object IndexStore {
     IvfModel(centers)
   }
 
+  /** The IVFPQ read-path artifact: the (id, cluster, codes) table written
+    * `partitionBy("cluster")`, so a probe's `cluster IN (…)` filter
+    * becomes PARTITION PRUNING at the scan — a reloaded index reads
+    * `nprobe/nlist` of the files, not a fraction of every file. This is
+    * the piece that makes "build once, query many" hold at 100 TB: the
+    * expensive assign+quantize work is paid at save time and every later
+    * probe is a pruned columnar read of 4-byte codes. (The float vectors
+    * stay in the MAIN table — the code artifact must not duplicate the
+    * wide column; the exact re-rank joins back by id.) */
+  def saveIvfCoded(coded: org.apache.spark.sql.DataFrame, idCol: String,
+      path: String): Unit =
+    coded.select(org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col("cluster"),
+        org.apache.spark.sql.functions.col("codes"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(s"$path/ivf_coded")
+
+  def loadIvfCoded(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$path/ivf_coded")
+
+  /** Save/load the COMPLETE IVFPQ index: coarse centroids, residual PQ
+    * codebooks, and the cluster-partitioned code table. */
+  def saveIvfPq(spark: SparkSession, ivf: IvfModel, pq: PqModel,
+      coded: org.apache.spark.sql.DataFrame, idCol: String, path: String): Unit = {
+    saveIvf(spark, ivf, path)
+    savePq(spark, pq, path)
+    saveIvfCoded(coded, idCol, path)
+  }
+
+  def loadIvfPq(spark: SparkSession, path: String): (IvfModel, PqModel, org.apache.spark.sql.DataFrame) =
+    (loadIvf(spark, path), loadPq(spark, path), loadIvfCoded(spark, path))
+
   def savePq(spark: SparkSession, model: PqModel, path: String): Unit = {
     import spark.implicits._
     Seq((model.numSubVectors, model.subDim)).toDF("num_sub_vectors", "sub_dim")

@@ -57,6 +57,47 @@ class IndexStoreSpec extends SparkSpec {
     loaded.unpersist(); built.unpersist()
   }
 
+  test("IVFPQ artifact persists cluster-partitioned: reloaded probes are partition-pruned and answers are identical") {
+    import org.apache.spark.sql.functions._
+    val ivf = Ivf.fitSampledCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val pq = Ivf.fitResidualPq(ivf, emb, "embedding")
+    val coded = Ivf.codedTable(ivf, pq, emb, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val before = Ivf.searchPq(ivf, pq, emb, "vec_id", "embedding", q, k = 10,
+      nprobe = 4, coded0 = Some(coded)).collect().toSeq
+
+    IndexStore.saveIvfPq(spark, ivf, pq, coded, "vec_id", dir)
+    val (ivf2, pq2, coded2) = IndexStore.loadIvfPq(spark, dir)
+
+    // the probe filter on the RELOADED artifact is partition pruning, not
+    // a row filter over every file — the 100 TB read-path property
+    val probes = ivf2.probes(q, 4)
+    val pruned = coded2.filter(col("cluster").isin(probes: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cluster"),
+      s"probe filter did not prune partitions:\n${plan.take(800)}")
+    // and the scan reads codes, never a float vector column
+    assert(!plan.contains("embedding"),
+      "the persisted code artifact must not carry the wide vector column")
+
+    // a probe served entirely from the reloaded artifact answers
+    // bit-identically (build once, query many — across restart)
+    val after = Ivf.searchPq(ivf2, pq2, emb, "vec_id", "embedding", q, k = 10,
+      nprobe = 4, coded0 = Some(coded2)).collect().toSeq
+    assert(after === before)
+    // batch verb over the reloaded artifact too
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val bBefore = Ivf.searchPqBatch(ivf, pq, emb, "vec_id", "embedding",
+      queries, "query_id", "qv", k = 5, nprobe = 4, coded0 = Some(coded))
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val bAfter = Ivf.searchPqBatch(ivf2, pq2, emb, "vec_id", "embedding",
+      queries, "query_id", "qv", k = 5, nprobe = 4, coded0 = Some(coded2))
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(bAfter === bBefore)
+  }
+
   test("PQ codebooks round-trip with identical centers and codes") {
     val m = ProductQuantization.fit(emb, "embedding")
     IndexStore.savePq(spark, m, dir)

@@ -122,6 +122,9 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
     val reqCt = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
     val isText = reqCt.startsWith("application/grpc-web-text")
     val rawBody = ex.getRequestBody.readAllBytes()
+    // GetVectors on the binary transport streams — the reply is unbounded
+    // (the whole table) and must never materialize in one driver buffer
+    if (!isText && method == "GetVectors") return streamGetVectors(ex, rawBody)
     val frames: Array[Byte] =
       try {
         val body = if (isText) java.util.Base64.getDecoder.decode(
@@ -143,6 +146,50 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
     ex.sendResponseHeaders(200, payload.length.toLong)
     val os = ex.getResponseBody
     try os.write(payload) finally os.close()
+  }
+
+  /** Test-visible ground truth that GetVectors streamed: per-record
+    * message frames written by [[streamGetVectors]] (a buffered reply
+    * would count 1 per call regardless of table size). */
+  private[api] val streamedGetVectorsFrames = new java.util.concurrent.atomic.AtomicLong
+
+  /** `GetVectors` as chunked per-record gRPC-Web frames (r7 verdict item
+    * 3): the proto has no paging fields and the reference returns the
+    * whole table (VectorService.cs:18-38), which at engine scale is a
+    * driver OOM if buffered. Instead each record becomes its OWN
+    * `GetVectorsResponse{vectors:[r]}` message frame written straight to
+    * the chunked response from `toLocalIterator` — proto3 merge semantics
+    * make the concatenation of those frames decode as the one full
+    * response, so a buffering unary client sees identical bytes-per-record
+    * while the driver holds one partition of rows at most. The base64
+    * `grpc-web-text` form still buffers (chunk-aligned base64 streaming
+    * isn't worth it for the browser-compat path) — large tables should use
+    * the binary transport or REST paging. */
+  private def streamGetVectors(ex: HttpExchange, rawBody: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/grpc-web+proto")
+    ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+    val os = ex.getResponseBody
+    try {
+      val trailers =
+        try {
+          GrpcWeb.firstMessage(rawBody) // validates request framing
+          val it = db.vectors.toLocalIterator()
+          while (it.hasNext) {
+            os.write(GrpcWeb.messageFrame(VectorProto.encodeVectorList(Seq(
+              VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next()))))))
+            streamedGetVectorsFrames.incrementAndGet()
+          }
+          GrpcWeb.trailersFrame(0)
+        } catch {
+          // mid-stream failure: the trailers frame carries the error (the
+          // HTTP 200 is already on the wire — exactly native gRPC's shape)
+          case GrpcWeb.StatusException(code, msg) => GrpcWeb.trailersFrame(code, msg)
+          case e: IllegalArgumentException =>
+            GrpcWeb.trailersFrame(2, String.valueOf(e.getMessage))
+          case scala.util.control.NonFatal(e) => GrpcWeb.trailersFrame(2, e.toString)
+        }
+      os.write(trailers)
+    } finally os.close()
   }
 
   private def dispatchRpc(method: String, req: Array[Byte]): Array[Byte] = method match {

@@ -255,9 +255,10 @@ object GrpcWeb {
       // printable ASCII pass through; CR/LF/% must not appear raw)
       sb.append("grpc-message: ")
         .append(message.flatMap {
-          case c if c == '%' || c == '\r' || c == '\n' => f"%%${c.toInt}%02X"
-          case c if c >= ' ' && c.toInt < 127 => c.toString
-          case c => String.valueOf(c) // non-ASCII passes as UTF-8
+          case c if c != '%' && c >= ' ' && c.toInt < 127 => c.toString
+          // anything outside printable ASCII (plus '%' itself) travels as
+          // percent-encoded UTF-8 bytes, the spec's grpc-message rule
+          case c => c.toString.getBytes(UTF_8).map(b => f"%%${b & 0xFF}%02X").mkString
         })
         .append("\r\n")
     frame(0x80, sb.toString.getBytes(UTF_8))
@@ -285,6 +286,10 @@ object GrpcWeb {
     while (pos + 5 <= body.length) {
       val flags = body(pos) & 0xFF
       val len = ByteBuffer.wrap(body, pos + 1, 4).getInt
+      // a truncated/corrupt body must fail loudly, not zero-pad the tail
+      // (copyOfRange pads) and silently skip the real trailers
+      require(len >= 0 && pos + 5 + len <= body.length,
+        s"gRPC-Web frame at $pos: length $len overruns body ${body.length}")
       val payload = java.util.Arrays.copyOfRange(body, pos + 5, pos + 5 + len)
       if ((flags & 0x80) != 0)
         trailers = payload.map(_.toChar).mkString.split("\r\n").toSeq

@@ -170,10 +170,13 @@ class GrpcWebSpec extends SparkSpec {
         VectorProto.encodeGetVectorByIdRequest("not-a-guid"))
       assert(mm.isEmpty && mt("grpc-status") === "2")
 
-      // GetVectors: both come back as full binary records
+      // GetVectors: both come back as full binary records — the server
+      // streams one GetVectorsResponse frame per record; proto3 merge
+      // semantics mean the concatenated frames ARE the unary response
       val (lm, lt) = rpc(base, "GetVectors", Array.emptyByteArray)
       assert(lt("grpc-status") === "0")
-      val listed = VectorProto.decodeVectorList(lm.head)
+      val listed = VectorProto.decodeVectorList(
+          lm.foldLeft(Array.emptyByteArray)(_ ++ _))
         .map(VectorBinary.fromBinary).map(r => r.id -> r).toMap
       assert(listed.keySet === Set(idA, idB))
       assert(listed(idA).tags.toSeq === Seq(2.toShort, 7.toShort))
@@ -235,6 +238,65 @@ class GrpcWebSpec extends SparkSpec {
       val (c3, t3) = raw(GrpcWeb.trailersFrame(0))
       assert(c3 === 200 && t3("grpc-status") === "2", s"got $c3 $t3")
     }
+  }
+
+  test("GetVectors streams per-record frames with bounded driver buffers") {
+    withServer(8) { (srv, base) =>
+      // a table bigger than any single response buffer should be: 600
+      // records × 8 dims across 4 partitions, loaded distributed
+      import org.apache.spark.sql.functions._
+      val n = 600
+      val rows = spark.range(n).select(
+        format_string("00000000-0000-0000-0000-%012x", col("id")).as("id"),
+        array((0 until 8).map(i => (col("id") + i).cast("float")): _*).as("values"),
+        array().cast("array<smallint>").as("tags"),
+        concat(lit("doc "), col("id")).as("original_text"),
+        lit(0).cast("tinyint").as("priority"),
+        lit(0L).as("user_id"), lit(0L).as("org_id")).repartition(4)
+      srv.db.addVectors(rows)
+
+      val before = srv.streamedGetVectorsFrames.get()
+      val (lm, lt) = rpc(base, "GetVectors", Array.emptyByteArray)
+      assert(lt("grpc-status") === "0")
+      // one message frame PER RECORD reached the wire — the buffered
+      // single-array reply this replaces would have produced exactly 1
+      assert(lm.size === n, s"expected $n per-record frames, got ${lm.size}")
+      assert(srv.streamedGetVectorsFrames.get() - before === n.toLong)
+      // bounded buffers: every frame holds ONE record (~70 B here), so the
+      // largest single server-side allocation is a record, not the table
+      assert(lm.map(_.length).max < 256,
+        s"a frame held more than one record: max ${lm.map(_.length).max} B")
+      // and the merged frames decode as the complete unary response
+      val ids = VectorProto.decodeVectorList(lm.foldLeft(Array.emptyByteArray)(_ ++ _))
+        .map(VectorBinary.fromBinary(_).id).toSet
+      assert(ids.size === n)
+
+      // an empty table streams zero message frames + OK trailers, and the
+      // zero-byte concatenation is a valid empty GetVectorsResponse
+      srv.db.clear()
+      val (em, et) = rpc(base, "GetVectors", Array.emptyByteArray)
+      assert(et("grpc-status") === "0" && em.isEmpty)
+      // malformed request framing still fails loudly on the stream path
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/Vector/GetVectors"))
+          .header("Content-Type", "application/grpc-web+proto")
+          .method("POST", java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            Array(0x00, 0x00, 0x00, 0x00, 0x7F).map(_.toByte)))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() === 200)
+      assert(GrpcWeb.readFrames(resp.body())._2("grpc-status") === "2")
+    }
+  }
+
+  test("grpc-message percent-encodes non-ASCII and readFrames rejects overrun frames") {
+    // the gRPC spec's grpc-message rule: bytes outside printable ASCII
+    // travel percent-encoded UTF-8 ('é' = %C3%A9); '%' itself encodes
+    val (_, t) = GrpcWeb.readFrames(GrpcWeb.trailersFrame(2, "café 100%"))
+    assert(t("grpc-message") === "caf%C3%A9 100%25")
+    // a frame length overrunning the body is an error, not zero-padding
+    val truncated = GrpcWeb.messageFrame(Array.fill(16)(0x01.toByte)).dropRight(8)
+    intercept[IllegalArgumentException](GrpcWeb.readFrames(truncated))
   }
 
   test("grpc-web-text (base64) transport and UNIMPLEMENTED methods") {

@@ -137,6 +137,13 @@ object StreamingDedup {
         Seq(idCol), "left_anti")
       .localCheckpoint(false)
 
+    // one LSH-code kernel pass per micro-batch, shared by the
+    // cross-store probe and the survivor code-index write (the text
+    // twin's batchBands discipline)
+    val batchCodes = graft.index.Lsh.withCodes(batchKeep, vecCol, params)
+      .select(col(idCol), explode(col("codes")).as("code"))
+      .localCheckpoint(false)
+
     val keptDirs = priorCommittedDirs(spark, s"$storePath/kept", batchId)
     val bucketDirs = priorCommittedDirs(spark, s"$storePath/buckets", batchId)
     val survivors =
@@ -144,9 +151,7 @@ object StreamingDedup {
       else {
         val kept = spark.read.parquet(keptDirs: _*)
         val codeIdx = spark.read.parquet(bucketDirs: _*)
-        val probes = graft.index.Lsh.withCodes(batchKeep, vecCol, params)
-          .select(col(idCol), explode(col("codes")).as("code"))
-        val candidates = probes
+        val candidates = batchCodes
           .join(codeIdx.withColumnRenamed(idCol, "_kept_id"), Seq("code"))
           .select(col(idCol), col("_kept_id"))
           .dropDuplicates(idCol, "_kept_id")
@@ -161,8 +166,8 @@ object StreamingDedup {
 
     val survived = survivors.localCheckpoint(false) // kept-write materializes
     survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
-    graft.index.Lsh.withCodes(survived, vecCol, params)
-      .select(explode(col("codes")).as("code"), col(idCol))
+    batchCodes.join(survived.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col("code"), col(idCol))
       .write.mode("overwrite").parquet(s"$storePath/buckets/batch$batchId")
   }
 
@@ -254,6 +259,14 @@ object StreamingDedup {
         Seq(idCol), "left_anti")
       .localCheckpoint(false)
 
+    // the batch's band rows, computed ONCE per micro-batch (the
+    // shingle+MinHash kernel pass is the dominant per-batch cost): the
+    // cross-store probe reads them, and the bucket-index write reuses
+    // them filtered to survivors — previously each ran its own full
+    // kernel pass (r7 verdict item 4, −1 pass per batch)
+    val batchBands = Dedup.minHashBands(batchKeep, idCol, textCol,
+      shingleSize, numHashes, bands).localCheckpoint(false)
+
     // 2. cross-store: probe the kept corpus's bucket index
     val keptDirs = priorCommittedDirs(spark, s"$storePath/kept", batchId)
     val bucketDirs = priorCommittedDirs(spark, s"$storePath/buckets", batchId)
@@ -262,9 +275,7 @@ object StreamingDedup {
       else {
         val kept = spark.read.parquet(keptDirs: _*)
         val bucketIdx = spark.read.parquet(bucketDirs: _*)
-        val probes = Dedup.minHashBands(batchKeep, idCol, textCol,
-          shingleSize, numHashes, bands)
-        val candidates = probes
+        val candidates = batchBands
           .join(bucketIdx.withColumnRenamed(idCol, "_kept_id"), Seq("band", "bucket"))
           .select(col(idCol), col("_kept_id"))
           .dropDuplicates(idCol, "_kept_id")
@@ -278,10 +289,12 @@ object StreamingDedup {
       }
 
     // 3. commit the novel docs + their bucket rows (deterministic dirs —
-    // a retried batch overwrites its own partial output)
+    // a retried batch overwrites its own partial output); survivors ⊆
+    // batchKeep, so their band rows are a semi-join of the computed
+    // frame, not a fresh kernel pass
     val survived = survivors.localCheckpoint(false) // kept-write materializes
     survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
-    Dedup.minHashBands(survived, idCol, textCol, shingleSize, numHashes, bands)
+    batchBands.join(survived.select(col(idCol)), Seq(idCol), "left_semi")
       .write.mode("overwrite").parquet(s"$storePath/buckets/batch$batchId")
   }
 }

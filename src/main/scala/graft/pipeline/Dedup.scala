@@ -421,6 +421,92 @@ object Dedup {
     jaccard(array_distinct(ShingleHashExpr(textA, shingleSize)),
       array_distinct(ShingleHashExpr(textB, shingleSize)))
 
+  /** EXACT word-n-gram Jaccard similarity self-join: ALL pairs
+    * (id_a < id_b) with distinct-shingle Jaccard ≥ `threshold`, with the
+    * value — the ground truth the MinHash/SimHash miners approximate,
+    * and the denominator of the driver-gated recall keys. NOT an
+    * all-pairs plan:
+    *
+    *  1. identical content collapses to one representative first (the
+    *     object's standard discipline — B copies of one text contribute
+    *     one node, not B²);
+    *  2. candidates come from a LOSSLESS prefix filter (Chaudhuri,
+    *     Ganti & Kaushik, ICDE'06; Bayardo, Ma & Srikant, WWW'07):
+    *     under any one global total order of the shingle universe, two
+    *     sets with J ≥ τ MUST collide inside their first
+    *     |X| − ⌈τ·|X|⌉ + 1 sorted elements — if B misses all of A's
+    *     prefix, |A∩B| ≤ ⌈τ|A|⌉ − 1 < τ·|A∪B|. Losslessness holds
+    *     under EVERY order, so no cross-engine agreement is needed:
+    *     this side sorts 64-bit hash shingles numerically (≈ random
+    *     order — hot shingles spread through the sets instead of
+    *     clustering at one end) while an SQL replay sorts strings
+    *     lexicographically, and both land on the same verified pairs;
+    *  3. the length filter (J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ) prunes
+    *     inside the prefix join;
+    *  4. only survivors pay the exact |∩|/|∪| verify, over the same
+    *     distinct 64-bit hash shingles the signature kernels trust
+    *     (identical set cardinalities to string shingles, so identical
+    *     Jaccard values).
+    *
+    * At 100 TB the prefix join is a plain equi-join on a shingle hash
+    * whose fan-out is data-dependent (near-dup-heavy corpora pay more —
+    * that is inherent to EXACT similarity join); the miners above remain
+    * the first-line tool, with this as their measured-recall referee. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3,
+      expandDuplicates: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardJoin threshold must be in (0, 1], got $threshold")
+    val members = memberFrame(df, idCol, col(textCol))
+    val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
+    // one shingle-kernel pass feeds the prefix explode AND the verify;
+    // eager localCheckpoint, ContextCleaner-freed (the minhash pattern)
+    val sets = reps
+      .select(col(idCol),
+        sort_array(array_distinct(ShingleHashExpr(col(textCol), shingleSize))).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_n", size(col("_sh")))
+      .localCheckpoint(true)
+    // prefix length |X| − ⌈τ·|X|⌉ + 1 (overlap t = ⌈τ·|X|⌉ is the least
+    // any qualifying partner can share with X). The 1e-9 slack keeps the
+    // double product from crossing an exact-integer boundary upward
+    // (0.8·200 = 160.0000…008 in binary → ⌈⌉ = 161 would UNDERSIZE the
+    // prefix by one and break losslessness at exact-ratio boundaries)
+    val pref = sets.select(col(idCol), col("_n"),
+      explode(slice(col("_sh"), lit(1),
+        (col("_n") - ceil(lit(threshold) * col("_n") - lit(1e-9)) + lit(1)).cast("int"))).as("_tok"))
+    val candidates = pref.select(col(idCol).as("id_a"), col("_n").as("_na"), col("_tok"))
+      .join(pref.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_tok")), "_tok")
+      // length filter: J ≥ τ forces τ·|B| ≤ |A| — INCLUSIVE at the exact
+      // boundary (A ⊂ B with |A| = τ·|B| qualifies), hence the same slack
+      .filter(col("id_a") < col("id_b") &&
+        col("_na").cast("double") >= lit(threshold) * col("_nb") - lit(1e-9) &&
+        col("_nb").cast("double") >= lit(threshold) * col("_na") - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val repPairs = candidates
+      .join(sets.select(col(idCol).as("id_a"), col("_sh").as("_sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("_sh").as("_sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("_sa"), col("_sb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (!expandDuplicates) repPairs
+    else {
+      // identical-content expansion, exactly the MinHash tail: isolated
+      // dup groups qualify iff their text has shingles (J(t,t)=1.0)
+      val groups = members.groupBy(col("_ch"))
+        .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_n"))
+      val repCh = groups.select(col(idCol), col("_ch"))
+      val groupValues = groups.filter(col("_n") > 1 && lit(1.0) >= threshold)
+        .join(df.select(col(idCol),
+          (size(tokens(col(textCol))) >= shingleSize).as("_hasSh")), idCol)
+        .filter(col("_hasSh"))
+        .select(col("_ch"), lit(1.0).as("jaccard"))
+      expandCross(repPairs, repCh, members, idCol, Seq("jaccard"))
+        .unionByName(expandIntra(groupValues, members, idCol, Seq("jaccard")))
+    }
+  }
+
   /** MinHash-LSH near-duplicate pairs (id_a < id_b, verified Jaccard ≥
     * `threshold`). Signature → `bands` bands of `numHashes/bands` rows;
     * a shared band bucket makes a candidate pair; candidates (and only

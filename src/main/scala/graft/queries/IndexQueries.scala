@@ -84,30 +84,29 @@ object IndexQueries {
     }),
 
     // Composed IVF-ADC (IVFPQ): probe-pruned cells → compressed-domain
-    // ADC scan → exact re-rank of the candidate pool. ROWS-ONLY (r7):
-    // the output equals the exact probe replay only when the bounded ADC
-    // pool contains the true top-k, and that is a recall property of the
-    // data regime, not a guarantee — at sf0.1 one bunched query's true
-    // 4th/5th neighbors rank 128/290 by ADC in a 538-row cell, beyond
-    // any reasonable pool. The hash-match evidence for this pipeline is
-    // the margin-unambiguous ivfpq_knn_planted / ivfpq_knn_batch_planted
-    // companions below (the hnsw_knn_planted pattern).
+    // ADC scan → exact re-rank of the candidate pool. The PQ codebooks
+    // are trained on coarse RESIDUALS (x − centroid; Jégou et al. TPAMI
+    // 2011 §V's IVFADC, r7 verdict item 1) — residual encoding
+    // concentrates quantization error, so the bounded ADC pool contains
+    // the true top-k even for bunched queries (raw-vector codes put a
+    // true neighbor at ADC rank 128 at sf0.1) and the output equals the
+    // exact probe replay, restoring the full hash-match oracle (r8).
     "ivfpq_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Ivf.searchPq(ivfModelFor(s, dir), pqModelFor(s, dir), e,
+      Ivf.searchPq(ivfModelFor(s, dir), ivfResPqFor(s, dir), e,
         "vec_id", "embedding", embeddingOf(s, dir, 0), k = 10, nprobe = 4,
         coded0 = Some(ivfpqCodedFor(s, dir)))
     }),
 
-    // Batch IVF-ADC: per-query ADC tables broadcast with the probe
-    // pairs, collisions scored by table lookup over the 8-byte codes,
-    // bounded ADC pool re-ranked exactly. Rows-only like ivfpq_knn; the
-    // batch plumbing's hash-match lives in ivfpq_knn_batch_planted.
+    // Batch IVF-ADC: per-(query, cell) residual ADC tables broadcast
+    // with the probe pairs, collisions scored by table lookup over the
+    // 8-byte codes, bounded ADC pool re-ranked exactly. Full-pipeline
+    // oracle like ivf_knn_batch (residual codes, r8).
     "ivfpq_knn_batch" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Ivf.searchPqBatch(ivfModelFor(s, dir), pqModelFor(s, dir), e,
+      Ivf.searchPqBatch(ivfModelFor(s, dir), ivfResPqFor(s, dir), e,
         "vec_id", "embedding", q, "query_id", "qv", k = 5, nprobe = 4,
         coded0 = Some(ivfpqCodedFor(s, dir)))
     }),
@@ -123,7 +122,7 @@ object IndexQueries {
     // (c) the exact re-rank separates plants from the corpus by ~100×.
     // Oracle = plain exact kNN over the fixture (same as hnsw planted).
     "ivfpq_knn_planted" -> ((s, dir) => {
-      Ivf.searchPq(ivfModelFor(s, dir), pqModelFor(s, dir),
+      Ivf.searchPq(ivfModelFor(s, dir), ivfResPqFor(s, dir),
         plantedEmbeddings(s, dir), "vec_id", "embedding",
         embeddingOf(s, dir, 0), k = 10, nprobe = 4,
         coded0 = Some(plantedCodedFor(s, dir)))
@@ -135,7 +134,7 @@ object IndexQueries {
     "ivfpq_knn_batch_planted" -> ((s, dir) => {
       val q = table(s, dir, "embeddings").filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Ivf.searchPqBatch(ivfModelFor(s, dir), pqModelFor(s, dir),
+      Ivf.searchPqBatch(ivfModelFor(s, dir), ivfResPqFor(s, dir),
         plantedEmbeddings(s, dir), "vec_id", "embedding",
         q, "query_id", "qv", k = 10, nprobe = 4,
         coded0 = Some(plantedCodedFor(s, dir)))
@@ -197,6 +196,50 @@ object IndexQueries {
       out
     }),
 
+    // Measured HNSW recall vs exact brute-force top-k, pinned in the
+    // DRIVER gate (r7 verdict item 5): 10 queries through the true-graph
+    // serve path, truth from one distributed bounded-heap batch job.
+    // recall_ok hash-matches TRUE only while mean recall ≥ 0.8 — the
+    // reference's own bar (Tests/HNSWBenchmarkTests.cs:169-170), now in
+    // CORRECTNESS_r{N}.json instead of only LocalHnswSpec.
+    "hnsw_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val k = 10
+      val qFrame = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val truth = graft.ops.Knn.batch(e, "vec_id", "embedding",
+          qFrame, "query_id", "qv", k)
+        .select(col("query_id"), col("vec_id"))
+      val idx = hnswFor(s, dir)
+      val qs = qFrame.collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+      val sqlc = s
+      import sqlc.implicits._
+      val found = qs.toSeq.flatMap { case (qid, q) =>
+        LocalHnsw.searchTop(idx, q, k).map { case (_, id) => (qid, id) }
+      }.toDF("query_id", "vec_id")
+      PipelineQueries.recallFrame(truth, found, Seq("query_id", "vec_id"), floor = 0.8)
+    }),
+
+    // Measured IVFADC pool recall vs the exact probe replay, over 4× the
+    // queries the hash-match oracle drives (vec_id < 20): with residual
+    // codes the bounded ADC pool should contain the exact probed top-k
+    // outright, so the floor sits at 0.9 with the equality evidence
+    // carried by ivfpq_knn/ivfpq_knn_batch above.
+    "ivfpq_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val truth = Ivf.searchBatch(ivfModelFor(s, dir), e, "vec_id", "embedding",
+          q, "query_id", "qv", k = 5, nprobe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val found = Ivf.searchPqBatch(ivfModelFor(s, dir), ivfResPqFor(s, dir), e,
+          "vec_id", "embedding", q, "query_id", "qv", k = 5, nprobe = 4,
+          coded0 = Some(ivfpqCodedFor(s, dir)))
+        .select(col("query_id"), col("vec_id"))
+      PipelineQueries.recallFrame(truth, found, Seq("query_id", "vec_id"), floor = 0.9)
+    }),
+
     // Index ↔ table equi-join (SURVEY §2.3: the reference's HNSW load joins
     // persisted node ids back to vectors, HNSW.cs:392-418): the LSH codes
     // column is persisted as a standalone index table, re-read, and
@@ -248,13 +291,22 @@ object IndexQueries {
     hnswIdx.computeIfAbsent(sessionKey(s, dir), _ => LocalHnsw.build(
       table(s, dir, "embeddings").repartition(4, col("vec_id")), "vec_id", "embedding"))
 
+  // IVFADC's own codebooks: trained on coarse residuals (x − centroid),
+  // NOT the raw vectors pq_knn's model sees — Jégou §V; memoized like a
+  // persisted index artifact
+  private val ivfResPqModels = new java.util.concurrent.ConcurrentHashMap[String, PqModel]()
+  private def ivfResPqFor(s: org.apache.spark.sql.SparkSession, dir: String): PqModel =
+    ivfResPqModels.computeIfAbsent(dir,
+      _ => Ivf.fitResidualPq(ivfModelFor(s, dir),
+        table(s, dir, "embeddings"), "embedding"))
+
   // the IVF-PQ (cluster, codes) table is an index-BUILD artifact:
-  // assign + quantize run once per dataset and checkpoint; the search
-  // verbs read only colliding cells of it per query
+  // assign + residual + quantize run once per dataset and checkpoint; the
+  // search verbs read only colliding cells of it per query
   private val ivfpqCoded = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def ivfpqCodedFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     ivfpqCoded.computeIfAbsent(sessionKey(s, dir),
-      _ => Ivf.codedTable(ivfModelFor(s, dir), pqModelFor(s, dir),
+      _ => Ivf.codedTable(ivfModelFor(s, dir), ivfResPqFor(s, dir),
         table(s, dir, "embeddings"), "vec_id", "embedding").localCheckpoint(true))
 
   /** The planted-embeddings fixture as ONE shared DuckDB CTE — both
@@ -303,7 +355,7 @@ object IndexQueries {
   private val plantedCoded = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def plantedCodedFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     plantedCoded.computeIfAbsent(sessionKey(s, dir),
-      _ => Ivf.codedTable(ivfModelFor(s, dir), pqModelFor(s, dir),
+      _ => Ivf.codedTable(ivfModelFor(s, dir), ivfResPqFor(s, dir),
         plantedEmbeddings(s, dir), "vec_id", "embedding").localCheckpoint(true))
 
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
@@ -356,6 +408,71 @@ object IndexQueries {
   private val const10 = "[" + Seq.fill(64)("10.0").mkString(",") + "]"
 
   private val knnDistSql = sqlEuclid("e.embedding", "q.qv")
+
+  /** The Knuth-hash centroid ranking of [[Ivf.fitSampledCentroids]]. */
+  private val ivfHashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
+
+  /** Full IVF pipeline replay in SQL: the centroid CTE reproduces
+    * `Ivf.fitSampledCentroids` (Knuth-hash-ranked rows), assignment and
+    * probe choice compare raw squared distances with identical
+    * sequential-double folds, then the exact top-10 runs on the probed
+    * clusters. Shared by `ivf_knn` (which computes exactly this) and
+    * `ivfpq_knn` (whose residual-ADC pool + exact re-rank must land on
+    * the same rows). */
+  private lazy val ivfExactProbeReplaySql: String =
+    s"""WITH cent AS (
+       |  SELECT row_number() OVER (ORDER BY $ivfHashExpr, vec_id) - 1 AS cid,
+       |         embedding AS cv
+       |  FROM embeddings ORDER BY $ivfHashExpr, vec_id LIMIT 16),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT c.cid AS cid FROM cent c, q
+       |          ORDER BY ${sqlEuclidSq("c.cv", "q.qv")}, c.cid LIMIT 4),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id AS vec_id, c.cid AS cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+       |SELECT e.vec_id AS vec_id, ${sqlEuclid("e.embedding", "q.qv")} AS dist
+       |FROM embeddings e
+       |JOIN assign a ON a.vec_id = e.vec_id
+       |JOIN probe p ON p.cid = a.cid, q
+       |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+
+  /** [[ivfExactProbeReplaySql]]'s multi-query form (5 queries, per-query
+    * nprobe-4 probe sets, rank ≤ 5) — shared by `ivf_knn_batch` and
+    * `ivfpq_knn_batch`. */
+  private lazy val ivfExactProbeReplayBatchSql: String =
+    s"""WITH cent AS (
+       |  SELECT row_number() OVER (ORDER BY $ivfHashExpr, vec_id) - 1 AS cid,
+       |         embedding AS cv
+       |  FROM embeddings ORDER BY $ivfHashExpr, vec_id LIMIT 16),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < 5),
+       |probe AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id AS query_id, c.cid AS cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${sqlEuclidSq("c.cv", "q.qv")}, c.cid) AS rn
+       |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id AS vec_id, c.cid AS cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |d AS (
+       |  SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+       |         ${sqlEuclid("e.embedding", "q.qv")} AS dist
+       |  FROM embeddings e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN probe p ON p.cid = a.cid
+       |  JOIN q ON q.query_id = p.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
+       |FROM (SELECT query_id, vec_id, dist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |      FROM d)
+       |WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Exact kNN over the planted fixture — by construction the true
@@ -455,38 +572,15 @@ object IndexQueries {
     // probe choice compare raw squared distances with identical
     // sequential-double folds, and only then does the exact top-k run on
     // the probed clusters.
-    "ivf_knn" -> {
-      val hashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
-      s"""WITH cent AS (
-         |  SELECT row_number() OVER (ORDER BY $hashExpr, vec_id) - 1 AS cid,
-         |         embedding AS cv
-         |  FROM embeddings ORDER BY $hashExpr, vec_id LIMIT 16),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |probe AS (SELECT c.cid AS cid FROM cent c, q
-         |          ORDER BY ${sqlEuclidSq("c.cv", "q.qv")}, c.cid LIMIT 4),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id AS vec_id, c.cid AS cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
-         |SELECT e.vec_id AS vec_id, ${sqlEuclid("e.embedding", "q.qv")} AS dist
-         |FROM embeddings e
-         |JOIN assign a ON a.vec_id = e.vec_id
-         |JOIN probe p ON p.cid = a.cid, q
-         |ORDER BY dist, vec_id LIMIT 10""".stripMargin
-    },
+    "ivf_knn" -> ivfExactProbeReplaySql,
 
     // IVF-ADC must land on the SAME rows as the probe replay's exact
-    // top-k: the compressed-domain candidate pool (100 rows here) has to
-    // contain the true top-10 of the probed cells, and the exact re-rank
-    // then restores exact distances and order. Any ADC-induced miss
-    // hash-mismatches this oracle.
-    // ivfpq_knn / ivfpq_knn_batch: NO oracle (rows-only, r7) — their
-    // equality with the exact probe replay depends on ADC pool recall,
-    // which is regime-dependent (fails for bunched queries at sf0.1).
-    // The planted companions below hash-match the same pipeline in the
-    // margin-unambiguous regime.
+    // top-k: the residual-encoded ADC pool (Jégou §V) has to contain the
+    // true top-10 of the probed cells, and the exact re-rank then
+    // restores exact distances and order. Any ADC-induced miss
+    // hash-mismatches this oracle. (Restored in r8 — raw-vector codes
+    // could not sustain this at sf0.1; residual codes can.)
+    "ivfpq_knn" -> ivfExactProbeReplaySql,
 
     "ivfpq_knn_planted" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -505,39 +599,21 @@ object IndexQueries {
          |      FROM d)
          |WHERE rank <= 10""".stripMargin,
 
-    "ivf_knn_batch" -> {
-      val hashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
-      s"""WITH cent AS (
-         |  SELECT row_number() OVER (ORDER BY $hashExpr, vec_id) - 1 AS cid,
-         |         embedding AS cv
-         |  FROM embeddings ORDER BY $hashExpr, vec_id LIMIT 16),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |      FROM embeddings WHERE vec_id < 5),
-         |probe AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT q.query_id AS query_id, c.cid AS cid,
-         |           row_number() OVER (PARTITION BY q.query_id
-         |             ORDER BY ${sqlEuclidSq("c.cv", "q.qv")}, c.cid) AS rn
-         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id AS vec_id, c.cid AS cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-         |d AS (
-         |  SELECT q.query_id AS query_id, e.vec_id AS vec_id,
-         |         ${sqlEuclid("e.embedding", "q.qv")} AS dist
-         |  FROM embeddings e
-         |  JOIN assign a ON a.vec_id = e.vec_id
-         |  JOIN probe p ON p.cid = a.cid
-         |  JOIN q ON q.query_id = p.query_id)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
-         |FROM (SELECT query_id, vec_id, dist,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |      FROM d)
-         |WHERE rank <= 5""".stripMargin
-    },
+    "ivf_knn_batch" -> ivfExactProbeReplayBatchSql,
+
+    // the batch IVFADC pipeline against the same exact batch replay
+    "ivfpq_knn_batch" -> ivfExactProbeReplayBatchSql,
+
+    // recall gates (r7 item 5): true_pairs is the exact denominator size
+    // (queries × k, both data-derived), recall_ok pinned TRUE — a hash
+    // mismatch means measured recall fell through the documented floor
+    "hnsw_recall" ->
+      """SELECT CAST(10 * least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS true_pairs,
+        |       CAST(0.8 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""".stripMargin,
+
+    "ivfpq_recall" ->
+      """SELECT CAST(5 * least(20, (SELECT count(*) FROM embeddings)) AS BIGINT) AS true_pairs,
+        |       CAST(0.9 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""".stripMargin,
 
     "index_join" ->
       s"""WITH $hpCte,

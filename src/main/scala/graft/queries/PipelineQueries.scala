@@ -46,6 +46,36 @@ object PipelineQueries {
         .select(col("doc_id"), round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jac"))
     }),
 
+    // EXACT prefix-filtered Jaccard similarity self-join (Chaudhuri
+    // ICDE'06 / Bayardo WWW'07) — the ground truth the MinHash/SimHash
+    // miners approximate, as a first-class operator with a FULL
+    // hash-match oracle: the prefix filter is lossless under ANY global
+    // shingle order, so Spark sorts 64-bit hash shingles while the SQL
+    // replay sorts strings, and both land on the same verified pairs.
+    "jaccard_join" -> ((s, dir) => jaccardTruthFor(s, dir)),
+
+    // Measured LSH-banding recall vs the exact join, pinned in the
+    // DRIVER gate (r7 verdict item 5): true_pairs is the replayable
+    // exact J≥0.8 pair count; recall_ok hash-matches TRUE only while
+    // the miner keeps finding ≥ `floor` of them. (128 hashes / 32
+    // bands: P[miss J=0.8] ≈ (1−0.8⁴)³² ≈ 5·10⁻⁸ — floor 0.9 leaves
+    // room for a single unlucky pair on small corpora.)
+    "minhash_recall" -> ((s, dir) => recallFrame(
+      jaccardTruthFor(s, dir),
+      Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.4, repPairs0 = Some(minhashRepPairsFor(s, dir))),
+      Seq("id_a", "id_b"), floor = 0.9)),
+
+    // SimHash recall against the same exact-Jaccard referee. SimHash
+    // approximates token-frequency cosine, not Jaccard, so its recall
+    // on J≥0.8 pairs is structurally lower than MinHash's — the floor
+    // pins the measured regime (see SURVEY §8) rather than 0.9.
+    "simhash_recall" -> ((s, dir) => recallFrame(
+      jaccardTruthFor(s, dir),
+      Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 10, repPairs0 = Some(simhashRepPairsFor(s, dir))),
+      Seq("id_a", "id_b"), floor = simhashRecallFloor)),
+
     // MinHash-LSH near-dup pairs (bucketed; xxhash64 signatures are
     // engine-internal → rows-only oracle; DedupSpec plants duplicates).
     // Rep-level mining is the memoized per-corpus artifact; the call
@@ -333,6 +363,45 @@ object PipelineQueries {
       _ => Dedup.cosineCandidateDistances(table(s, dir, "embeddings"),
         "vec_id", "embedding", IndexQueries.lshP))
 
+  /** Exact J ≥ 0.8 pairs (member-level), memoized per dataset — the
+    * shared denominator of the recall gates and the `jaccard_join`
+    * output itself. */
+  private val jaccardTruth =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def jaccardTruthFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    jaccardTruth.computeIfAbsent(sessionKey(s, dir),
+      _ => Dedup.jaccardJoin(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8).localCheckpoint(true))
+
+  /** Measured floor for `simhash_recall`: Hamming ≤ 10 of 64 catches
+    * 23/25 exact-J≥0.8 pairs at sf0.01 and 227/256 at sf0.1 (0.92 /
+    * 0.887) — the miner targets token-frequency cosine, so a handful of
+    * J-strong but frequency-skewed pairs legitimately sit past the
+    * bound. 0.8 is the reference's own recall bar
+    * (Tests/HNSWBenchmarkTests.cs:169), held with ~10% margin. */
+  private val simhashRecallFloor = 0.8
+
+  /** One-row (true_pairs, recall_floor, recall_ok) recall gate: the
+    * driver's DuckDB oracle recomputes `true_pairs` exactly and pins
+    * `recall_ok` TRUE — a measured-recall bar in the correctness gate,
+    * not just in ScalaTest (r7 verdict item 5). All set algebra stays
+    * distributed; the single output row is the aggregate. Shared with
+    * the index recall keys (`hnsw_recall`, `ivfpq_recall`), whose truth
+    * rows are (query_id, neighbor_id) instead of (id_a, id_b). */
+  private[queries] def recallFrame(truth: org.apache.spark.sql.DataFrame,
+      found: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      floor: Double): org.apache.spark.sql.DataFrame =
+    truth.select(keys.map(col): _*)
+      .join(found.select(keys.map(col): _*).dropDuplicates(keys)
+          .withColumn("_hit", lit(1)),
+        keys, "left")
+      .agg(count(lit(1)).as("true_pairs"),
+        coalesce(sum(col("_hit")), lit(0)).cast("long").as("_found"))
+      .select(col("true_pairs"),
+        lit(floor).as("recall_floor"),
+        (col("true_pairs") > 0 &&
+          col("_found").cast("double") >= lit(floor) * col("true_pairs")).as("recall_ok"))
+
   /** MinHash rep-level pairs at the pipeline's 0.4 threshold, memoized
     * per dataset (the signature/banding pass is the dominant cost of the
     * composed text-dedup query). */
@@ -376,6 +445,26 @@ object PipelineQueries {
        | s -> s != ''))""".stripMargin
 
   private val stopList = TextStats.englishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** The exact prefix-filtered Jaccard join as shared CTEs ending in
+    * `jpairs(id_a, id_b, jaccard)` — used by the jaccard_join oracle and
+    * as the recall gates' exact denominator. Mirrors [[Dedup.jaccardJoin]]
+    * over string shingles: DuckDB's DECIMAL `0.8 * cnt` keeps the prefix
+    * length ⌈τ·n⌉ and the length bounds exact at integer boundaries (the
+    * Spark side guards its double products with 1e-9 slack instead). */
+  private lazy val jaccardJoinSqlCtes =
+    s"""jsets AS (SELECT doc_id, list_sort(${shSql("text")}) AS sh FROM documents),
+       |jc AS (SELECT doc_id, sh, len(sh) AS cnt FROM jsets WHERE len(sh) > 0),
+       |jpref AS (SELECT doc_id, cnt,
+       |    unnest(sh[1:(cnt - CAST(ceil(0.8 * cnt) AS INT) + 1)]) AS tok FROM jc),
+       |jcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM jpref a JOIN jpref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |   AND a.cnt >= 0.8 * b.cnt AND b.cnt >= 0.8 * a.cnt),
+       |jver AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       |  FROM jcand JOIN jc x ON x.doc_id = id_a JOIN jc y ON y.doc_id = id_b),
+       |jpairs AS (SELECT id_a, id_b, jaccard FROM jver WHERE jaccard >= 0.8)""".stripMargin
 
   /** The BM25 formula as shared CTEs ending in `bm(doc_id, bm25)` —
     * used by the bm25_topk and hybrid_rrf oracles. */
@@ -431,6 +520,28 @@ object PipelineQueries {
          | list_min(list_transform(generate_series(1, length(text) - 7),
          |   i -> md5(substring(text, i, 8)))) AS fingerprint
          |FROM documents""".stripMargin,
+
+    // full replay of the exact similarity join: string shingles sorted
+    // lexicographically (the prefix filter is lossless under any global
+    // order — no agreement with Spark's hash-shingle order needed),
+    // DECIMAL arithmetic keeps ⌈0.8·n⌉ and the length bounds exact
+    "jaccard_join" ->
+      s"WITH $jaccardJoinSqlCtes\nSELECT id_a, id_b, jaccard FROM jpairs",
+
+    // the recall gates: true_pairs is recomputed exactly; recall_ok
+    // pinned TRUE — a hash mismatch means the miner's measured recall
+    // fell through the floor
+    "minhash_recall" ->
+      s"""WITH $jaccardJoinSqlCtes
+         |SELECT count(*) AS true_pairs, CAST(0.9 AS DOUBLE) AS recall_floor,
+         |       TRUE AS recall_ok
+         |FROM jpairs""".stripMargin,
+
+    "simhash_recall" ->
+      s"""WITH $jaccardJoinSqlCtes
+         |SELECT count(*) AS true_pairs, CAST(0.8 AS DOUBLE) AS recall_floor,
+         |       TRUE AS recall_ok
+         |FROM jpairs""".stripMargin,
 
     "jaccard_pairs" ->
       s"""SELECT a.doc_id AS doc_id,

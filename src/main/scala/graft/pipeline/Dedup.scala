@@ -520,6 +520,59 @@ object Dedup {
     * (previously they all shared the degenerate empty signature).
     * `expandDuplicates = false` returns rep-level pairs only — the
     * shape to use at 100 TB where the clique itself is the blow-up. */
+  /** REP-level (id, band, bucket) banding rows — the ONE signature-
+    * kernel artifact of MinHash mining, exposed standalone so a
+    * micro-batch body can compute it once and share it between
+    * within-batch pair mining ([[minHashPairsFromBands]]), the
+    * cross-store probe, and the survivor bucket-index write. Every
+    * shingled doc that survives near-dup collapse is its exact-content
+    * group's representative (the cluster minimum id is also its group's
+    * minimum), so rep bands semi-joined to survivor ids ARE the
+    * survivors' bands. Signature path is all codegen kernels;
+    * eligibility = at least one shingle. Eager localCheckpoint: the
+    * kernel pass runs ONCE for every downstream consumer, blocks
+    * ContextCleaner-freed (no persist leak — r2 nit). */
+  def minHashRepBands(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
+    val withSig = reps
+      .select(col(idCol), ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idCol), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
+      .localCheckpoint(true)
+    withSig.select(
+      col(idCol), posexplode(bandBuckets(col("sig"), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Verified rep-level pairs from an already-computed banded frame:
+    * capped-bucket self-join for candidates, exact-Jaccard verify on
+    * survivors only. The verify carries raw texts through the joins and
+    * shingles AFTER them, so shingling runs only on candidate rows, not
+    * the whole corpus; |∩|/|∪| runs over DISTINCT 64-bit shingle hashes
+    * (the codegen kernel the signatures already trust) — identical set
+    * cardinalities to string shingles, a fraction of the per-pair cost. */
+  def minHashPairsFromBands(banded: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, maxBucket: Int = 4096,
+      logDroppedBuckets: Boolean = false): DataFrame = {
+    logDrops("minhash", banded, Seq("band", "bucket"), idCol, maxBucket, logDroppedBuckets)
+    val capped = capBuckets(banded, Seq("band", "bucket"), idCol, maxBucket)
+    val candidates = capped.join(
+        capped.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
+      .filter(col(idCol) < col("_id_b"))
+      .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val texts = df.select(col(idCol), col(textCol))
+    candidates
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_t_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_t_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccardByHash(col("_t_a"), col("_t_b"), shingleSize), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
@@ -530,45 +583,10 @@ object Dedup {
     val members = memberFrame(df, idCol, col(textCol))
     // repPairs0 skips the signature pipeline entirely (callers memoize
     // rep-level pairs per corpus — the kernels are the dominant cost)
-    val repPairs = repPairs0.getOrElse {
-      val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
-      // signature path is all codegen kernels (shingle hashing + lane
-      // mixing); eligibility = at least one shingle (filter on the SHINGLE
-      // array — every signature has numHashes lanes regardless)
-      // eager localCheckpoint: the kernel pass runs ONCE for the bucket
-      // join's two sides, and its blocks are freed by the ContextCleaner
-      // when unreferenced (no persist leak — r2 nit)
-      val withSig = reps
-        .select(col(idCol), col("_ch"), col("_n"),
-          ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
-        .filter(size(col("_sh")) > 0)
-        .select(col(idCol), col("_ch"), col("_n"), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
-        .localCheckpoint(true)
-      val banded = withSig.select(
-        col(idCol), posexplode(bandBuckets(col("sig"), numHashes, bands)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      logDrops("minhash", banded, Seq("band", "bucket"), idCol, maxBucket, logDroppedBuckets)
-      val capped = capBuckets(banded, Seq("band", "bucket"), idCol, maxBucket)
-      val candidates = capped.join(
-          capped.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
-        .filter(col(idCol) < col("_id_b"))
-        .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      // exact-Jaccard verify: carry raw texts through the joins and
-      // shingle AFTER them, so shingling runs only on the candidate
-      // rows, not the whole corpus. |∩|/|∪| is computed over DISTINCT
-      // 64-bit shingle hashes (the codegen kernel the signatures already
-      // trust) instead of materialized shingle strings — identical set
-      // cardinalities, so identical Jaccard values, at a fraction of the
-      // per-pair cost (no split/concat_ws string churn)
-      val texts = df.select(col(idCol), col(textCol))
-      candidates
-        .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_t_a")), "id_a")
-        .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_t_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(jaccardByHash(col("_t_a"), col("_t_b"), shingleSize), 6).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-    }
+    val repPairs = repPairs0.getOrElse(
+      minHashPairsFromBands(
+        minHashRepBands(df, idCol, textCol, shingleSize, numHashes, bands),
+        df, idCol, textCol, threshold, shingleSize, maxBucket, logDroppedBuckets))
     if (!expandDuplicates) repPairs
     else {
       // expansion frames derive from the cheap md5 collapse, never the

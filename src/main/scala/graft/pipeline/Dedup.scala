@@ -745,12 +745,39 @@ object Dedup {
     * The bucket self-join carries ONLY (code, id) — candidate pairs are
     * deduplicated as scalars first and the float arrays join back BY ID
     * for the verify, so embeddings never ride the bucket shuffle. */
+  /** Rep-level (id, code) LSH rows — the one code-kernel artifact of
+    * cosine mining, exposed standalone (the text side's
+    * [[minHashRepBands]] twin) so a micro-batch body can share it
+    * between pair mining, the cross-store probe and the survivor
+    * code-index write. Reps are VALUE-group minimum ids; every non-NaN
+    * survivor of near-dup collapse is its value group's minimum (value
+    * duplicates sit at distance 0 and always cluster), so semi-joins of
+    * this frame are the survivors' codes. The only rows a semi-join can
+    * miss are extra ZERO-MAGNITUDE value duplicates (NaN distance never
+    * clusters them) — harmless: any candidate such a row generates
+    * fails the NaN cosine verify anyway. */
+  def cosineRepCodes(df: DataFrame, idCol: String, vecCol: String,
+      params: LshParams): DataFrame =
+    // no eager checkpoint here: the caller decides materialization (the
+    // streaming body lazily checkpoints the RETURNED frame, so the
+    // value-collapse aggregate and the code kernel run once either way)
+    Lsh.withCodes(vecReps(df, idCol, vecCol), vecCol, params)
+      .select(col(idCol), explode(col("codes")).as("code"))
+
   def cosineCandidateDistances(df: DataFrame, idCol: String, vecCol: String,
       params: LshParams, maxBucket: Int = 4096,
-      logDroppedBuckets: Boolean = false): DataFrame = {
-    val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
-    val coded = Lsh.withCodes(reps, vecCol, params)
-      .select(col(idCol), explode(col("codes")).as("code"))
+      logDroppedBuckets: Boolean = false,
+      coded0: Option[DataFrame] = None): DataFrame = {
+    // standalone path keeps the eager rep checkpoint (the bucket
+    // self-join reads two sides) and frees it before returning; a
+    // caller-shared coded0 skips both
+    val (coded, repsToFree) = coded0 match {
+      case Some(c) => (c, None)
+      case None =>
+        val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
+        (Lsh.withCodes(reps, vecCol, params)
+          .select(col(idCol), explode(col("codes")).as("code")), Some(reps))
+    }
     logDrops("cosine", coded, Seq("code"), idCol, maxBucket, logDroppedBuckets)
     val capped = capBuckets(coded, Seq("code"), idCol, maxBucket)
     val candidates = capped.join(
@@ -765,7 +792,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Distances.cosineDistance(col("_v_a"), col("_v_b")), 6).as("cos_dist"))
       .localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeCheckpoint(reps)
+    repsToFree.foreach(org.apache.spark.sql.graft.bridge.freeCheckpoint)
     out
   }
 

@@ -131,17 +131,25 @@ object StreamingDedup {
     // materialization job per checkpoint (3 fewer driver actions/batch)
     val docs = batch.select(col(idCol), col(vecCol)).localCheckpoint(false)
 
-    val comps = Dedup.cosineComponents(docs, idCol, vecCol, maxCosineDistance, params)
+    // ONE value-collapse + LSH-code kernel pass per micro-batch, shared
+    // by within-batch mining, the cross-store probe, and the survivor
+    // code-index write (the text twin's repBands discipline). Non-NaN
+    // survivors are their value group's minimum id, so semi-joins of
+    // this frame are their codes; the zero-magnitude-duplicate gap is
+    // harmless (NaN distance fails every verify).
+    val repCodes = Dedup.cosineRepCodes(docs, idCol, vecCol, params)
+      .localCheckpoint(false)
+
+    val comps = Dedup.cosineComponents(docs, idCol, vecCol, maxCosineDistance, params,
+      candidates = Some(Dedup.cosineCandidateDistances(docs, idCol, vecCol, params,
+        coded0 = Some(repCodes))))
     val batchKeep = docs.join(
         comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
         Seq(idCol), "left_anti")
       .localCheckpoint(false)
 
-    // one LSH-code kernel pass per micro-batch, shared by the
-    // cross-store probe and the survivor code-index write (the text
-    // twin's batchBands discipline)
-    val batchCodes = graft.index.Lsh.withCodes(batchKeep, vecCol, params)
-      .select(col(idCol), explode(col("codes")).as("code"))
+    val batchCodes = repCodes
+      .join(batchKeep.select(col(idCol)), Seq(idCol), "left_semi")
       .localCheckpoint(false)
 
     val keptDirs = priorCommittedDirs(spark, s"$storePath/kept", batchId)

@@ -131,13 +131,27 @@ object Ivf {
   /** Train the PQ codebooks IVFADC actually scores with: on the coarse
     * RESIDUALS, not the raw vectors (a raw-trained codebook mis-centers
     * every cell's residual cloud). Same bounded seeded sample and seed-42
-    * determinism as [[ProductQuantization.fit]]. */
+    * determinism as [[ProductQuantization.fit]].
+    *
+    * Default code budget: dim/4 subvectors (4-dim blocks) — FINER than
+    * the plain-PQ default, deliberately. The ADC pool is bounded at
+    * candidateFactor×k, so pool recall is set by how well ADC ranks
+    * true neighbors, and near-uniform data (no cluster structure — the
+    * hardest PQ regime) is where coarse blocks fail: measured on 64-dim
+    * sf0.1, the worst true-top-5 ADC rank over 20 queries is 423 of
+    * ~1250 probed rows with 8-dim blocks but 30 with 4-dim blocks — a
+    * 5× pool margin at 16× compression (16 B codes vs 256 B vectors).
+    * Dims not divisible by 4 fall back to the plain-PQ default. */
   def fitResidualPq(ivf: IvfModel, vectors: DataFrame, vecCol: String,
       numSubVectors: Option[Int] = None, numCentroids: Int = 256,
-      maxIter: Int = 50, seed: Long = 42, trainSample: Int = 1 << 18): PqModel =
+      maxIter: Int = 50, seed: Long = 42, trainSample: Int = 1 << 18): PqModel = {
+    val dim = ivf.centers.headOption.map(_.length).getOrElse(0)
+    val m = numSubVectors.orElse(
+      if (dim > 0 && dim % 4 == 0) Some(math.max(1, dim / 4)) else None)
     ProductQuantization.fit(
       withResidual(ivf, assign(ivf, vectors, vecCol), vecCol).select(col("_res")),
-      "_res", numSubVectors, numCentroids, maxIter, seed, trainSample)
+      "_res", m, numCentroids, maxIter, seed, trainSample)
+  }
 
   /** IVF-ADC kNN — the composed IVFPQ layout (Jégou, Douze & Schmid,
     * "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
@@ -167,13 +181,14 @@ object Ivf {
       .select(col(idCol), col("cluster"), col("codes"))
 
   /** Default ADC pool bound: `candidateFactor × k` best compressed-domain
-    * candidates pay an exact distance. 32 is sized from the measured
+    * candidates pay an exact distance. 32 is sized against the measured
     * worst-case true-neighbor ADC rank on near-uniform 64-dim data (the
-    * hardest PQ regime: batch top-5 ranked ≤100 of ~1250 probed rows at
-    * sf0.1 with residual codes) with ≥1.6× margin — the pool stays
+    * hardest PQ regime): with residual 4-dim-block codes the worst
+    * true-top-5 rank over 20 sf0.1 queries is 30 of ~1250 probed rows,
+    * a 5× margin at pool 160 ([[fitResidualPq]]) — the pool stays
     * O(k·cf) per query regardless of table size, so at 100 TB the exact
     * re-rank still touches a few hundred rows while the scan reads only
-    * 4-byte codes. */
+    * the compact code column. */
   def searchPq(ivf: IvfModel, pq: PqModel, vectors: DataFrame,
       idCol: String, vecCol: String, query: Array[Float], k: Int,
       nprobe: Int = 4, metric: String = "euclidean",

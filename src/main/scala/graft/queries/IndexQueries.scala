@@ -222,10 +222,12 @@ object IndexQueries {
     }),
 
     // Measured IVFADC pool recall vs the exact probe replay, over 4× the
-    // queries the hash-match oracle drives (vec_id < 20): with residual
-    // codes the bounded ADC pool should contain the exact probed top-k
-    // outright, so the floor sits at 0.9 with the equality evidence
-    // carried by ivfpq_knn/ivfpq_knn_batch above.
+    // queries the hash-match oracle drives (vec_id < 20). This key is
+    // what CAUGHT the r8 regression the 5-query oracles missed: with
+    // 8-dim-block residual codes, 11/100 true pairs sat beyond the
+    // 160-candidate pool at sf0.1 (worst ADC rank 423); the residual
+    // codebooks now default to 4-dim blocks (fitResidualPq — worst rank
+    // 30, 5× pool margin), restoring measured recall 1.0. Floor 0.9.
     "ivfpq_recall" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)

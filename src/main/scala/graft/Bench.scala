@@ -77,7 +77,7 @@ object Bench {
     // REST (HTTP parse → facade KDTree dispatch on warm local indexes →
     // JSON encode) and gRPC-Web (frame parse → proto decode → the same
     // dispatch → Vector.ToBinary encode) — p50 of 20 warm requests each
-    val serveKeys = Set("serve_knn_p50", "serve_grpc_p50")
+    val serveKeys = Set("serve_knn_p50", "serve_grpc_p50", "serve_grpc_native_p50")
     val serve =
       if (only.forall(o => serveKeys.exists(o.contains)))
         try servePercentiles(spark, sfDir)
@@ -116,6 +116,8 @@ object Bench {
     val dim = graft.core.VectorSchema.dimensionOf(emb, "embedding")
     val db = new graft.api.NeighborlySpark(spark, dim)
     val srv = new graft.api.VectorHttpServer(db)
+    val h2 = new graft.api.GrpcHttp2Server(db)
+    var h2Client: graft.api.GrpcHttp2Client = null
     try {
       // a few-thousand-vector serving working set lives in a handful of
       // partitions — at 32, every warm request would schedule 32 near-empty
@@ -162,13 +164,34 @@ object Bench {
         val times = (1 to 20).map(_ => once()).sorted
         times(times.size / 2)
       }
+      // native gRPC (HTTP/2): warm stock-client shape — one connection,
+      // one stream per rpc — through the same facade dispatch
+      val h2Port = h2.start()
+      h2Client = new graft.api.GrpcHttp2Client("127.0.0.1", h2Port)
+      val nativeReq = graft.api.VectorProto.encodeSearchNearestRequest(
+        graft.api.VectorBinary.toBinary(graft.core.VectorRecord(
+          java.util.UUID.randomUUID().toString, qv.toArray)), 10)
+      def nativeOnce(): Double = {
+        val t0 = System.nanoTime()
+        val (_, trailers, _) = h2Client.call("SearchNearest", nativeReq)
+        require(trailers.get("grpc-status").contains("0"),
+          s"native grpc serve bench got status ${trailers.get("grpc-status")}: ${trailers.get("grpc-message")}")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 5).foreach(_ => nativeOnce())
+      val nativeTimes = (1 to 20).map(_ => nativeOnce()).sorted
+
       Seq(
         ("serve_knn_p50", p50(restReq, _ => ()), 20),
         ("serve_grpc_p50", p50(grpcReq, r => {
           val (_, trailers) = graft.api.GrpcWeb.readFrames(r.body())
           require(trailers.get("grpc-status").contains("0"),
             s"grpc serve bench got status ${trailers.get("grpc-status")}: ${trailers.get("grpc-message")}")
-        }), 20))
-    } finally { srv.stop(); db.close() }
+        }), 20),
+        ("serve_grpc_native_p50", nativeTimes(nativeTimes.size / 2), 20))
+    } finally {
+      if (h2Client != null) h2Client.close()
+      h2.stop(); srv.stop(); db.close()
+    }
   }
 }

@@ -130,7 +130,7 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
         val body = if (isText) java.util.Base64.getDecoder.decode(
           new String(rawBody, StandardCharsets.US_ASCII).trim) else rawBody
         val req = GrpcWeb.firstMessage(body)
-        val reply = dispatchRpc(method, req)
+        val reply = VectorHttpServer.dispatchRpc(db, method, req)
         GrpcWeb.messageFrame(reply) ++ GrpcWeb.trailersFrame(0)
       } catch {
         case GrpcWeb.StatusException(code, msg) => GrpcWeb.trailersFrame(code, msg)
@@ -192,51 +192,7 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
     } finally os.close()
   }
 
-  private def dispatchRpc(method: String, req: Array[Byte]): Array[Byte] = method match {
-    case "GetVectors" =>
-      VectorProto.encodeVectorList(
-        db.vectors.collect().toSeq
-          .map(r => VectorBinary.toBinary(VectorHttpServer.rowToRecord(r))))
-    case "AddVector" =>
-      val payload = VectorProto.decodeAddVectorRequest(req)
-      require(payload.nonEmpty, "AddVectorRequest carried no vector")
-      db.addVector(VectorBinary.fromBinary(payload))
-      VectorProto.encodeResponse(success = true)
-    case "GetVectorById" =>
-      val id = VectorProto.decodeGetVectorByIdRequest(req)
-      val canonical = parseGuid(id) // malformed id throws (Guid.Parse parity)
-      VectorProto.encodeGetVectorResponse(
-        db.getVector(canonical).map(VectorBinary.toBinary))
-    case "UpdateVector" =>
-      val (id, payload) = VectorProto.decodeUpdateVectorRequest(req)
-      require(payload.nonEmpty, "UpdateVectorRequest carried no vector")
-      val next = VectorBinary.fromBinary(payload)
-      val ok = db.updateVector(parseGuid(id), next.values, next.original_text)
-      VectorProto.encodeResponse(ok)
-    case "SearchNearest" =>
-      val (payload, k) = VectorProto.decodeSearchNearestRequest(req)
-      require(payload.nonEmpty, "SearchNearestRequest carried no query vector")
-      val query = VectorBinary.fromBinary(payload)
-      VectorProto.encodeVectorList(
-        db.searchRecords(query.values, k).map { case (r, _) => VectorBinary.toBinary(r) })
-    case "ClearVectors" =>
-      db.clear()
-      VectorProto.encodeResponse(success = true)
-    case other =>
-      throw GrpcWeb.StatusException(12, s"method Vector/$other is not implemented")
-  }
-
-  /** C# `Guid.Parse` parity: flexible in, canonical lowercase out — the
-    * store's ids are canonical UUID strings, so lookups must normalize
-    * (`Guid.Parse("ABC…").ToString()` is lowercase hyphenated). */
-  private def parseGuid(id: String): String = {
-    val bare = id.trim.stripPrefix("{").stripSuffix("}")
-    val canonical =
-      if (bare.length == 32 && !bare.contains('-'))
-        s"${bare.substring(0, 8)}-${bare.substring(8, 12)}-${bare.substring(12, 16)}-${bare.substring(16, 20)}-${bare.substring(20)}"
-      else bare
-    java.util.UUID.fromString(canonical).toString
-  }
+  private def parseGuid(id: String): String = VectorHttpServer.parseGuid(id)
 
   // ------------------------------------------------------------- routes
 
@@ -386,6 +342,57 @@ object VectorHttpServer {
       autoRebuildDelayMs: Long = 5000): VectorHttpServer =
     new VectorHttpServer(new NeighborlySpark(spark, dimension,
       autoRebuild = autoRebuild, autoRebuildDelayMs = autoRebuildDelayMs), port)
+
+  /** The six `service Vector` rpc bodies, shared VERBATIM by the
+    * gRPC-Web endpoint ([[VectorHttpServer.grpcWeb]]) and the native
+    * HTTP/2 endpoint ([[GrpcHttp2Server]]) — one source of truth for
+    * method semantics (VectorService.cs parity), two transports. */
+  private[api] def dispatchRpc(db: NeighborlySpark, method: String,
+      req: Array[Byte]): Array[Byte] = method match {
+    case "GetVectors" =>
+      VectorProto.encodeVectorList(
+        db.vectors.collect().toSeq
+          .map(r => VectorBinary.toBinary(rowToRecord(r))))
+    case "AddVector" =>
+      val payload = VectorProto.decodeAddVectorRequest(req)
+      require(payload.nonEmpty, "AddVectorRequest carried no vector")
+      db.addVector(VectorBinary.fromBinary(payload))
+      VectorProto.encodeResponse(success = true)
+    case "GetVectorById" =>
+      val id = VectorProto.decodeGetVectorByIdRequest(req)
+      val canonical = parseGuid(id) // malformed id throws (Guid.Parse parity)
+      VectorProto.encodeGetVectorResponse(
+        db.getVector(canonical).map(VectorBinary.toBinary))
+    case "UpdateVector" =>
+      val (id, payload) = VectorProto.decodeUpdateVectorRequest(req)
+      require(payload.nonEmpty, "UpdateVectorRequest carried no vector")
+      val next = VectorBinary.fromBinary(payload)
+      val ok = db.updateVector(parseGuid(id), next.values, next.original_text)
+      VectorProto.encodeResponse(ok)
+    case "SearchNearest" =>
+      val (payload, k) = VectorProto.decodeSearchNearestRequest(req)
+      require(payload.nonEmpty, "SearchNearestRequest carried no query vector")
+      val query = VectorBinary.fromBinary(payload)
+      VectorProto.encodeVectorList(
+        db.searchRecords(query.values, k).map { case (r, _) => VectorBinary.toBinary(r) })
+    case "ClearVectors" =>
+      db.clear()
+      VectorProto.encodeResponse(success = true)
+    case other =>
+      throw GrpcWeb.StatusException(12, s"method Vector/$other is not implemented")
+  }
+
+  /** C# `Guid.Parse` parity: flexible in, canonical lowercase out — the
+    * store's ids are canonical UUID strings, so lookups must normalize
+    * (`Guid.Parse("ABC…").ToString()` is lowercase hyphenated). */
+  private[api] def parseGuid(id: String): String = {
+    val bare = id.trim.stripPrefix("{").stripSuffix("}")
+    val canonical =
+      if (bare.length == 32 && !bare.contains('-'))
+        s"${bare.substring(0, 8)}-${bare.substring(8, 12)}-${bare.substring(12, 16)}-${bare.substring(16, 20)}-${bare.substring(20)}"
+      else bare
+    java.util.UUID.fromString(canonical).toString
+  }
 
   private[api] def rowToRecord(r: org.apache.spark.sql.Row): VectorRecord = VectorRecord(
     r.getAs[String]("id"),

@@ -180,6 +180,17 @@ object VectorProto {
     w.toBytes
   }
 
+  /** ONE `vectors` item of the list response as standalone bytes — the
+    * concatenation of these IS [[encodeVectorList]]'s output (a proto3
+    * repeated field is just a repeated tagged field), which lets a
+    * streaming server emit records one at a time under a precomputed
+    * total message length. */
+  def encodeVectorListItem(payload: Array[Byte]): Array[Byte] =
+    new Writer().messageField(1, encodeVectorMessage(payload)).toBytes
+
+  def encodedVectorListItemSize(payload: Array[Byte]): Long =
+    encodeVectorListItem(payload).length.toLong
+
   def decodeVectorList(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
     eachField(bytes) {
@@ -248,19 +259,20 @@ object GrpcWeb {
 
   def messageFrame(payload: Array[Byte]): Array[Byte] = frame(0x00, payload)
 
+  /** grpc-message percent-encoding per the spec's rule: space and
+    * printable ASCII pass through; '%' and anything outside travel as
+    * percent-encoded UTF-8 bytes. Shared by the gRPC-Web trailers frame
+    * and the native HTTP/2 trailing-headers path. */
+  def encodeGrpcMessage(message: String): String =
+    message.flatMap {
+      case c if c != '%' && c >= ' ' && c.toInt < 127 => c.toString
+      case c => c.toString.getBytes(UTF_8).map(b => f"%%${b & 0xFF}%02X").mkString
+    }
+
   def trailersFrame(status: Int, message: String = ""): Array[Byte] = {
     val sb = new StringBuilder(s"grpc-status: $status\r\n")
     if (message.nonEmpty)
-      // percent-encode per the gRPC spec's grpc-message rules (space and
-      // printable ASCII pass through; CR/LF/% must not appear raw)
-      sb.append("grpc-message: ")
-        .append(message.flatMap {
-          case c if c != '%' && c >= ' ' && c.toInt < 127 => c.toString
-          // anything outside printable ASCII (plus '%' itself) travels as
-          // percent-encoded UTF-8 bytes, the spec's grpc-message rule
-          case c => c.toString.getBytes(UTF_8).map(b => f"%%${b & 0xFF}%02X").mkString
-        })
-        .append("\r\n")
+      sb.append("grpc-message: ").append(encodeGrpcMessage(message)).append("\r\n")
     frame(0x80, sb.toString.getBytes(UTF_8))
   }
 

@@ -15,14 +15,16 @@ import graft.core.VectorRecord
   * API.gRPC/Services/VectorService.cs:18-110 method semantics).
   *
   * Transport: the reference serves gRPC (protobuf/HTTP2) and REST side
-  * by side from ASP.NET. Here both run over the JDK's built-in HTTP
-  * server: the six `service Vector` rpcs are served WIRE-FAITHFULLY over
-  * gRPC-Web framing at `POST /Vector/<Method>` (hand-rolled proto3
-  * codec — [[ProtoWire]]/[[VectorProto]] — and the reference's own
-  * `Vector.ToBinary()` payload layout — [[VectorBinary]]; gRPC-Web
-  * rather than native gRPC because the JDK has no HTTP/2 server, and the
-  * protocol is gRPC's own HTTP/1.1-compatible transport). The REST
-  * routes below serve the same verbs as JSON:
+  * by side from ASP.NET. Here REST and gRPC-Web run over the JDK's
+  * built-in HTTP server: the six `service Vector` rpcs are served
+  * WIRE-FAITHFULLY over gRPC-Web framing at `POST /Vector/<Method>`
+  * (hand-rolled proto3 codec — [[ProtoWire]]/[[VectorProto]] — and the
+  * reference's own `Vector.ToBinary()` payload layout —
+  * [[VectorBinary]]; gRPC-Web is gRPC's own HTTP/1.1-compatible
+  * transport). NATIVE gRPC over HTTP/2 — the reference's actual
+  * transport, reachable by stock clients — is served beside these by
+  * [[GrpcHttp2Server]] through the SAME [[VectorHttpServer.dispatchRpc]]
+  * bodies. The REST routes below serve the same verbs as JSON:
   *
   * | rpc / REST route            | here                          |
   * |-----------------------------|-------------------------------|

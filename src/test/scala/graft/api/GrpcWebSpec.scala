@@ -171,12 +171,12 @@ class GrpcWebSpec extends SparkSpec {
       assert(mm.isEmpty && mt("grpc-status") === "2")
 
       // GetVectors: both come back as full binary records — the server
-      // streams one GetVectorsResponse frame per record; proto3 merge
-      // semantics mean the concatenated frames ARE the unary response
+      // streams the payload under ONE exact-length message frame, so a
+      // stock unary client decodes it whole
       val (lm, lt) = rpc(base, "GetVectors", Array.emptyByteArray)
       assert(lt("grpc-status") === "0")
-      val listed = VectorProto.decodeVectorList(
-          lm.foldLeft(Array.emptyByteArray)(_ ++ _))
+      assert(lm.size === 1, s"expected one message frame, got ${lm.size}")
+      val listed = VectorProto.decodeVectorList(lm.head)
         .map(VectorBinary.fromBinary).map(r => r.id -> r).toMap
       assert(listed.keySet === Set(idA, idB))
       assert(listed(idA).tags.toSeq === Seq(2.toShort, 7.toShort))
@@ -240,7 +240,7 @@ class GrpcWebSpec extends SparkSpec {
     }
   }
 
-  test("GetVectors streams per-record frames with bounded driver buffers") {
+  test("GetVectors streams records under one exact message frame with bounded driver buffers") {
     withServer(8) { (srv, base) =>
       // a table bigger than any single response buffer should be: 600
       // records × 8 dims across 4 partitions, loaded distributed
@@ -255,27 +255,25 @@ class GrpcWebSpec extends SparkSpec {
         lit(0L).as("user_id"), lit(0L).as("org_id")).repartition(4)
       srv.db.addVectors(rows)
 
-      val before = srv.streamedGetVectorsFrames.get()
+      val before = srv.streamedGetVectorsRecords.get()
       val (lm, lt) = rpc(base, "GetVectors", Array.emptyByteArray)
       assert(lt("grpc-status") === "0")
-      // one message frame PER RECORD reached the wire — the buffered
-      // single-array reply this replaces would have produced exactly 1
-      assert(lm.size === n, s"expected $n per-record frames, got ${lm.size}")
-      assert(srv.streamedGetVectorsFrames.get() - before === n.toLong)
-      // bounded buffers: every frame holds ONE record (~70 B here), so the
-      // largest single server-side allocation is a record, not the table
-      assert(lm.map(_.length).max < 256,
-        s"a frame held more than one record: max ${lm.map(_.length).max} B")
-      // and the merged frames decode as the complete unary response
-      val ids = VectorProto.decodeVectorList(lm.foldLeft(Array.emptyByteArray)(_ ++ _))
+      // ONE message frame whose 5-byte header declared the exact total
+      // (readFrames would throw on any length/body disagreement) — the
+      // stock unary contract — while the server wrote it record by
+      // record: the counter proves n incremental writes, so the largest
+      // driver-side allocation is one record's encoding, not the table
+      assert(lm.size === 1, s"expected one exact-length frame, got ${lm.size}")
+      assert(srv.streamedGetVectorsRecords.get() - before === n.toLong)
+      val ids = VectorProto.decodeVectorList(lm.head)
         .map(VectorBinary.fromBinary(_).id).toSet
       assert(ids.size === n)
 
-      // an empty table streams zero message frames + OK trailers, and the
-      // zero-byte concatenation is a valid empty GetVectorsResponse
+      // an empty table is ONE zero-length message frame + OK trailers —
+      // the valid empty GetVectorsResponse a stock unary client expects
       srv.db.clear()
       val (em, et) = rpc(base, "GetVectors", Array.emptyByteArray)
-      assert(et("grpc-status") === "0" && em.isEmpty)
+      assert(et("grpc-status") === "0" && em.map(_.length) === Seq(0))
       // malformed request framing still fails loudly on the stream path
       val resp = client.send(
         java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/Vector/GetVectors"))

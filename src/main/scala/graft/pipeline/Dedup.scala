@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Distances, MinHashSigExpr, ShingleHashExpr, SimHashExpr}
+import graft.functions.{Distances, MinHashSigExpr, ShingleHashExpr, SimHashExpr, SortedIntersectCountExpr}
 import graft.index.{Lsh, LshParams}
 
 /** Deduplication operators for large-scale training-data pipelines —
@@ -484,11 +484,23 @@ object Dedup {
         col("_nb").cast("double") >= lit(threshold) * col("_na") - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify on the MATERIALIZED sorted sets (the kernel ran once per
+    // doc at checkpoint time — recomputing it per candidate pair
+    // measured 2.4× slower, and force-broadcasting the sets 1.3×
+    // slower than letting AQE pick). |∩| comes from the codegen
+    // two-pointer merge over the sorted arrays — `array_intersect` +
+    // `array_union` build boxed hash sets per row and measured 2+ s of
+    // the key's 3.5 s at sf0.1 — and |∪| = |A| + |B| − |∩| on the
+    // distinct inputs, so the Jaccard value is bit-identical to the
+    // HOF form (integer counts, one double division).
     val repPairs = candidates
       .join(sets.select(col(idCol).as("id_a"), col("_sh").as("_sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("_sh").as("_sb")), "id_b")
+      .withColumn("_i", SortedIntersectCountExpr(col("_sa"), col("_sb")))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("_sa"), col("_sb")), 6).as("jaccard"))
+        round(col("_i").cast("double") /
+          (size(col("_sa")) + size(col("_sb")) - col("_i")).cast("double"), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
     if (!expandDuplicates) repPairs
     else {

@@ -52,7 +52,11 @@ object PipelineQueries {
     // hash-match oracle: the prefix filter is lossless under ANY global
     // shingle order, so Spark sorts 64-bit hash shingles while the SQL
     // replay sorts strings, and both land on the same verified pairs.
-    "jaccard_join" -> ((s, dir) => jaccardTruthFor(s, dir)),
+    // Deliberately NOT the memoized frame the recall gates share — this
+    // key times the real collapse → prefix join → verify pipeline.
+    "jaccard_join" -> ((s, dir) =>
+      Dedup.jaccardJoin(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8)),
 
     // Measured LSH-banding recall vs the exact join, pinned in the
     // DRIVER gate (r7 verdict item 5): true_pairs is the replayable

@@ -22,6 +22,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host-speed calibration: a fixed, data-independent, CPU-bound
+    // codegen workload (xxhash64 fold over a generated range — no input,
+    // no shuffle beyond the final 1-row agg). Identical code measured
+    // full-sweep totals of 35 s and 44-45 s on this box hours apart
+    // (r8; r7 saw 36.5-60.8 s), so raw cross-run totals conflate build
+    // speed with host regime. This index is the divisor: compare
+    // total/calibration across rounds, not totals. Median of 5.
+    val calibration = {
+      import org.apache.spark.sql.functions.{max, xxhash64, col}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // collect(), not count(): count() prunes the aggregate away and
+        // answers from range metadata in O(1)
+        spark.range(0L, 2000000000L, 1L, cpus.toInt)
+          .select(max(xxhash64(col("id")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq.fill(5)(once()).sorted.apply(2)
+    }
+
     // optional comma-separated subset for profiling experiments
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -91,7 +111,7 @@ object Bench {
     val runs = all.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"calibration_sec":$calibration,"sf":"$sfDir"}"""
     println(line)
     // also land the full artifact on disk: the driver's stdout capture has
     // truncated the alphabetical head of the per-query map before (r4) —

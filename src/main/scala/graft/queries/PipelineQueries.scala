@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, Dedup, HybridSearch, Multimodal, TextStats}
+import graft.pipeline.{Bm25, Decontamination, Dedup, HybridSearch, Multimodal, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -57,6 +57,27 @@ object PipelineQueries {
     "jaccard_join" -> ((s, dir) =>
       Dedup.jaccardJoin(table(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8)),
+
+    // Benchmark decontamination (train = doc_id % 10 != 0, eval = the
+    // rest): per-train-doc MAX distinct-3-gram overlap with any single
+    // eval doc, contamination at >= 5 shared shingles. The eval shingle
+    // table is broadcast — the train corpus never shuffles.
+    "decontam_overlap" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Decontamination.contaminated(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 3, minOverlap = 5)
+    }),
+
+    // The surviving training corpus after the same pass (anti-join on
+    // the skinny contaminated-id frame).
+    "decontam_keep" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Decontamination.decontaminate(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 3, minOverlap = 5)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_len"))
+    }),
 
     // Measured LSH-banding recall vs the exact join, pinned in the
     // DRIVER gate (r7 verdict item 5): true_pairs is the replayable
@@ -531,6 +552,31 @@ object PipelineQueries {
     // DECIMAL arithmetic keeps ⌈0.8·n⌉ and the length bounds exact
     "jaccard_join" ->
       s"WITH $jaccardJoinSqlCtes\nSELECT id_a, id_b, jaccard FROM jpairs",
+
+    // decontamination replay over string shingles: identical distinct
+    // cardinalities to the 64-bit hash shingles, so identical overlap
+    // counts; the unnest-join mirrors the Spark equi-join plan
+    "decontam_overlap" ->
+      s"""WITH tr AS (SELECT doc_id AS tid, unnest(${shSql("text")}) AS tok
+         |           FROM documents WHERE doc_id % 10 != 0),
+         |ev AS (SELECT doc_id AS eid, unnest(${shSql("text")}) AS tok
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |ov AS (SELECT tid, eid, CAST(count(*) AS BIGINT) AS ov
+         |       FROM tr JOIN ev USING (tok) GROUP BY tid, eid)
+         |SELECT tid AS doc_id, max(ov) AS max_overlap
+         |FROM ov GROUP BY tid HAVING max(ov) >= 5""".stripMargin,
+
+    "decontam_keep" ->
+      s"""WITH tr AS (SELECT doc_id AS tid, unnest(${shSql("text")}) AS tok
+         |           FROM documents WHERE doc_id % 10 != 0),
+         |ev AS (SELECT doc_id AS eid, unnest(${shSql("text")}) AS tok
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |ov AS (SELECT tid, eid, count(*) AS ov
+         |       FROM tr JOIN ev USING (tok) GROUP BY tid, eid),
+         |bad AS (SELECT tid FROM ov GROUP BY tid HAVING max(ov) >= 5)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len
+         |FROM documents
+         |WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT tid FROM bad)""".stripMargin,
 
     // the recall gates: true_pairs is recomputed exactly; recall_ok
     // pinned TRUE — a hash mismatch means the miner's measured recall

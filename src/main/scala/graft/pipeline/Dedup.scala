@@ -177,6 +177,18 @@ object Dedup {
     * and sub-100k-edge rounds are latency-bound, not data-bound). */
   private val JumpMinEdges = 1L << 17
 
+  /** Default canonical-edge bound under which the stars engine resolves
+    * components with ONE bounded driver collect + union-find instead of
+    * the distributed round loop. 2^16 two-column edge rows is ~1 MB of
+    * driver memory, and resolving them locally replaces the 2-3
+    * fixed-latency shuffle rounds a small graph still pays — the AQE
+    * spirit of executing provably-tiny subplans locally. Pair graphs
+    * this size are the NORM on the latency path (a streaming
+    * micro-batch's within-batch near-dup graph is bounded by batch
+    * size); corpus-scale graphs blow past the bound on their first
+    * signature and run the contraction unchanged. */
+  val LocalMaxEdges = 1L << 16
+
   /** Connected components over near-dup pairs — the resolution step a
     * dedup pipeline runs after pair mining: every document gets the
     * MINIMUM id of its duplicate cluster as `comp`, so "keep one per
@@ -198,10 +210,19 @@ object Dedup {
     * Observability: [[lastComponentRounds]], [[lastComponentConverged]]
     * and [[lastComponentEdgeCounts]] describe the last call; hitting
     * `maxIter` before the fixpoint logs a loud warning and leaves
-    * `lastComponentConverged = false` (labels are then best-so-far). */
+    * `lastComponentConverged = false` (labels are then best-so-far).
+    *
+    * `localMaxEdges`: canonical edge sets at or under this bound (and
+    * with integral-typed ids, where JVM and Spark orderings agree)
+    * resolve with one bounded driver collect + union-find instead of
+    * distributed rounds — identical labels, `rounds = 0` in the
+    * telemetry. 0 disables (the stress/round-bound specs pin the
+    * distributed engine through that door). Applies to the stars engine;
+    * `"propagation"` stays pure distributed SQL for its replayability. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50, algorithm: String = "stars"): DataFrame = algorithm match {
-    case "stars" => componentsStars(pairs, aCol, bCol, maxIter)
+      maxIter: Int = 50, algorithm: String = "stars",
+      localMaxEdges: Long = LocalMaxEdges): DataFrame = algorithm match {
+    case "stars" => componentsStars(pairs, aCol, bCol, maxIter, localMaxEdges)
     case "propagation" => componentsPropagation(pairs, aCol, bCol, maxIter)
     case other => throw new IllegalArgumentException(
       s"unknown components algorithm '$other' (stars | propagation)")
@@ -214,7 +235,7 @@ object Dedup {
     * signature on the checkpointed frame) leaves (member, root) star
     * edges, which ARE the labels. */
   private def componentsStars(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int): DataFrame = {
+      maxIter: Int, localMaxEdges: Long): DataFrame = {
     // LAZY local checkpoints throughout: a lazy checkpoint already cuts
     // the Catalyst lineage (the frame is LogicalRDD-backed either way),
     // and the signature aggregate that immediately follows materializes
@@ -280,6 +301,18 @@ object Dedup {
         .distinct()
     }
     var sig = signature(edges)
+    // integral id types only: Spark's least/greatest/min order and the
+    // JVM's long order provably agree there (strings differ on
+    // supplementary characters — binary UTF-8 vs UTF-16 code units)
+    val integralIds = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (sig._1 > 0 && sig._1 <= localMaxEdges && integralIds)
+      return componentsLocal(edges, sig._1)
     var counts = List(sig._1)
     var converged = sig._1 == 0L // an empty pair set is already a fixpoint
     var i = 0
@@ -315,6 +348,53 @@ object Dedup {
       .distinct()
       .join(mins, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** Driver union-find over a BOUNDED canonical edge set (≤
+    * `localMaxEdges` rows, integral ids) — one collect, zero shuffle
+    * rounds, identical labels to the contraction fixpoint: every node of
+    * the pair graph labeled with its component MINIMUM. Unions attach
+    * the larger root under the smaller, so each set's root is its
+    * minimum by construction; path compression keeps finds amortized
+    * near-constant. Returns a LocalRelation — downstream joins broadcast
+    * it without a job. Telemetry: `rounds = 0`, converged, edgeCounts =
+    * the initial count (the only one there is). */
+  private def componentsLocal(edges: DataFrame, n0: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val dt = edges.schema("src").dataType
+    val collected = edges.collect()
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(edges)
+    val parent = new java.util.HashMap[Long, Long](collected.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    collected.foreach { row =>
+      val a = row.get(0).asInstanceOf[Number].longValue
+      val b = row.get(1).asInstanceOf[Number].longValue
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val box: Long => Any = dt match {
+      case org.apache.spark.sql.types.ByteType => v => java.lang.Byte.valueOf(v.toByte)
+      case org.apache.spark.sql.types.ShortType => v => java.lang.Short.valueOf(v.toShort)
+      case org.apache.spark.sql.types.IntegerType => v => java.lang.Integer.valueOf(v.toInt)
+      case _ => v => java.lang.Long.valueOf(v)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val node = it.next()
+      out.add(org.apache.spark.sql.Row(box(node), box(find(node))))
+    }
+    componentStats.set(ComponentStats(0, converged = true, List(n0)))
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("comp", dt, nullable = false))))
   }
 
   /** Min-label propagation (the r3 engine). */

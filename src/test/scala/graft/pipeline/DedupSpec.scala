@@ -153,7 +153,10 @@ class DedupSpec extends SparkSpec {
     // jump-assisted round advantage is pinned at scale in
     // ComponentsStressSpec where the edge set is big enough to enable it.
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val stars = Dedup.connectedComponents(chain, "id_a", "id_b", algorithm = "stars")
+    // localMaxEdges = 0: this test pins the DISTRIBUTED contraction's
+    // round bound, so the small-graph driver shortcut must stand aside
+    val stars = Dedup.connectedComponents(chain, "id_a", "id_b", algorithm = "stars",
+        localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val starRounds = Dedup.lastComponentRounds
     assert(Dedup.lastComponentConverged)
@@ -175,12 +178,33 @@ class DedupSpec extends SparkSpec {
     assert(a === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("small-graph driver union-find matches the distributed contraction exactly") {
+    // random multigraph with dup/self/reversed pairs — the canonical
+    // edge set is what both paths see
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(600)((rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastComponentRounds === 0) // proof the shortcut ran
+    assert(Dedup.lastComponentConverged)
+    assert(Dedup.lastComponentEdgeCounts.length === 1) // initial count only
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b", localMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastComponentRounds > 0) // proof the contraction ran
+    assert(local === dist)
+    // every label is its component's minimum reachable id
+    assert(local.forall { case (id, comp) => comp <= id })
+  }
+
   test("maxIter truncation is loud: converged flag drops, labels stay one-per-node") {
     // a 64-node chain cannot finish in one round — the truncated call
     // must say so (flag + warning) instead of silently returning
     // best-so-far labels (VERDICT r5 item 6)
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 1)
+    // localMaxEdges = 0: truncation is a distributed-round phenomenon
+    val out = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 1,
+        localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(!Dedup.lastComponentConverged)
     assert(Dedup.lastComponentRounds === 1)

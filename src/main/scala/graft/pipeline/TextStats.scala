@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TokenProfileExpr
+import graft.functions.{RepetitionProfileExpr, TokenProfileExpr}
 
 /** Text-analysis operators for training-data pipelines (build-brief
   * extension beyond the reference surface): token counting, quality
@@ -96,6 +96,34 @@ object TextStats {
     when(n < window, md5(textCol.cast("binary"))).otherwise(
       array_min(transform(sequence(lit(1), n - (window - 1)),
         i => md5(substr(textCol, i, lit(window)).cast("binary")))))
+  }
+
+  /** Word n-gram count of the text ([[graft.functions.RepetitionProfileExpr]]
+    * kernel — one codegen hash pass per row shared by every derived
+    * repetition stat via subexpression elimination). */
+  def ngramCount(textCol: Column, n: Int): Column =
+    element_at(RepetitionProfileExpr(textCol, n), 1)
+
+  /** Duplicate word-n-gram fraction — the share of n-gram OCCURRENCES
+    * that are repeats of an earlier occurrence (Gopher/MassiveText-style
+    * intra-document repetition signal): 1 − distinct/total. 0.0 for
+    * texts with no n-grams. */
+  def dupNgramFrac(textCol: Column, n: Int): Column = {
+    val p = RepetitionProfileExpr(textCol, n)
+    val tot = element_at(p, 1).cast("double")
+    when(tot === 0.0, lit(0.0))
+      .otherwise(lit(1.0) - element_at(p, 2).cast("double") / tot)
+  }
+
+  /** Character-weighted duplicate n-gram fraction — the share of n-gram
+    * CHARACTERS inside grams occurring more than once (the published
+    * form weights long boilerplate runs over short common collocations).
+    * 0.0 for texts with no n-grams. */
+  def dupNgramCharFrac(textCol: Column, n: Int): Column = {
+    val p = RepetitionProfileExpr(textCol, n)
+    val chars = element_at(p, 3).cast("double")
+    when(chars === 0.0, lit(0.0))
+      .otherwise(element_at(p, 4).cast("double") / chars)
   }
 
   /** Training-data text scrub: strip URLs and email addresses (the

@@ -35,6 +35,20 @@ object PipelineQueries {
         TextStats.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // Intra-document repetition profile (Gopher/MassiveText-style
+    // duplicate-n-gram cuts): one codegen hash pass per (row, n). The
+    // n_grams column pins the kernel's tokenizer against the SQL
+    // replay's explicit whitespace class, the fractions pin the
+    // counting.
+    "text_repetition" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextStats.ngramCount(col("text"), 3).as("n_grams"),
+        round(TextStats.dupNgramFrac(col("text"), 2), 6).as("dup2_frac"),
+        round(TextStats.dupNgramFrac(col("text"), 3), 6).as("dup3_frac"),
+        round(TextStats.dupNgramCharFrac(col("text"), 3), 6).as("dup3_char_frac"))
+    }),
+
     // Exact word-3-gram Jaccard over consecutive doc pairs (the verify
     // kernel of near-dup, checked end-to-end).
     "jaccard_pairs" -> ((s, dir) => {
@@ -545,6 +559,36 @@ object PipelineQueries {
          | list_min(list_transform(generate_series(1, length(text) - 7),
          |   i -> md5(substring(text, i, 8)))) AS fingerprint
          |FROM documents""".stripMargin,
+
+    // intra-document repetition replay: the explicit whitespace class
+    // mirrors the kernel's tokenizer char-for-char (RE2's \s lacks
+    // \x0b, so the class is spelled out); grams keep original case and
+    // join with one space, counting replayed with a per-(doc, gram)
+    // GROUP BY; short/empty docs come back via the LEFT JOIN as zeros
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
+        |  FROM documents),
+        |g3 AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks),
+        |gram3 AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram FROM g3),
+        |c3 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS len
+        |       FROM gram3 GROUP BY doc_id, gram),
+        |a3 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup3_frac,
+        |       round(CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * len END), 0) AS DOUBLE)
+        |             / sum(cnt * len), 6) AS dup3_char_frac
+        |       FROM c3 GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks),
+        |gram2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram FROM g2),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM gram2 GROUP BY doc_id, gram),
+        |a2 AS (SELECT doc_id, round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup2_frac
+        |       FROM c2 GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  coalesce(a3.n_grams, 0) AS n_grams,
+        |  coalesce(a2.dup2_frac, 0.0) AS dup2_frac,
+        |  coalesce(a3.dup3_frac, 0.0) AS dup3_frac,
+        |  coalesce(a3.dup3_char_frac, 0.0) AS dup3_char_frac
+        |FROM documents d LEFT JOIN a3 USING (doc_id) LEFT JOIN a2 USING (doc_id)""".stripMargin,
 
     // full replay of the exact similarity join: string shingles sorted
     // lexicographically (the prefix filter is lossless under any global

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines — the
+  * split/mix/cap operations every large-scale data build needs (an
+  * EXTENSION beyond the reference surface, like [[Decontamination]]):
+  * reproducible train/val/test assignment, per-domain mixture weighting,
+  * and per-domain quota caps. All decisions derive from one primitive, a
+  * salted md5 hash fraction, so membership is a pure function of
+  * (id, salt) — stable across runs, cluster sizes, row order, and
+  * engines (the DuckDB oracle replays it exactly), and changing the salt
+  * re-rolls every assignment without touching data.
+  *
+  * Scale shape: [[splitColumn]] and [[mixtureKeep]] are stateless narrow
+  * expressions — no shuffle, no state, they ride the scan stage of
+  * whatever plan consumes them, so splitting or re-weighting 100 TB is a
+  * single pass. [[quotaSample]] needs a per-group rank (one hash
+  * shuffle); its pre-filter path bounds what enters that shuffle to
+  * ~margin×quota rows per group instead of the whole corpus, with an
+  * exact fallback for the (Chernoff-tail) case the pre-filter undershot.
+  */
+object CorpusSampling {
+
+  /** Uniform-[0,1) hash fraction of (id, salt): the top 60 bits of
+    * `md5(id + ":" + salt)` scaled by 2^-60. 60 bits keeps the integer
+    * exact in a BIGINT on both engines; the final IEEE division is exact
+    * scaling, so Spark and the SQL replay
+    * (`('0x' || substring(md5(..),1,15))::BIGINT / 2^60`) agree
+    * bit-for-bit. */
+  def hashFraction(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", idCol.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("bigint").cast("double") / lit(1152921504606846976.0)
+
+  /** Split assignment: `splits` are (name, fraction) with fractions
+    * summing to 1; a row lands in the first split whose cumulative
+    * fraction exceeds its hash fraction. Deterministic per (id, salt) —
+    * a document keeps its split across reruns and corpus growth (new ids
+    * hash independently; existing ids never migrate). */
+  def splitColumn(idCol: Column, salt: String, splits: Seq[(String, Double)]): Column = {
+    require(splits.size >= 2, s"need >= 2 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0.0), s"split fractions must be > 0: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1, got $total")
+    val frac = hashFraction(idCol, salt)
+    val cum = splits.init.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), bound)) =>
+        val w = acc.fold(when(frac < bound, name))(_.when(frac < bound, name))
+        Some(w)
+    }.get.otherwise(splits.last._1)
+  }
+
+  /** Keep-decision for domain-weighted mixture sampling: a row survives
+    * iff its hash fraction is below its domain's rate (`defaultRate` for
+    * unlisted domains). Rates are exact at the population level the way
+    * hash-mixture sampling always is — each row is an independent
+    * deterministic Bernoulli(rate). */
+  def mixtureKeep(idCol: Column, domainCol: Column, rates: Map[String, Double],
+      defaultRate: Double, salt: String): Column = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    val frac = hashFraction(idCol, salt)
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true) else if (rate <= 0.0) lit(false) else frac < rate
+    rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (domain, rate)) =>
+        val w = acc.fold(when(domainCol === domain, keep(rate)))(
+          _.when(domainCol === domain, keep(rate)))
+        Some(w)
+    }.fold(keep(defaultRate))(_.otherwise(keep(defaultRate)))
+  }
+
+  /** The `quota` rows of each group with the smallest (hash fraction,
+    * id) — a deterministic uniform sample of at most `quota` per domain,
+    * identical however the data is partitioned.
+    *
+    * `prefilterMargin = None` runs the plain windowed rank: one shuffle
+    * on `groupCol`, exact, fine when groups fit a sort spill. At corpus
+    * scale a popular domain is billions of rows, and ranking all of them
+    * to keep `quota` wastes the whole shuffle — `Some(margin)` first
+    * drops each row whose hash fraction exceeds
+    * `margin * quota / |group|` (group sizes from one partial-aggregated
+    * count), so only ~margin×quota rows per group enter the rank. The
+    * pre-filter is lossless when at least `quota` rows survive it (the
+    * quota smallest fractions are below any threshold that admits
+    * `quota` rows); groups where the Binomial undershot — vanishingly
+    * rare at margin 4, but checked, not assumed — are re-ranked
+    * unfiltered. One bounded driver action inspects the per-group
+    * shortfall (O(#domains) rows) to skip the fallback job entirely in
+    * the common case. */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String, quota: Int,
+      salt: String, prefilterMargin: Option[Double] = None): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val frac = hashFraction(col(idCol), salt)
+    val w = Window.partitionBy(col(groupCol)).orderBy(frac.asc, col(idCol).asc)
+    def ranked(in: DataFrame): DataFrame =
+      in.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= quota).drop("_rn")
+    prefilterMargin match {
+      case None => ranked(df)
+      case Some(margin) =>
+        require(margin > 0.0, s"prefilterMargin must be > 0, got $margin")
+        val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+        val filtered = prefiltered(df, groupCol, counts, frac, quota, margin)
+        val kept = ranked(filtered).localCheckpoint(false)
+        // a group undershot iff the pre-filter admitted < quota rows of a
+        // group it actually filtered (rate < 1 ⇔ |group| > margin*quota).
+        // LEFT join from counts: a group the filter emptied ENTIRELY has
+        // no kept row at all and must still be caught.
+        val short = counts.filter(col("_n") > lit(margin * quota))
+          .join(kept.groupBy(col(groupCol)).agg(count(lit(1)).as("_k")),
+            Seq(groupCol), "left_outer")
+          .filter(coalesce(col("_k"), lit(0L)) < quota)
+          .select(col(groupCol))
+        val shortGroups = short.collect().map(_.get(0))
+        val out = if (shortGroups.isEmpty) kept
+        else kept.filter(!col(groupCol).isInCollection(shortGroups.toSeq))
+          .unionByName(ranked(
+            df.filter(col(groupCol).isInCollection(shortGroups.toSeq))))
+        // the rate join moved groupCol first; restore the input schema so
+        // both paths are drop-in interchangeable
+        out.select(df.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** The quota pre-filter stage (exposed for plan pinning): each row
+    * survives iff its hash fraction is under its group's admission rate
+    * `min(1, margin·quota/|group|)`. `counts` is O(#domains) and rides a
+    * broadcast join, so the corpus itself is never shuffled here —
+    * mirroring [[Decontamination]]'s small-side asymmetry. `frac < 1.0`
+    * always holds, so rate-1.0 groups pass untouched. */
+  private[graft] def prefiltered(df: DataFrame, groupCol: String,
+      counts: DataFrame, frac: Column, quota: Int, margin: Double): DataFrame = {
+    val rate = least(lit(1.0), lit(margin * quota) / col("_n").cast("double"))
+    df.join(broadcast(counts.select(col(groupCol), rate.as("_rate"))), Seq(groupCol))
+      .filter(frac < col("_rate")).drop("_rate")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, Decontamination, Dedup, HybridSearch, Multimodal, TextStats}
+import graft.pipeline.{Bm25, CorpusSampling, Decontamination, Dedup, HybridSearch, Multimodal, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -47,6 +47,39 @@ object PipelineQueries {
         round(TextStats.dupNgramFrac(col("text"), 2), 6).as("dup2_frac"),
         round(TextStats.dupNgramFrac(col("text"), 3), 6).as("dup3_frac"),
         round(TextStats.dupNgramCharFrac(col("text"), 3), 6).as("dup3_char_frac"))
+    }),
+
+    // Deterministic corpus sampling (salted md5-fraction membership —
+    // stable across runs/partitioning/engines). Split and mixture are
+    // stateless narrow maps; exact-binary fractions keep the literal
+    // identical under both engines' float parsing.
+    "corpus_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        CorpusSampling.splitColumn(col("doc_id"), "r8",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
+    }),
+
+    // Domain-weighted mixture: per-source keep rates, hash-Bernoulli.
+    "mixture_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.filter(CorpusSampling.mixtureKeep(col("doc_id"), col("source"),
+          Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+          defaultRate = 0.125, salt = "r8mix"))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // Per-domain quota cap through the SCALE path: group counts →
+    // broadcast rate join → pre-filter (rate 1.0 at sf0.01 where
+    // 4×10 ≥ 25-row groups; 0.16 at sf0.1's 250-row groups) → windowed
+    // rank over the ~margin×quota survivors, with the exact
+    // shortfall fallback armed. Both regimes hash-match the plain
+    // row_number oracle.
+    "quota_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      CorpusSampling.quotaSample(d, "source", "doc_id", quota = 10,
+          salt = "r8quota", prefilterMargin = Some(4.0))
+        .select(col("doc_id"), col("source"))
     }),
 
     // Exact word-3-gram Jaccard over consecutive doc pairs (the verify
@@ -559,6 +592,41 @@ object PipelineQueries {
          | list_min(list_transform(generate_series(1, length(text) - 7),
          |   i -> md5(substring(text, i, 8)))) AS fingerprint
          |FROM documents""".stripMargin,
+
+    // corpus sampling replays: the hash fraction is the top 60 bits of
+    // the salted md5 scaled by 2^-60 — BIGINT-exact in both engines,
+    // bit-identical after the (exact power-of-two) double division.
+    // DuckDB parses bare decimal literals as DECIMAL, so the divisor is
+    // CAST explicitly; the split/rate bounds are exact binary fractions
+    // (0.75/0.875/0.5/0.25/0.125) so DECIMAL→DOUBLE conversion is exact.
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN f < 0.75 THEN 'train' WHEN f < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':r8'),1,15)) AS BIGINT)
+        |    / CAST(1152921504606846976 AS DOUBLE) AS f
+        |  FROM documents)""".stripMargin,
+
+    "mixture_sample" ->
+      """SELECT doc_id, source
+        |FROM (SELECT doc_id, source,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':r8mix'),1,15)) AS BIGINT)
+        |    / CAST(1152921504606846976 AS DOUBLE) AS f
+        |  FROM documents)
+        |WHERE CASE WHEN source = 'src0' THEN TRUE
+        |           WHEN source = 'src1' THEN f < 0.75
+        |           WHEN source = 'src2' THEN f < 0.5
+        |           WHEN source = 'src3' THEN f < 0.25
+        |           ELSE f < 0.125 END""".stripMargin,
+
+    "quota_sample" ->
+      """SELECT doc_id, source
+        |FROM (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':r8quota'),1,15)) AS BIGINT)
+        |      / CAST(1152921504606846976 AS DOUBLE), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
 
     // intra-document repetition replay: the explicit whitespace class
     // mirrors the kernel's tokenizer char-for-char (RE2's \s lacks

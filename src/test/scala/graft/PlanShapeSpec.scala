@@ -77,4 +77,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"want bounded top-k, got:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("corpus split and mixture sampling are shuffle-free narrow maps") {
+    for (name <- Seq("corpus_split", "mixture_sample")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name must ride the scan stage with zero shuffle, got:\n${p.take(800)}")
+      assert(p.contains("*("), s"$name must stay inside a codegen span")
+    }
+  }
+
+  test("quota sampling's pre-filter stage broadcasts the rate join and never cross-joins") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val counts = d.groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("_n"))
+    val df = graft.pipeline.CorpusSampling.prefiltered(d, "source", counts,
+      graft.pipeline.CorpusSampling.hashFraction(col("doc_id"), "pin"),
+      quota = 3, margin = 4.0)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(#domains) rate frame must broadcast, got:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

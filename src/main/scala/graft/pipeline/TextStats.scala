@@ -138,6 +138,33 @@ object TextStats {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", " "),
       "\\s+", " "))
 
+  /** All word-n-gram OCCURRENCES of the text (lowercased, [[graft.pipeline.Dedup.tokens]]'
+    * whitespace split) — NOT distinct, unlike `Dedup.shingles`: corpus
+    * frequency counting needs every occurrence. */
+  def ngrams(textCol: Column, n: Int): Column = {
+    val toks = Dedup.tokens(textCol)
+    // sequence(1, 0) DESCENDS (same guard as Dedup.shingles)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Corpus-wide top-k n-grams by occurrence count — the standard
+    * boilerplate/stopword-list builder over a training corpus. One
+    * hash-partitioned aggregate (map-side partial aggregation collapses
+    * per-partition repeats before the shuffle, so hot boilerplate grams
+    * cross the network once per partition, not once per occurrence) into
+    * a bounded `TakeOrderedAndProject` top-k; the (count desc, gram asc)
+    * total order makes the cut deterministic under ties. `doc_freq`
+    * (distinct documents containing the gram) rides the same aggregate. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("_id"), explode(ngrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("gram").asc)
+      .limit(k)
+
   /** One-call profile: every stat as a column. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -82,6 +82,13 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Corpus-wide top-k n-grams (boilerplate/stopword-list builder):
+    // partial-aggregated gram counts + doc frequency into a bounded,
+    // deterministically tie-broken top-k.
+    "corpus_top_ngrams" -> ((s, dir) =>
+      TextStats.topNgrams(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 50)),
+
     // Exact word-3-gram Jaccard over consecutive doc pairs (the verify
     // kernel of near-dup, checked end-to-end).
     "jaccard_pairs" -> ((s, dir) => {
@@ -627,6 +634,19 @@ object PipelineQueries {
         |      / CAST(1152921504606846976 AS DOUBLE), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+
+    // corpus-frequency replay: same lowercased whitespace tokens as the
+    // jaccard family; every occurrence counted (no list_distinct), the
+    // (count desc, gram asc) total order pins the top-50 cut under ties
+    "corpus_top_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+         |      FROM (SELECT doc_id, tk,
+         |              unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+         |            FROM toks))
+         |SELECT gram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+         |FROM g GROUP BY gram
+         |ORDER BY occurrences DESC, gram LIMIT 50""".stripMargin,
 
     // intra-document repetition replay: the explicit whitespace class
     // mirrors the kernel's tokenizer char-for-char (RE2's \s lacks

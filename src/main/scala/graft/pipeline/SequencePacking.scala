@@ -43,4 +43,36 @@ object SequencePacking {
       .withColumn("n_seqs",
         when(col(tokenCol) === 0, lit(0L)).otherwise(lastSeq - firstSeq + 1))
   }
+
+  /** Materialized packed-sequence rows — the layout a training loader
+    * consumes: one row per (shard, training window, document span), where
+    * a document crossing a cut boundary contributes one span per window
+    * it touches. `seq_off` is the span's token offset inside the window,
+    * `doc_off`/`span_len` the sub-range of the document's own tokens, so
+    * a loader reconstructs window `s` of shard `g` by concatenating its
+    * spans in `seq_off` order, and every document's spans partition
+    * `[0, n_tokens)` exactly. Empty documents occupy no window and emit
+    * no rows.
+    *
+    * Scale shape: one explode over [[packAssignments]] — each document
+    * expands to `n_seqs ≈ n_tokens/seqLen + 1` rows, so output is
+    * `O(corpus tokens / seqLen)` and the expansion is narrow (no shuffle
+    * beyond the assignment window's shard-local one). */
+  def packRows(df: DataFrame, shardCol: String, orderCol: String,
+      tokenCol: String, seqLen: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
+    packAssignments(df, shardCol, orderCol, tokenCol, seqLen)
+      .filter(col(tokenCol) > 0)
+      .select(col(shardCol), col(orderCol), col(tokenCol), col("start_tok"),
+        explode(sequence(col("first_seq"),
+          col("first_seq") + col("n_seqs") - 1)).as("seq_id"))
+      .withColumn("span_begin", greatest(col("start_tok"), col("seq_id") * L))
+      .withColumn("span_end",
+        least(col("start_tok") + col(tokenCol), (col("seq_id") + 1) * L))
+      .select(col(shardCol), col("seq_id"),
+        (col("span_begin") - col("seq_id") * L).as("seq_off"),
+        col(orderCol),
+        (col("span_begin") - col("start_tok")).as("doc_off"),
+        (col("span_end") - col("span_begin")).as("span_len"))
+  }
 }

@@ -182,6 +182,43 @@ object TextStats {
       .orderBy(col("occurrences").desc, col("gram").asc)
   }
 
+  /** Boilerplate removal — the standard consumer of [[topNgrams]]: build
+    * the corpus boilerplate list (top-k n-grams whose doc frequency is at
+    * or above `docFreqBar`), then drop every LINE containing one of those
+    * grams and reassemble each document from its surviving lines in
+    * original order (C4-style line-level boilerplate stripping).
+    * Documents whose every line is boilerplate come back with empty text
+    * rather than disappearing — row count is stable, so the pass composes
+    * with downstream per-doc stats.
+    *
+    * Scale shape: the boilerplate list is ≤ k rows and is broadcast into
+    * the line-gram semi-join, so the corpus-side work is one narrow
+    * explode + broadcast semi-join + anti-join; the only corpus-wide
+    * shuffle is the per-doc reassembly groupBy, which IS the
+    * materialization of the output. Line grams reuse the
+    * [[graft.functions.WordNgramsExpr]] codegen kernel. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, docFreqBar: Long): DataFrame = {
+    val boiler = topNgrams(df, idCol, textCol, n, k)
+      .filter(col("doc_freq") >= docFreqBar).select("gram")
+    val lines = df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val hit = lines
+      .select(col("_id"), col("pos"),
+        explode(WordNgramsExpr(col("line"), n)).as("gram"))
+      .join(broadcast(boiler), Seq("gram"), "left_semi")
+      .select("_id", "pos").distinct()
+    val rebuilt = lines.join(hit, Seq("_id", "pos"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text_stripped"))
+    df.select(col(idCol).as("_id"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+  }
+
   /** One-call profile: every stat as a column. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

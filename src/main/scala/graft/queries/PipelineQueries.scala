@@ -93,12 +93,29 @@ object PipelineQueries {
       SequencePacking.packAssignments(d, "source", "doc_id", "n_tokens", seqLen = 128)
     }),
 
+    // Materialized packed-sequence rows: one row per (shard, window,
+    // doc-span); boundary-crossing docs contribute one span per window
+    // they touch, spans partition each doc's token range exactly.
+    "sequence_pack_rows" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).as("n_tokens"))
+      SequencePacking.packRows(d, "source", "doc_id", "n_tokens", seqLen = 128)
+    }),
+
     // Corpus-wide top-k n-grams (boilerplate/stopword-list builder):
     // partial-aggregated gram counts + doc frequency into a bounded,
     // deterministically tie-broken top-k.
     "corpus_top_ngrams" -> ((s, dir) =>
       TextStats.topNgrams(table(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 50)),
+
+    // Boilerplate-strip composite: top-50 3-grams with doc_freq >= 5
+    // become the boilerplate list; lines containing one are dropped and
+    // docs reassembled (empty text when everything was boilerplate).
+    "boilerplate_strip" -> ((s, dir) =>
+      TextStats.stripBoilerplate(table(s, dir, "documents"), "doc_id",
+        "text", n = 3, k = 50, docFreqBar = 5L)),
 
     // Exact word-3-gram Jaccard over consecutive doc pairs (the verify
     // kernel of near-dup, checked end-to-end).
@@ -665,6 +682,31 @@ object PipelineQueries {
          |  END AS n_seqs
          |FROM c""".stripMargin,
 
+    // span replay: same running sum, then generate_series over the
+    // windows each doc touches; greatest/least intersect the doc's token
+    // range with each 128-token window (all-BIGINT arithmetic, exact)
+    "sequence_pack_rows" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         |          AS BIGINT) AS start_tok
+         |      FROM t WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, source, n_tokens, start_tok,
+         |        unnest(generate_series(
+         |          CAST(floor(start_tok / CAST(128 AS DOUBLE)) AS BIGINT),
+         |          CAST(floor((start_tok + n_tokens - 1) / CAST(128 AS DOUBLE)) AS BIGINT)
+         |        )) AS seq_id
+         |      FROM c)
+         |SELECT source, seq_id,
+         |  greatest(start_tok, seq_id * 128) - seq_id * 128 AS seq_off,
+         |  doc_id,
+         |  greatest(start_tok, seq_id * 128) - start_tok AS doc_off,
+         |  least(start_tok + n_tokens, (seq_id + 1) * 128)
+         |    - greatest(start_tok, seq_id * 128) AS span_len
+         |FROM e""".stripMargin,
+
     // corpus-frequency replay: same lowercased whitespace tokens as the
     // jaccard family; every occurrence counted (no list_distinct), the
     // (count desc, gram asc) total order pins the top-50 cut under ties
@@ -677,6 +719,43 @@ object PipelineQueries {
          |SELECT gram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
          |FROM g GROUP BY gram
          |ORDER BY occurrences DESC, gram LIMIT 50""".stripMargin,
+
+    // boilerplate-strip replay: the top-ngram CTE feeds a line-level
+    // anti-join; line tokens use the explicit whitespace class (kernel
+    // char-parity, like text_repetition); string_agg(ORDER BY pos)
+    // mirrors the array_sort reassembly, LEFT JOIN + coalesce keeps
+    // fully-stripped docs as empty text
+    "boilerplate_strip" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+         |      FROM (SELECT doc_id, tk,
+         |              unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+         |            FROM toks)),
+         |top AS (SELECT gram, count(*) AS occurrences,
+         |          count(DISTINCT doc_id) AS doc_freq
+         |        FROM g GROUP BY gram
+         |        ORDER BY occurrences DESC, gram LIMIT 50),
+         |boiler AS (SELECT gram FROM top WHERE doc_freq >= 5),
+         |lines AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+         |          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+         |                  unnest(generate_series(1, len(ls))) AS i
+         |                FROM documents)),
+         |lg AS (SELECT doc_id, pos, array_to_string(lt[j:j+2], ' ') AS gram
+         |       FROM (SELECT doc_id, pos, lt,
+         |               unnest(generate_series(1, greatest(len(lt) - 2, 0))) AS j
+         |             FROM (SELECT doc_id, pos,
+         |                     list_filter(regexp_split_to_array(lower(trim(line)),
+         |                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS lt
+         |                   FROM lines))),
+         |hits AS (SELECT DISTINCT lg.doc_id, lg.pos
+         |         FROM lg JOIN boiler USING (gram)),
+         |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         |         WHERE NOT EXISTS (SELECT 1 FROM hits h
+         |                           WHERE h.doc_id = l.doc_id AND h.pos = l.pos))
+         |SELECT d.doc_id,
+         |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text_stripped
+         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
 
     // intra-document repetition replay: the explicit whitespace class
     // mirrors the kernel's tokenizer char-for-char (RE2's \s lacks

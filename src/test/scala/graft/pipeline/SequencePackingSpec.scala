@@ -48,4 +48,55 @@ class SequencePackingSpec extends SparkSpec {
       SequencePacking.packAssignments(d, "shard", "doc_id", "n_tokens", 0)
     }
   }
+
+  test("packRows: boundary-crossing docs split into per-window sub-ranges") {
+    val rows = SequencePacking.packRows(d, "shard", "doc_id", "n_tokens", seqLen = 64)
+      .collect()
+      .map(r => (r.getAs[String]("shard"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_off"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("doc_off"), r.getAs[Long]("span_len")))
+      .toSet
+    // A1 (100 toks at 0): window 0 gets toks 0-63, window 1 gets 64-99
+    assert(rows.contains(("A", 0L, 0L, 1L, 0L, 64L)))
+    assert(rows.contains(("A", 1L, 0L, 1L, 64L, 36L)))
+    // A2 (50 toks at 100): finishes window 1 then opens window 2
+    assert(rows.contains(("A", 1L, 36L, 2L, 0L, 28L)))
+    assert(rows.contains(("A", 2L, 0L, 2L, 28L, 22L)))
+    // A3 is empty: no rows anywhere
+    assert(!rows.exists(r => r._1 == "A" && r._4 == 3L))
+    // A4 (120 toks at 150): tail of window 2, all of 3, head of 4
+    assert(rows.contains(("A", 2L, 22L, 4L, 0L, 42L)))
+    assert(rows.contains(("A", 3L, 0L, 4L, 42L, 64L)))
+    assert(rows.contains(("A", 4L, 0L, 4L, 106L, 14L)))
+    // B1 fills window 0 exactly; B2's single token opens window 1
+    assert(rows.contains(("B", 0L, 0L, 1L, 0L, 64L)))
+    assert(rows.contains(("B", 1L, 0L, 2L, 0L, 1L)))
+    assert(rows.size === 9)
+  }
+
+  test("packRows: spans reconstruct every document and every window exactly") {
+    val rows = SequencePacking.packRows(d, "shard", "doc_id", "n_tokens", 64).collect()
+    // per-document: spans ordered by seq_id partition [0, n_tokens)
+    rows.groupBy(r => (r.getAs[String]("shard"), r.getAs[Long]("doc_id")))
+      .foreach { case ((shard, doc), spans) =>
+        val ordered = spans.sortBy(_.getAs[Long]("seq_id"))
+        val offs = ordered.map(_.getAs[Long]("doc_off"))
+        val lens = ordered.map(_.getAs[Long]("span_len"))
+        assert(offs.head === 0L, s"($shard,$doc) first span must start the doc")
+        assert(offs.zip(lens).zip(offs.tail).forall { case ((o, l), nxt) => o + l == nxt },
+          s"($shard,$doc) spans must be contiguous in doc-token space")
+        assert(lens.forall(_ > 0L))
+      }
+    // per-window: spans ordered by seq_off tile [0, 64) with no gaps
+    // (every window except each shard's last is completely full)
+    rows.groupBy(r => (r.getAs[String]("shard"), r.getAs[Long]("seq_id")))
+      .foreach { case ((shard, seq), spans) =>
+        val ordered = spans.sortBy(_.getAs[Long]("seq_off"))
+        assert(ordered.head.getAs[Long]("seq_off") === 0L)
+        val end = ordered.map(r => r.getAs[Long]("seq_off") + r.getAs[Long]("span_len"))
+        assert(ordered.map(_.getAs[Long]("seq_off")).tail === end.init.toSeq,
+          s"($shard,$seq) window spans must tile without gaps")
+        assert(end.last <= 64L)
+      }
+  }
 }

@@ -82,4 +82,34 @@ class TextStatsSpec extends SparkSpec {
     val short = d.select(TextStats.ngrams($"text", 5).as("g")).head().getSeq[String](0)
     assert(short === Seq.empty)
   }
+
+  test("stripBoilerplate drops boilerplate lines, keeps order, keeps empty docs") {
+    import sqlImplicits._
+    // "click here now" appears in all 3 docs -> doc_freq 3 >= bar 3;
+    // every other gram is doc-unique
+    val d = Seq(
+      (1L, "real content one\nclick here now\nmore real text"),
+      (2L, "click here now"),
+      (3L, "unique line alpha\nunique line beta\nplease click here now today")
+    ).toDF("doc_id", "text")
+    val out = TextStats.stripBoilerplate(d, "doc_id", "text", n = 3, k = 5,
+        docFreqBar = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // boilerplate line removed, surviving lines rejoin in original order
+    assert(out(1L) === "real content one\nmore real text")
+    // a fully-boilerplate doc stays as a row with empty text
+    assert(out(2L) === "")
+    // the gram matches INSIDE a longer line too ("please click here now today")
+    assert(out(3L) === "unique line alpha\nunique line beta")
+    assert(out.size === 3)
+  }
+
+  test("stripBoilerplate broadcasts the boilerplate list") {
+    import sqlImplicits._
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val p = TextStats.stripBoilerplate(d, "doc_id", "text", 3, 5, 2L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate list must broadcast, got:\n${p.take(800)}")
+  }
 }

@@ -29,9 +29,17 @@ object CorpusSampling {
     * exact in a BIGINT on both engines; the final IEEE division is exact
     * scaling, so Spark and the SQL replay
     * (`('0x' || substring(md5(..),1,15))::BIGINT / 2^60`) agree
-    * bit-for-bit. */
+    * bit-for-bit.
+    *
+    * A NULL id yields a NULL fraction — `concat`, not `concat_ws`, so the
+    * null PROPAGATES exactly like the SQL replay's `CAST(id AS VARCHAR)
+    * || ':salt'` (r8 advice: concat_ws silently hashed a null id as just
+    * the salt, parking every null id in one split while DuckDB's replay
+    * fell to the CASE ELSE arm). Downstream semantics are now identical
+    * on both engines: a Bernoulli keep-predicate is never true for a
+    * null fraction, and a split CASE lands nulls in its ELSE arm. */
   def hashFraction(idCol: Column, salt: String): Column =
-    conv(substring(md5(concat_ws(":", idCol.cast("string"), lit(salt))), 1, 15),
+    conv(substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 15),
       16, 10).cast("bigint").cast("double") / lit(1152921504606846976.0)
 
   /** Split assignment: `splits` are (name, fraction) with fractions
@@ -102,8 +110,18 @@ object CorpusSampling {
       case None => ranked(df)
       case Some(margin) =>
         require(margin > 0.0, s"prefilterMargin must be > 0, got $margin")
-        val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
-        val filtered = prefiltered(df, groupCol, counts, frac, quota, margin)
+        // NULL group keys never equi-join, so the rate join would silently
+        // drop them while the margin-less path ranks them as one window
+        // partition (r8 advice). Route null-keyed rows around the
+        // prefilter into the exact ranked path and union at the end —
+        // the two paths stay drop-in interchangeable on any input. When
+        // the schema proves the key non-nullable the routing is skipped
+        // outright (no extra scan subtree).
+        val routeNulls = df.schema(groupCol).nullable
+        val nullKeyed = if (routeNulls) df.filter(col(groupCol).isNull) else null
+        val keyed = if (routeNulls) df.filter(col(groupCol).isNotNull) else df
+        val counts = keyed.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+        val filtered = prefiltered(keyed, groupCol, counts, frac, quota, margin)
         val kept = ranked(filtered).localCheckpoint(false)
         // a group undershot iff the pre-filter admitted < quota rows of a
         // group it actually filtered (rate < 1 ⇔ |group| > margin*quota).
@@ -118,10 +136,11 @@ object CorpusSampling {
         val out = if (shortGroups.isEmpty) kept
         else kept.filter(!col(groupCol).isInCollection(shortGroups.toSeq))
           .unionByName(ranked(
-            df.filter(col(groupCol).isInCollection(shortGroups.toSeq))))
+            keyed.filter(col(groupCol).isInCollection(shortGroups.toSeq))))
         // the rate join moved groupCol first; restore the input schema so
         // both paths are drop-in interchangeable
-        out.select(df.columns.map(col).toIndexedSeq: _*)
+        val restored = out.select(df.columns.map(col).toIndexedSeq: _*)
+        if (routeNulls) restored.unionByName(ranked(nullKeyed)) else restored
     }
   }
 

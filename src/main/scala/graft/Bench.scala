@@ -53,21 +53,27 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = queries.map { case (name, fn) =>
-      // measurement hygiene: drain the previous query's dead checkpoint /
-      // shuffle blocks (ContextCleaner frees them only after a driver GC
-      // notices the dropped references) so each query is timed against a
-      // clean block manager, not its predecessor's garbage — the prime
-      // suspect for r3's unreproducible 2-3× smears on unrelated queries
-      System.gc()
       def once(): Double = {
+        // measurement hygiene, per REP not per key: drain the PREVIOUS
+        // run's dead checkpoint / shuffle blocks (ContextCleaner frees
+        // them only after a driver GC notices the dropped references)
+        // so every rep is timed against a clean block manager. The r9
+        // per-key-only gc let reps 2-3 of checkpoint-heavy keys run
+        // against rep 1's garbage, and the median reported the degraded
+        // steady state — the r9 "no-code-change regressions" on
+        // streaming_neardup_keep (3 localCheckpoints per rep).
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val first = once()
-      val times =
-        if (reps > 1) (first +: (2 to reps).map(_ => once())).sorted
-        else Seq(first)
+      val raw = (1 to reps).map(_ => once())
+      // per-rep times to stderr: medians hide distribution shape, and
+      // rep-over-rep degradation (resource leak) vs flat-but-slow (host
+      // regime) need different responses
+      System.err.println(s"[bench] $name reps: " +
+        raw.map(t => f"$t%.3f").mkString(", "))
+      val times = raw.sorted
       (name, times(times.size / 2), times.size) // median of the runs taken
     }
     // serve-path microbench (r5 verdict item 7): the reference's bar is

@@ -38,6 +38,24 @@ final class GrpcHttp2Client(host: String, port: Int) {
     * frame count as delivered). */
   def call(method: String, message: Array[Byte],
       timeoutSec: Long = 30): (Array[Byte], Map[String, String], Int) = {
+    val (body, trailerMap, dataFrames) = callRaw(method, message, timeoutSec)
+    val payload =
+      if (body.isEmpty) Array.emptyByteArray
+      else {
+        require((body(0) & 0xFF) == 0, "unary reply must be uncompressed")
+        val len = java.nio.ByteBuffer.wrap(body, 1, 4).getInt
+        require(body.length == 5 + len,
+          s"length prefix $len disagrees with body ${body.length - 5}")
+        java.util.Arrays.copyOfRange(body, 5, 5 + len)
+      }
+    (payload, trailerMap, dataFrames)
+  }
+
+  /** Like [[call]] but returns the body bytes verbatim (length prefix
+    * included, UNvalidated) — for specs that assert on intentionally
+    * inconsistent framing, e.g. the pass-2 byte-count guard. */
+  def callRaw(method: String, message: Array[Byte],
+      timeoutSec: Long = 30): (Array[Byte], Map[String, String], Int) = {
     val headers = new java.util.concurrent.ConcurrentLinkedQueue[Http2HeadersFrame]()
     val data = new java.io.ByteArrayOutputStream()
     var dataFrames = 0
@@ -81,17 +99,7 @@ final class GrpcHttp2Client(host: String, port: Int) {
           String.valueOf(e.getKey) -> String.valueOf(e.getValue))
       }.toMap
     }
-    val body = data.toByteArray
-    val payload =
-      if (body.isEmpty) Array.emptyByteArray
-      else {
-        require((body(0) & 0xFF) == 0, "unary reply must be uncompressed")
-        val len = java.nio.ByteBuffer.wrap(body, 1, 4).getInt
-        require(body.length == 5 + len,
-          s"length prefix $len disagrees with body ${body.length - 5}")
-        java.util.Arrays.copyOfRange(body, 5, 5 + len)
-      }
-    (payload, trailerMap, dataFrames)
+    (data.toByteArray, trailerMap, dataFrames)
   }
 
   def close(): Unit = {

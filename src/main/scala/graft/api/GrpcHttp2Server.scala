@@ -40,11 +40,39 @@ import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers,
   * the exact total goes out and the second pass streams each record's
   * bytes as its own DATA frame. A stock unary client sees one message;
   * the driver never holds more than one record's encoding.
+  *
+  * Back-pressure: rpc bodies run on a dedicated single-thread executor
+  * (NOT the Netty event loop), the split Kestrel uses — request handlers
+  * on the thread pool, the I/O loop free to transmit flushed frames and
+  * deliver the peer's WINDOW_UPDATEs. The streaming pass flushes every
+  * [[GrpcHttp2Server.FlushBytes]] and, whenever the stream channel goes
+  * non-writable (HTTP/2 flow-control window or socket buffer full),
+  * blocks on the flush future until the peer drains — so the Netty
+  * outbound buffer holds at most one flush window, not O(table), and a
+  * slow reader throttles the Spark-side iterator instead of ballooning
+  * driver memory. Pass 2 counts every byte it writes and hard-fails the
+  * rpc (grpc-status 13 INTERNAL) if the count diverges from the declared
+  * total — a nondeterministic source or concurrent mutation between the
+  * passes can no longer corrupt the stream under a clean status-0
+  * trailer.
   */
 class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
 
   private val group = new NioEventLoopGroup(1)
   @volatile private var bound: io.netty.channel.Channel = _
+
+  /** rpc bodies run here, one at a time (the facade is single-writer —
+    * same serialization the event loop used to provide), keeping the
+    * event loop free for I/O so awaiting a write future below can
+    * actually complete. */
+  private val rpcExec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "grpc-h2c-rpc"); t.setDaemon(true); t
+  })
+
+  /** Pass-scoped table snapshot for `GetVectors` — overridable test seam
+    * so specs can inject a second pass that disagrees with the first and
+    * assert the byte-count guard fires. */
+  protected[api] def vectorsPass(): org.apache.spark.sql.DataFrame = db.vectors
 
   def start(): Int = {
     val b = new ServerBootstrap()
@@ -67,6 +95,8 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
 
   def stop(): Unit = {
     if (bound != null) bound.close().syncUninterruptibly()
+    rpcExec.shutdown()
+    rpcExec.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
     group.shutdownGracefully(0, 500, java.util.concurrent.TimeUnit.MILLISECONDS)
       .syncUninterruptibly()
   }
@@ -75,10 +105,20 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
     * (one per record; a buffered reply would count 1). */
   private[api] val streamedFrames = new java.util.concurrent.atomic.AtomicLong
 
+  /** Test-visible: flushes issued by the streaming path (a
+    * buffer-everything reply would count 1 regardless of table size). */
+  private[api] val streamFlushes = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test-visible high-water mark of bytes accumulated between flushes —
+    * the bound on Netty outbound-buffer growth the flush policy enforces
+    * (≤ FlushBytes + one record's encoding). */
+  private[api] val maxUnflushedBytes = new java.util.concurrent.atomic.AtomicLong
+
   /** One handler per HTTP/2 stream (Http2MultiplexHandler gives each rpc
-    * its own child channel): accumulate DATA until END_STREAM, dispatch,
-    * reply. The facade is single-writer; the single-threaded event loop
-    * serializes rpcs exactly like the HTTP/1.1 server's serial executor. */
+    * its own child channel): accumulate DATA until END_STREAM, then hand
+    * the rpc body to [[rpcExec]] (single-threaded, so rpcs serialize
+    * exactly like the HTTP/1.1 server's serial executor) while the event
+    * loop goes back to pure I/O. */
   private final class RpcStreamHandler extends SimpleChannelInboundHandler[Http2StreamFrame] {
     private var path: String = ""
     private val body = new java.io.ByteArrayOutputStream()
@@ -87,15 +127,21 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
       frame match {
         case h: Http2HeadersFrame =>
           path = String.valueOf(h.headers().path())
-          if (h.isEndStream) respond(ctx)
+          if (h.isEndStream) dispatch(ctx)
         case d: Http2DataFrame =>
           val buf = d.content()
           val arr = new Array[Byte](buf.readableBytes())
           buf.readBytes(arr)
           body.write(arr)
-          if (d.isEndStream) respond(ctx)
+          if (d.isEndStream) dispatch(ctx)
         case _ => // SETTINGS/WINDOW_UPDATE etc. are the codec's business
       }
+
+    private def dispatch(ctx: ChannelHandlerContext): Unit = {
+      val p = path
+      val req = body.toByteArray
+      rpcExec.execute(() => respond(ctx, p, req))
+    }
 
     private def grpcHeaders(): DefaultHttp2Headers = {
       val h = new DefaultHttp2Headers()
@@ -117,10 +163,10 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
       b
     }
 
-    private def respond(ctx: ChannelHandlerContext): Unit = {
+    private def respond(ctx: ChannelHandlerContext, path: String, rawBody: Array[Byte]): Unit = {
       val method = if (path.startsWith("/Vector/")) path.drop(8) else ""
       try {
-        val req = GrpcWeb.firstMessage(body.toByteArray)
+        val req = GrpcWeb.firstMessage(rawBody)
         if (method == "GetVectors") { streamGetVectors(ctx, req); return }
         val reply = VectorHttpServer.dispatchRpc(db, method, req)
         ctx.write(new DefaultHttp2HeadersFrame(grpcHeaders()))
@@ -145,30 +191,60 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
     }
 
     /** Two-pass streaming (see class scaladoc): sizes first, then one
-      * DATA frame per record under the declared total. Mid-stream
-      * failures report through the trailing HEADERS — the same surface a
-      * stock client already reads for status. */
+      * DATA frame per record under the declared total, flushed every
+      * [[GrpcHttp2Server.FlushBytes]] with a back-pressure gate — when
+      * the stream channel reports non-writable (flow-control window or
+      * socket buffer full) the rpc thread blocks on the flush future
+      * until the peer drains, so outbound buffering stays bounded by one
+      * flush window for any table size. Pass 2 verifies bytes written
+      * against the declared total and aborts with INTERNAL on mismatch.
+      * Mid-stream failures report through the trailing HEADERS — the
+      * same surface a stock client already reads for status. */
     private def streamGetVectors(ctx: ChannelHandlerContext, req: Array[Byte]): Unit = {
       try {
-        val sizes = {
-          val it = db.vectors.toLocalIterator()
+        val declared = {
+          val it = vectorsPass().toLocalIterator()
           var total = 0L
           while (it.hasNext)
             total += VectorProto.encodedVectorListItemSize(
               VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next())))
           total
         }
-        require(sizes <= Int.MaxValue, s"GetVectors response exceeds 2 GiB ($sizes B)")
+        require(declared <= Int.MaxValue, s"GetVectors response exceeds 2 GiB ($declared B)")
         ctx.write(new DefaultHttp2HeadersFrame(grpcHeaders()))
-        ctx.write(new DefaultHttp2DataFrame(lengthPrefix(sizes.toInt)))
-        val it = db.vectors.toLocalIterator()
+        ctx.write(new DefaultHttp2DataFrame(lengthPrefix(declared.toInt)))
+        var written = 0L
+        var unflushed = 5L // the length prefix
+        val it = vectorsPass().toLocalIterator()
         while (it.hasNext) {
           val item = VectorProto.encodeVectorListItem(
             VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next())))
-          ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(item)))
+          if (written + item.length > declared)
+            throw GrpcWeb.StatusException(13,
+              s"GetVectors pass 2 exceeds declared length $declared (source changed between passes)")
+          written += item.length
+          unflushed += item.length
+          val frame = new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(item))
+          if (unflushed >= GrpcHttp2Server.FlushBytes) {
+            maxUnflushedBytes.getAndAccumulate(unflushed, Math.max(_, _))
+            unflushed = 0
+            val f = ctx.writeAndFlush(frame)
+            streamFlushes.incrementAndGet()
+            // back-pressure: peer's flow-control window (or the socket)
+            // is full — park the rpc thread until this flush lands
+            // rather than letting frames pile into the outbound buffer
+            if (!ctx.channel().isWritable && !f.awaitUninterruptibly(30000))
+              throw GrpcWeb.StatusException(14,
+                "GetVectors peer stalled: flow-control window closed > 30 s")
+          } else ctx.write(frame)
           streamedFrames.incrementAndGet()
         }
+        if (written != declared)
+          throw GrpcWeb.StatusException(13,
+            s"GetVectors pass 2 wrote $written B, declared $declared B (source changed between passes)")
+        maxUnflushedBytes.getAndAccumulate(unflushed, Math.max(_, _))
         ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers(0), true))
+        streamFlushes.incrementAndGet()
       } catch {
         case GrpcWeb.StatusException(code, msg) =>
           ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers(code, msg), true))
@@ -180,4 +256,11 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
       }
     }
   }
+}
+
+object GrpcHttp2Server {
+  /** Streaming flush window: DATA frames accumulate in the outbound
+    * buffer up to this many bytes before a flush (64 KiB — the HTTP/2
+    * default initial flow-control window, so one window ≈ one flush). */
+  val FlushBytes: Int = 64 * 1024
 }

@@ -56,6 +56,11 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
 
+  /** Pass-scoped table snapshot for the streaming `GetVectors` path —
+    * overridable test seam so specs can inject a second pass that
+    * disagrees with the first and assert the byte-count guard fires. */
+  protected[api] def vectorsPass(): org.apache.spark.sql.DataFrame = db.vectors
+
   // ----------------------------------------------------------- dispatch
 
   private def handle(ex: HttpExchange): Unit =
@@ -179,7 +184,7 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
       val total =
         try {
           GrpcWeb.firstMessage(rawBody) // validates request framing
-          val it = db.vectors.toLocalIterator()
+          val it = vectorsPass().toLocalIterator()
           var sum = 0L
           while (it.hasNext)
             sum += VectorProto.encodedVectorListItemSize(
@@ -198,14 +203,36 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
         val header = java.nio.ByteBuffer.allocate(5)
         header.put(0x00.toByte).putInt(len)
         os.write(header.array())
-        val it = db.vectors.toLocalIterator()
+        // pass-2 byte-count guard: the message-frame header above already
+        // promised `len` bytes, so a pass-2 that disagrees (source changed
+        // between passes) must NOT end in a clean status-0 trailer — abort
+        // the exchange, truncating the chunked body into a transport-level
+        // error the client cannot mistake for success.
+        var written = 0L
+        val it = vectorsPass().toLocalIterator()
         while (it.hasNext) {
-          os.write(VectorProto.encodeVectorListItem(
-            VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next()))))
+          val item = VectorProto.encodeVectorListItem(
+            VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next())))
+          if (written + item.length > len)
+            throw new IllegalStateException(
+              s"GetVectors pass 2 exceeds declared length $len B (source changed between passes)")
+          os.write(item)
+          written += item.length
           streamedGetVectorsRecords.incrementAndGet()
         }
+        if (written != len)
+          throw new IllegalStateException(
+            s"GetVectors pass 2 wrote $written B, declared $len B (source changed between passes)")
         os.write(GrpcWeb.trailersFrame(0))
       }
+    } catch {
+      // guard trip: headers + declared-length frame header are already on
+      // the wire, so the only honest exit is to END the body WITHOUT a
+      // trailers frame — a gRPC-Web client that cannot find trailers has a
+      // transport error, never a clean status 0. (Escaping instead would
+      // hit handle()'s respond(500) and a second sendResponseHeaders.)
+      case e: IllegalStateException =>
+        System.err.println(s"[graft] streamGetVectors aborted: ${e.getMessage}")
     } finally os.close()
   }
 

@@ -24,8 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Tokenization contract (must stay replayable by a SQL oracle):
   * `lower()` is `UTF8String.toLowerCase` — exactly Spark's `lower` — and
-  * the separator set is Java regex `\s` = `[ \t\n\f\r]`, exactly
-  * `split(text, "\\s+")` with empty tokens dropped.
+  * the separator set is Java regex `\s` = `[ \t\n\x0B\f\r]` (vertical
+  * tab INCLUDED), exactly `split(text, "\\s+")` with empty tokens
+  * dropped. NOTE: RE2's `\s` (DuckDB) LACKS `\x0B`, so SQL replays must
+  * spell the class out explicitly — `'[ \t\n\x0b\f\r]+'` — never `'\s+'`.
   */
 object WordNgrams {
   private def isSep(c: Char): Boolean =
@@ -67,6 +69,8 @@ object WordNgrams {
 
 case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires n >= 1, got $n")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"word_ngrams requires STRING input, got ${t.simpleString}")
@@ -86,6 +90,8 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordNgramsExpr {
-  def apply(text: Column, n: Int): Column =
+  def apply(text: Column, n: Int): Column = {
+    require(n >= 1, s"word_ngrams requires n >= 1, got $n")
     bridge.column(WordNgramsExpr(bridge.expression(text), n))
+  }
 }

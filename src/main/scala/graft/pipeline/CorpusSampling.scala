@@ -81,6 +81,63 @@ object CorpusSampling {
     }.fold(keep(defaultRate))(_.otherwise(keep(defaultRate)))
   }
 
+  /** Temperature-scaled mixture with multi-epoch oversampling — the
+    * standard LM training-mixture builder (alpha-sampling: domain weight
+    * ∝ n_d^(1/T), the multilingual-pretraining rebalance): hot domains
+    * are downsampled, rare domains run MORE than one epoch.
+    *
+    * Per domain d with n_d rows, weight p_d = n_d^α / Σ_e n_e^α where
+    * α = 1/temperature; the per-row sampling RATE is
+    * `rate_d = budget · p_d / n_d` — and unlike [[mixtureKeep]] rates may
+    * EXCEED 1: a row of an oversampled domain is emitted
+    * `floor(rate_d)` times unconditionally (full epochs) plus one more
+    * iff its hash fraction falls under the fractional remainder — a
+    * deterministic with-repeat sample whose expected per-domain output is
+    * exactly `budget · p_d`. Output rows carry an `epoch` column
+    * (0-based) so downstream packing/shuffling can keep repeats apart.
+    *
+    * temperature = 1 reproduces proportional sampling (every rate equal);
+    * temperature → ∞ approaches uniform domain weights. `budget` defaults
+    * to the corpus row count (resample-to-same-size).
+    *
+    * Rates are rounded to 6 decimals BEFORE the epoch/keep arithmetic on
+    * both engines — `pow` may differ in the last ulp between JVM libm and
+    * DuckDB's, and the round guarantees the keep-predicate compares
+    * identical doubles (same convention as the quality-score replays).
+    *
+    * Scale shape: one partial-aggregated domain count (O(#domains) rows),
+    * a broadcast rate join (null-safe, so NULL domains sample like any
+    * other group rather than silently dropping — the r8 null-key lesson),
+    * then a narrow per-row explode of at most ceil(rate) copies. The
+    * corpus is scanned once and never shuffled; determinism is per
+    * (id, salt), independent of partitioning. */
+  def temperatureMixture(df: DataFrame, idCol: String, domainCol: String,
+      temperature: Double, salt: String,
+      budget: Option[Long] = None): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    val alpha = 1.0 / temperature
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+    // O(#domains) rows: the pow-sum and corpus total ride one tiny agg
+    val totals = counts.agg(
+      sum(pow(col("_n").cast("double"), lit(alpha))).as("_powsum"),
+      sum(col("_n")).as("_total"))
+    val rates = counts.crossJoin(broadcast(totals)).select(
+      col(domainCol).as("_dom"),
+      round(
+        budget.map(b => lit(b.toDouble)).getOrElse(col("_total").cast("double"))
+          * pow(col("_n").cast("double"), lit(alpha)) / col("_powsum")
+          / col("_n").cast("double"),
+        6).as("_rate"))
+    val frac = hashFraction(col(idCol), salt)
+    df.join(broadcast(rates), col(domainCol) <=> col("_dom"))
+      .filter(col("_rate") > 0.0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), ceil(col("_rate")).cast("long") - 1)))
+      .filter(col("epoch") < floor(col("_rate")).cast("long") ||
+        frac < col("_rate") - floor(col("_rate")))
+      .drop("_dom", "_rate")
+  }
+
   /** The `quota` rows of each group with the smallest (hash fraction,
     * id) — a deterministic uniform sample of at most `quota` per domain,
     * identical however the data is partitioned.

@@ -61,6 +61,14 @@ object Multimodal {
     out
   }
 
+  // ImageIO's default read path wraps every source in a DISK-backed
+  // FileCacheImageInputStream — one temp file created+deleted per decode.
+  // Our sources are in-memory byte arrays (Spark rows), so the cache file
+  // is pure syscall overhead AND couples decode latency to tmp-dir state
+  // (a filled or slow tmpdir from unrelated work shows up as a decode
+  // "regression"). Memory-cached streams throughout.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode: PNG/JPEG/GIF/BMP/TIFF payload → pixels via the JDK's
     * `javax.imageio` (None when the bytes are not a parseable image). */
   def decodeImage(media: Array[Byte]): Option[java.awt.image.BufferedImage] =

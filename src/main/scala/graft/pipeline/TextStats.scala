@@ -164,15 +164,16 @@ object TextStats {
     * semi-join prunes the re-scanned pairs to k grams, then a map-side-
     * partial distinct on (gram, doc) collapses within-partition repeats
     * before a shuffle bounded by k × docs-containing-a-winner — tiny.
-    * Two corpus scans buy the removal of the corpus-wide shuffle. */
+    * Two corpus scans buy the removal of the corpus-wide shuffle. The
+    * k-row winners frame is eagerly localCheckpoint'd before reuse (it
+    * feeds both the pass-2 semi-join and the final join), so the
+    * corpus-wide ranking aggregate runs ONCE — without it each reuse
+    * re-executes the full pass-1 scan. */
   def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int,
       k: Int): DataFrame = {
-    val pairs = df.select(col(idCol).as("_id"),
-      explode(ngrams(col(textCol), n)).as("gram"))
-    val winners = pairs.groupBy(col("gram"))
-      .agg(count(lit(1)).as("occurrences"))
-      .orderBy(col("occurrences").desc, col("gram").asc)
-      .limit(k)
+    val pairs = ngramPairs(df, idCol, textCol, n)
+    val winners = rankNgrams(pairs, k)
+      .localCheckpoint(true) // eager, k rows, ContextCleaner-freed
     val docFreq = pairs
       .join(broadcast(winners.select("gram")), Seq("gram"), "left_semi")
       .distinct()
@@ -181,6 +182,24 @@ object TextStats {
       .select(col("gram"), col("occurrences"), col("doc_freq"))
       .orderBy(col("occurrences").desc, col("gram").asc)
   }
+
+  /** Pass 1 of [[topNgrams]], exposed for plan-shape pinning: the
+    * corpus-wide ranking aggregate over exploded (doc, gram) pairs. The
+    * cut is by occurrence count alone (no doc id in the shuffle key, so
+    * map-side partial agg collapses repeats) and the top-k must plan as
+    * `TakeOrderedAndProject`, never a full sort or a distinct-aggregate
+    * Expand — [[topNgrams]] checkpoints this k-row result before reusing
+    * it, which hides this subplan from the final `.explain`. */
+  private[pipeline] def rankNgrams(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("gram").asc)
+      .limit(k)
+
+  /** The exploded (doc, gram) pair frame both [[topNgrams]] passes scan. */
+  private[pipeline] def ngramPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("_id"), explode(ngrams(col(textCol), n)).as("gram"))
 
   /** Boilerplate removal — the standard consumer of [[topNgrams]]: build
     * the corpus boilerplate list (top-k n-grams whose doc frequency is at

@@ -69,6 +69,20 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Temperature-scaled mixture (alpha-sampling, T=2) over a derived
+    // skewed domain (70/20/10): the hot domain downsamples (rate ~0.75)
+    // while mid/small run >1 epoch (rates ~1.4 / ~2.0) — exercising the
+    // with-repeat path, not just the Bernoulli keep.
+    "mixture_temp" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 < 7, "big")
+          .when(col("doc_id") % 10 < 9, "mid")
+          .otherwise("small").as("domain"))
+      CorpusSampling.temperatureMixture(d, "doc_id", "domain",
+          temperature = 2.0, salt = "r10temp")
+        .select(col("doc_id"), col("domain"), col("epoch"))
+    }),
+
     // Per-domain quota cap through the SCALE path: group counts →
     // broadcast rate join → pre-filter (rate 1.0 at sf0.01 where
     // 4×10 ≥ 25-row groups; 0.16 at sf0.1's 250-row groups) → windowed
@@ -540,15 +554,15 @@ object PipelineQueries {
       _ => Bm25.corpusStats(table(s, dir, "documents"), "text"))
 
   private val toksSql =
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
+    "list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')"
 
   private def shSql(textExpr: String): String =
     s"""list_distinct(list_filter(
-       | list_transform(generate_series(1, greatest(len(list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), x -> x != '')) - 2, 0)),
+       | list_transform(generate_series(1, greatest(len(list_filter(regexp_split_to_array(lower(trim($textExpr)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) - 2, 0)),
        |   i -> concat_ws(' ',
-       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), x -> x != '')[i],
-       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), x -> x != '')[i+1],
-       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), x -> x != '')[i+2])),
+       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')[i],
+       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')[i+1],
+       |     list_filter(regexp_split_to_array(lower(trim($textExpr)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')[i+2])),
        | s -> s != ''))""".stripMargin
 
   private val stopList = TextStats.englishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -653,6 +667,28 @@ object PipelineQueries {
         |           WHEN source = 'src2' THEN f < 0.5
         |           WHEN source = 'src3' THEN f < 0.25
         |           ELSE f < 0.125 END""".stripMargin,
+
+    // temperature replay: same derived domain, α = 1/T = 0.5, rates
+    // rounded to 6dp on both engines BEFORE the epoch/keep arithmetic so
+    // libm-pow last-ulp differences cannot flip a keep decision
+    "mixture_temp" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 < 7 THEN 'big' WHEN doc_id % 10 < 9 THEN 'mid'
+        |       ELSE 'small' END AS domain
+        |  FROM documents),
+        |c AS (SELECT domain, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY domain),
+        |t AS (SELECT sum(pow(n, 0.5)) AS powsum, sum(n) AS total FROM c),
+        |r AS (SELECT domain, round(t.total * pow(c.n, 0.5) / t.powsum / c.n, 6) AS rate
+        |      FROM c, t),
+        |j AS (SELECT d.doc_id, d.domain, r.rate,
+        |        CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':r10temp'),1,15)) AS BIGINT)
+        |          / CAST(1152921504606846976 AS DOUBLE) AS f
+        |      FROM d JOIN r USING (domain) WHERE r.rate > 0),
+        |e AS (SELECT doc_id, domain, rate, f,
+        |        unnest(generate_series(0, CAST(ceil(rate) AS BIGINT) - 1)) AS epoch
+        |      FROM j)
+        |SELECT doc_id, domain, epoch FROM e
+        |WHERE epoch < floor(rate) OR f < rate - floor(rate)""".stripMargin,
 
     "quota_sample" ->
       """SELECT doc_id, source
@@ -868,7 +904,7 @@ object PipelineQueries {
           |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
           |  '\s+', ' ', 'g'))""".stripMargin
       s"""SELECT doc_id, $scrubSql AS clean_text,
-         | CAST(len(list_filter(regexp_split_to_array(lower(trim($scrubSql)), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens_clean
+         | CAST(len(list_filter(regexp_split_to_array(lower(trim($scrubSql)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS BIGINT) AS n_tokens_clean
          |FROM documents""".stripMargin
     },
 
@@ -1003,7 +1039,7 @@ object PipelineQueries {
     "simhash_neardup_planted" ->
       s"""WITH $fixtureCte,
          |tk AS (SELECT doc_id,
-         |  md5(CAST(list_sort(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')) AS VARCHAR)) AS key
+         |  md5(CAST(list_sort(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS VARCHAR)) AS key
          |       FROM fixture)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
          |FROM tk a JOIN tk b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,

@@ -96,4 +96,62 @@ class GrpcHttp2Spec extends SparkSpec {
       assert(srv.streamedFrames.get() - before === n.toLong)
     }
   }
+
+  test("GetVectors back-pressure: flush per window keeps outbound buffering bounded") {
+    withServer(8) { (srv, c) =>
+      import org.apache.spark.sql.functions._
+      // ~2 MiB of response (2000 records × ~1 KiB text) — dozens of
+      // 64 KiB flush windows, so a buffer-then-flush-once server is
+      // unambiguously distinguishable from a flow-controlled one
+      val n = 2000
+      srv.db.addVectors(spark.range(n).select(
+        format_string("00000000-0000-0000-0000-%012x", col("id")).as("id"),
+        array((0 until 8).map(i => (col("id") + i).cast("float")): _*).as("values"),
+        array().cast("array<smallint>").as("tags"),
+        rpad(concat(lit("doc "), col("id")), 1000, "x").as("original_text"),
+        lit(0).cast("tinyint").as("priority"),
+        lit(0L).as("user_id"), lit(0L).as("org_id")).repartition(4))
+
+      val framesBefore = srv.streamedFrames.get()
+      val flushesBefore = srv.streamFlushes.get()
+      val (lm, lt, _) = c.call("GetVectors", Array.emptyByteArray)
+      assert(lt("grpc-status") === "0")
+      assert(VectorProto.decodeVectorList(lm).size === n)
+      assert(srv.streamedFrames.get() - framesBefore === n.toLong)
+      // flow-controlled streaming: many flushes (≈ totalBytes / 64 KiB),
+      // not one table-sized flush at the end
+      val flushes = srv.streamFlushes.get() - flushesBefore
+      assert(flushes >= 10, s"expected ≥10 flush windows for ~2 MiB, got $flushes")
+      // and the outbound buffer never accumulated more than one flush
+      // window + one record's encoding between flushes
+      val hw = srv.maxUnflushedBytes.get()
+      assert(hw <= GrpcHttp2Server.FlushBytes + 2048,
+        s"unflushed high-water $hw exceeds flush window ${GrpcHttp2Server.FlushBytes} + one record")
+    }
+  }
+
+  test("GetVectors pass-2 byte-count guard: divergent second pass aborts with INTERNAL") {
+    val db = new NeighborlySpark(spark, 3)
+    // test seam: pass 1 sizes the full table, pass 2 streams one row
+    // short — the declared length can no longer be honored
+    val srv = new GrpcHttp2Server(db) {
+      private val pass = new java.util.concurrent.atomic.AtomicInteger
+      override protected[api] def vectorsPass(): org.apache.spark.sql.DataFrame =
+        if (pass.getAndIncrement() == 0) db.vectors else db.vectors.limit(9)
+    }
+    val port = srv.start()
+    val client = new GrpcHttp2Client("127.0.0.1", port)
+    try {
+      for (i <- 0 until 10)
+        db.addVector(graft.core.VectorRecord(
+          f"00000000-0000-0000-0000-${i}%012x", Array(i.toFloat, 0f, 0f)))
+      val (body, trailers, _) = client.callRaw("GetVectors", Array.emptyByteArray)
+      // loud abort: INTERNAL in the trailers, never a clean status 0 over
+      // a silently truncated message
+      assert(trailers("grpc-status") === "13", s"got $trailers")
+      val declared = java.nio.ByteBuffer.wrap(body, 1, 4).getInt
+      assert(body.length - 5 < declared,
+        "stream must be visibly short of the declared length, not padded")
+    } finally { client.close(); srv.stop(); db.close() }
+  }
 }

@@ -287,6 +287,38 @@ class GrpcWebSpec extends SparkSpec {
     }
   }
 
+  test("GetVectors pass-2 byte-count guard: divergent second pass ends body without trailers") {
+    val db = new NeighborlySpark(spark, 3, autoRebuild = false)
+    // test seam: pass 1 sizes the full table, pass 2 streams one row
+    // short — the declared message-frame length can no longer be honored
+    val srv = new VectorHttpServer(db) {
+      private val pass = new java.util.concurrent.atomic.AtomicInteger
+      override protected[api] def vectorsPass(): org.apache.spark.sql.DataFrame =
+        if (pass.getAndIncrement() == 0) db.vectors else db.vectors.limit(9)
+    }
+    val base = s"http://127.0.0.1:${srv.start()}"
+    try {
+      for (i <- 0 until 10)
+        db.addVector(VectorRecord(f"00000000-0000-0000-0000-$i%012x",
+          Array(i.toFloat, 0f, 0f)))
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/Vector/GetVectors"))
+          .header("Content-Type", "application/grpc-web+proto")
+          .method("POST", java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            GrpcWeb.messageFrame(Array.emptyByteArray)))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() === 200)
+      // loud abort: the body stops short of the declared frame length with
+      // NO trailers frame — readFrames refuses it, so no client can ever
+      // mistake the truncated stream for a clean status-0 reply
+      val declared = java.nio.ByteBuffer.wrap(resp.body(), 1, 4).getInt
+      assert(resp.body().length - 5 < declared,
+        "stream must be visibly short of the declared length, not padded")
+      intercept[IllegalArgumentException](GrpcWeb.readFrames(resp.body()))
+    } finally { srv.stop(); db.close() }
+  }
+
   test("grpc-message percent-encodes non-ASCII and readFrames rejects overrun frames") {
     // the gRPC spec's grpc-message rule: bytes outside printable ASCII
     // travel percent-encoded UTF-8 ('é' = %C3%A9); '%' itself encodes

@@ -49,6 +49,53 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(math.abs(counts("d3") - 250L) < 70) // defaultRate applies
   }
 
+  test("temperatureMixture: alpha weights, multi-epoch repeats, per-row epoch bound") {
+    // 800 'd0' + 100 'd1' + 100 'd2': T=2 (α=.5) → p ∝ sqrt(n):
+    // sqrt(800)=28.28, sqrt(100)=10 ×2 → powsum 48.28; budget 1000 →
+    // rate(d0) = 1000·(28.28/48.28)/800 ≈ 0.732 (downsampled),
+    // rate(d1) = rate(d2) = 1000·(10/48.28)/100 ≈ 2.071 (>2 epochs)
+    val d = spark.range(1000L).select($"id".as("doc_id"),
+      when($"id" < 800, "d0").when($"id" < 900, "d1").otherwise("d2").as("domain"))
+    val out = CorpusSampling.temperatureMixture(d, "doc_id", "domain",
+      temperature = 2.0, salt = "t1")
+    val perDoc = out.groupBy("doc_id", "domain").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every d0 doc appears 0 or 1 times (rate < 1); every d1/d2 doc 2 or
+    // 3 times (floor 2 always, +1 Bernoulli on the remainder)
+    assert(perDoc.filter(_._2 == "d0").forall(_._3 == 1L))
+    assert(perDoc.filter(_._2 != "d0").forall(t => t._3 == 2L || t._3 == 3L))
+    val counts = out.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected per-domain outputs: 800·0.7323 ≈ 586, 100·2.0712 ≈ 207
+    assert(math.abs(counts("d0") - 586L) < 60, s"d0 -> ${counts("d0")}")
+    assert(math.abs(counts("d1") - 207L) < 25, s"d1 -> ${counts("d1")}")
+    assert(math.abs(counts("d2") - 207L) < 25, s"d2 -> ${counts("d2")}")
+    // epoch values are dense 0..copies-1 per doc
+    val epochs = out.filter($"doc_id" === 850L).select("epoch")
+      .collect().map(_.getLong(0)).sorted
+    assert(epochs.take(2).toSeq === Seq(0L, 1L))
+    // T=1 reproduces proportional sampling: every domain's rate is 1.0
+    // (budget = corpus), so output == input exactly, epoch 0 everywhere
+    val t1 = CorpusSampling.temperatureMixture(d, "doc_id", "domain", 1.0, "t1")
+    assert(t1.count() === 1000L && t1.filter($"epoch" =!= 0L).count() === 0L)
+  }
+
+  test("temperatureMixture is deterministic under repartition and keeps NULL domains") {
+    val base = spark.range(500L).select($"id".as("doc_id"),
+      when($"id" % 5 === 0, lit(null).cast("string")).otherwise(
+        concat(lit("d"), ($"id" % 3).cast("string"))).as("domain"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusSampling.temperatureMixture(df, "doc_id", "domain", 3.0, "t2")
+        .select("doc_id", "domain", "epoch").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    val a = run(base.repartition(7))
+    val b = run(base.repartition(3, $"domain"))
+    assert(a === b, "membership must be a pure function of (id, domain, salt)")
+    // NULL is a domain like any other (null-safe rate join): the 100
+    // null-keyed rows sample at their own alpha rate, not drop to zero
+    assert(a.count(_._2.isEmpty) > 0, "null-domain rows must survive the rate join")
+  }
+
   test("quotaSample keeps min(quota, |group|) rows per group") {
     val d = docs(1000, 5).union(docs(3, 1).withColumn("domain", lit("tiny")))
     val kept = CorpusSampling.quotaSample(d, "domain", "doc_id", quota = 20, salt = "q1")

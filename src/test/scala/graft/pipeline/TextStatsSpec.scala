@@ -64,8 +64,12 @@ class TextStatsSpec extends SparkSpec {
     assert(top(1) === (("x y z", 3L, 2L)))   // 1 in doc 2 + 2 in doc 3
     // rank 3: "b c a"/"c a b" both at 2 — lexicographic tiebreak picks "b c a"
     assert(top(2) === (("b c a", 2L, 1L)))
-    // bounded plan: the top-k is a TakeOrderedAndProject, never a full sort
-    val p = TextStats.topNgrams(d, "doc_id", "text", 3, 3)
+    // bounded plan: pass 1's top-k is a TakeOrderedAndProject, never a
+    // full sort — pinned on the pass-1 subplan directly, because
+    // topNgrams localCheckpoints the k-row winners (so the ranking
+    // aggregate runs once across its two reuses) which hides this
+    // subplan from the final explain
+    val p = TextStats.rankNgrams(TextStats.ngramPairs(d, "doc_id", "text", 3), 3)
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"want bounded top-k, got:\n${p.take(600)}")
     // two-pass shape: the ranking aggregate must NOT carry the doc id —
@@ -81,6 +85,15 @@ class TextStatsSpec extends SparkSpec {
     assert(g === Seq("a b", "b a", "a b"))
     val short = d.select(TextStats.ngrams($"text", 5).as("g")).head().getSeq[String](0)
     assert(short === Seq.empty)
+    // n < 1 fails fast at build time — n=0 would emit tokens+1 empty
+    // grams and negative n out-of-spec rows
+    intercept[IllegalArgumentException](TextStats.ngrams($"text", 0))
+    intercept[IllegalArgumentException](TextStats.ngrams($"text", -1))
+    // the kernel's separator set includes \x0B (vertical tab) — Java \s
+    // parity; RE2 replays must spell the class out (see WordNgramsExpr)
+    val vt = Seq(("a\u000Bb c", 0)).toDF("text", "i")
+    assert(vt.select(TextStats.ngrams($"text", 2).as("g")).head().getSeq[String](0)
+      === Seq("a b", "b c"))
   }
 
   test("stripBoilerplate drops boilerplate lines, keeps order, keeps empty docs") {

@@ -888,6 +888,51 @@ object Dedup {
     out
   }
 
+  /** IVF-blocked candidate mining — [[cosineCandidateDistances]] with
+    * ANN-index cells instead of random-hyperplane codes as the blocking
+    * key: each rep vector is assigned to its `nAssign` nearest coarse
+    * centroids ([[graft.functions.TopCellsExpr]], one codegen argmin-p
+    * kernel — multi-assignment plays `nprobe`'s role so near-boundary
+    * pairs still collide in at least one shared cell), pairs sharing a
+    * cell are candidates, and the exact cosine verify is unchanged.
+    *
+    * Versus hyperplane LSH blocking: the coarse quantizer ADAPTS to the
+    * data distribution (cells track actual density instead of slicing
+    * uniformly through it), recall at a given candidate budget is
+    * typically higher for clustered embeddings — and at warehouse scale
+    * the same centroid assignment IS the IVF index's partition key, so
+    * semantic dedup reuses the ANN index's layout: candidates co-locate
+    * with cluster-partitioned storage and the mining join prunes to
+    * cells, the exact asymmetry `Ivf.search` already exploits. Same
+    * output contract as [[cosineCandidateDistances]] (rep-level
+    * `id_a < id_b` pairs with round-6 `cos_dist`, eagerly checkpointed)
+    * so it drops into [[cosineRepPairs]]/[[cosineComponents]]/
+    * [[cosineNearDuplicates]] via their `candidates` parameter. */
+  def cosineIvfCandidateDistances(df: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Float]], nAssign: Int = 2, maxBucket: Int = 4096,
+      logDroppedBuckets: Boolean = false): DataFrame = {
+    require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
+    val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
+    val celled = reps.select(col(idCol),
+      explode(graft.functions.TopCellsExpr(col(vecCol), centers, nAssign)).as("cell"))
+    logDrops("semantic-ivf", celled, Seq("cell"), idCol, maxBucket, logDroppedBuckets)
+    val capped = capBuckets(celled, Seq("cell"), idCol, maxBucket)
+    val candidates = capped.join(
+        capped.withColumnRenamed(idCol, "_id_b"), "cell")
+      .filter(col(idCol) < col("_id_b"))
+      .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol), col(vecCol))
+    val out = candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_v_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Distances.cosineDistance(col("_v_a"), col("_v_b")), 6).as("cos_dist"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(reps)
+    out
+  }
+
   /** Rep-level verified pairs at a threshold: a filter over the mined
     * candidate distances (pass a memoized `candidates` frame to skip
     * re-mining — VERDICT r3 item 6). This is the shape to feed

@@ -316,7 +316,7 @@ object IndexQueries {
     * definition to keep in lockstep with [[plantedEmbeddings]] (the
     * Scala builder); `PlantedFixtureDriftSpec` pins the builder's plant
     * arithmetic to the f32 semantics this text encodes. */
-  private val plantedEmbCte =
+  private[queries] val plantedEmbCte =
     """qb AS (SELECT vec_id AS query_id, embedding AS qv
       |      FROM embeddings WHERE vec_id < 3),
       |plants AS (
@@ -361,7 +361,7 @@ object IndexQueries {
         plantedEmbeddings(s, dir), "vec_id", "embedding").localCheckpoint(true))
 
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
-  private def ivfModelFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfModel =
+  private[queries] def ivfModelFor(s: org.apache.spark.sql.SparkSession, dir: String): IvfModel =
     ivfModels.computeIfAbsent(dir,
       _ => Ivf.fitSampledCentroids(table(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16))
 
@@ -413,6 +413,23 @@ object IndexQueries {
 
   /** The Knuth-hash centroid ranking of [[Ivf.fitSampledCentroids]]. */
   private val ivfHashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
+
+  /** Centroid + TOP-2 cell-assignment CTEs replaying
+    * [[Ivf.fitSampledCentroids]] (Knuth-hash-ranked rows) and
+    * [[graft.functions.TopCellsExpr]] ((squared-euclid, cid) order,
+    * identical sequential-double fold) — the blocking key of the
+    * IVF-blocked semantic dedup family's oracles in [[PipelineQueries]]. */
+  private[queries] lazy val ivfCellCtes: String =
+    s"""cent AS (
+       |  SELECT row_number() OVER (ORDER BY $ivfHashExpr, vec_id) - 1 AS cid,
+       |         embedding AS cv
+       |  FROM embeddings ORDER BY $ivfHashExpr, vec_id LIMIT 16),
+       |acell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id AS vec_id, c.cid AS cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn <= 2)""".stripMargin
 
   /** Full IVF pipeline replay in SQL: the centroid CTE reproduces
     * `Ivf.fitSampledCentroids` (Knuth-hash-ranked rows), assignment and

@@ -254,15 +254,36 @@ object PipelineQueries {
     // Anti-join against the non-representative members, so the corpus
     // scan stays map-side.
     "semantic_dedup_keep" -> ((s, dir) => {
+      // r10: blocking moved from hyperplane LSH to the IVF coarse
+      // quantizer's top-2 cells — the ANN index's own partition key, so
+      // at scale the mining join prunes to cluster-partitioned cells
+      // (and the data-adaptive cells track embedding density better than
+      // uniform hyperplane slices).
       val emb = table(s, dir, "embeddings")
       val comps = Dedup.cosineComponents(emb, "vec_id", "embedding",
         maxCosineDistance = 0.5, IndexQueries.lshP,
-        candidates = Some(cosineCandsFor(s, dir)))
+        candidates = Some(semanticCandsFor(s, dir)))
       emb.join(
         comps.filter(col("id") =!= col("comp")).select(col("id").as("vec_id")),
         Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
+
+    // Measured recall of the IVF-blocked semantic miner at the dedup
+    // threshold against the EXACT all-pairs cosine truth over the
+    // PLANTED embedding fixture (the ivfpq_knn_planted fixture: 30
+    // near-identical plants around 3 sources — actual near-duplicates,
+    // the regime cell blocking is FOR; the raw synthetic corpus has NO
+    // pair under 0.399, only borderline 0.4-0.5 "related" pairs, which
+    // stay in the denominator and are partially missed — measured 1.0 /
+    // 0.96 at sf0.01/0.1, floor 0.9; see SURVEY §8). Oracle pins
+    // recall_ok TRUE so a recall collapse hash-mismatches the round.
+    "semantic_recall" -> ((s, dir) => recallFrame(
+      semanticTruthFor(s, dir),
+      Dedup.cosineNearDuplicates(IndexQueries.plantedEmbeddings(s, dir),
+        "vec_id", "embedding", maxCosineDistance = 0.5, IndexQueries.lshP,
+        candidates = Some(semanticPlantedCandsFor(s, dir))),
+      Seq("id_a", "id_b"), floor = 0.9)),
 
     // Dedup resolution at a tight 0.8 threshold — every vector gets the
     // minimum id of its duplicate cluster. The fixpoint runs on REP-level
@@ -483,6 +504,48 @@ object PipelineQueries {
     cosineCands.computeIfAbsent(sessionKey(s, dir),
       _ => Dedup.cosineCandidateDistances(table(s, dir, "embeddings"),
         "vec_id", "embedding", IndexQueries.lshP))
+
+  /** IVF-blocked cosine candidate distances (top-2 coarse cells as the
+    * blocking key), memoized per dataset — shared by `semantic_dedup_keep`
+    * and `semantic_recall`. Uses the SAME memoized sampled-centroid model
+    * as the `ivf_knn` family, so the oracle replays assignment from the
+    * Knuth-hash centroid CTE and at scale the dedup reuses the ANN
+    * index's cluster-partitioned layout. */
+  private val semanticCands =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def semanticCandsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    semanticCands.computeIfAbsent(sessionKey(s, dir),
+      _ => Dedup.cosineIvfCandidateDistances(table(s, dir, "embeddings"),
+        "vec_id", "embedding", IndexQueries.ivfModelFor(s, dir).centers, nAssign = 2))
+
+  /** IVF-blocked candidates over the PLANTED fixture (same centers, same
+    * top-2 assignment) — the numerator path of `semantic_recall`. */
+  private val semanticPlantedCands =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def semanticPlantedCandsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    semanticPlantedCands.computeIfAbsent(sessionKey(s, dir),
+      _ => Dedup.cosineIvfCandidateDistances(IndexQueries.plantedEmbeddings(s, dir),
+        "vec_id", "embedding", IndexQueries.ivfModelFor(s, dir).centers, nAssign = 2))
+
+  /** EXACT member-level cosine pairs at the semantic threshold (0.5) over
+    * the planted fixture — the all-pairs truth the recall gate divides
+    * by, memoized. Quadratic by construction (it is the referee, not the
+    * production path), fine at the gate's corpus sizes — the same
+    * asymmetry as [[jaccardTruth]]. */
+  private val semanticTruth =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def semanticTruthFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    semanticTruth.computeIfAbsent(sessionKey(s, dir), _ => {
+      val e = IndexQueries.plantedEmbeddings(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("_va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("_vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.Distances.cosineDistance(col("_va"), col("_vb")), 6)
+            .as("cos_dist"))
+        .filter(col("cos_dist") <= 0.5)
+        .localCheckpoint(true)
+    })
 
   /** Exact J ≥ 0.8 pairs (member-level), memoized per dataset — the
     * shared denominator of the recall gates and the `jaccard_join`
@@ -947,12 +1010,16 @@ object PipelineQueries {
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // Same closure as dedup_components, then the surviving corpus: drop
-    // every non-representative member of a duplicate cluster.
+    // every non-representative member of a duplicate cluster. r10:
+    // candidate blocking replays the IVF coarse quantizer — the cent CTE
+    // reproduces Ivf.fitSampledCentroids (Knuth-hash-ranked rows, the
+    // same CTE as the ivf_knn family) and acell assigns each vector to
+    // its TOP-2 cells by (squared euclid, cid), mirroring TopCellsExpr's
+    // sequential-double fold and tie order exactly.
     "semantic_dedup_keep" ->
-      s"""WITH RECURSIVE ${IndexQueries.hpCte},
-         |${IndexQueries.vkeysCte},
+      s"""WITH RECURSIVE ${IndexQueries.ivfCellCtes},
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM vkeys a JOIN vkeys b ON a.tbl = b.tbl AND a.key = b.key
+         |         FROM acell a JOIN acell b ON a.cid = b.cid
          |         WHERE a.vec_id < b.vec_id),
          |pairs AS (
          |  SELECT c.id_a AS id_a, c.id_b AS id_b
@@ -970,6 +1037,17 @@ object PipelineQueries {
          |SELECT e.vec_id AS vec_id, e.label AS label
          |FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT id FROM comp WHERE id != comp)""".stripMargin,
+
+    // recall gate: the denominator is the exact all-pairs count at the
+    // 0.5 threshold over the planted fixture; recall_ok pinned TRUE — a
+    // mismatch means the IVF-blocked miner's measured recall fell
+    // through the 0.9 floor
+    "semantic_recall" ->
+      s"""WITH ${IndexQueries.plantedEmbCte}
+         |SELECT count(*) AS true_pairs, CAST(0.9 AS DOUBLE) AS recall_floor,
+         |       TRUE AS recall_ok
+         |FROM fix a JOIN fix b ON a.vec_id < b.vec_id
+         |WHERE round(1.0 - ${sqlCosineSimRaw("a.embedding", "b.embedding")}, 6) <= 0.5""".stripMargin,
 
     // Recursive-CTE replay of the full component pipeline: the same
     // hyperplane-literal pair mining as cosine_neardup (at 0.8), then

@@ -16,7 +16,8 @@ import java.util.concurrent.{CompletableFuture, TimeUnit}
   * the same netty-codec-http2 engine grpc-java's transport is built on,
   * so round-trips exercise real preface/SETTINGS/HPACK/flow control
   * rather than a loopback through server code. */
-final class GrpcHttp2Client(host: String, port: Int) {
+final class GrpcHttp2Client(host: String, port: Int,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   private val group = new NioEventLoopGroup(1)
   private val channel: Channel = new Bootstrap()
@@ -24,12 +25,21 @@ final class GrpcHttp2Client(host: String, port: Int) {
     .channel(classOf[NioSocketChannel])
     .remoteAddress(host, port)
     .handler(new ChannelInitializer[io.netty.channel.socket.SocketChannel] {
-      override def initChannel(ch: io.netty.channel.socket.SocketChannel): Unit =
+      override def initChannel(ch: io.netty.channel.socket.SocketChannel): Unit = {
+        tls.foreach { ctx =>
+          val engine = ctx.createSSLEngine(host, port)
+          engine.setUseClientMode(true)
+          val params = engine.getSSLParameters
+          params.setApplicationProtocols(Array("h2"))
+          engine.setSSLParameters(params)
+          ch.pipeline().addLast(new io.netty.handler.ssl.SslHandler(engine))
+        }
         ch.pipeline().addLast(
           Http2FrameCodecBuilder.forClient().build(),
           new Http2MultiplexHandler(new ChannelInitializer[Http2StreamChannel] {
             override def initChannel(sc: Http2StreamChannel): Unit = () // no server push
           }))
+      }
     })
     .connect().syncUninterruptibly().channel()
 

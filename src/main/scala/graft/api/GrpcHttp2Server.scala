@@ -55,8 +55,20 @@ import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers,
   * total — a nondeterministic source or concurrent mutation between the
   * passes can no longer corrupt the stream under a clean status-0
   * trailer.
+  *
+  * Transport security: cleartext h2c (prior knowledge) by DEFAULT — a
+  * stock gRPC client must opt out of TLS (grpc-java
+  * `usePlaintext()`, grpc-dotnet `http://` address) to reach it, a
+  * DECLARED deviation from the reference's Kestrel endpoint which is
+  * TLS-capable out of the box. Pass `tls = Some(sslContext)` to serve
+  * gRPC over TLS instead: each accepted connection gets a server-mode
+  * `SSLEngine` advertising `h2` via ALPN ahead of the HTTP/2 codec (the
+  * standard gRPC-over-TLS wire shape), with certificates supplied by the
+  * caller's `SSLContext` — the library takes no opinion on key
+  * management.
   */
-class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
+class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   private val group = new NioEventLoopGroup(1)
   @volatile private var bound: io.netty.channel.Channel = _
@@ -81,6 +93,14 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0) {
       .localAddress("127.0.0.1", port)
       .childHandler(new ChannelInitializer[io.netty.channel.socket.SocketChannel] {
         override def initChannel(ch: io.netty.channel.socket.SocketChannel): Unit = {
+          tls.foreach { ctx =>
+            val engine = ctx.createSSLEngine()
+            engine.setUseClientMode(false)
+            val params = engine.getSSLParameters
+            params.setApplicationProtocols(Array("h2"))
+            engine.setSSLParameters(params)
+            ch.pipeline().addLast(new io.netty.handler.ssl.SslHandler(engine))
+          }
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forServer().build(),
             new Http2MultiplexHandler(new ChannelInitializer[Http2StreamChannel] {

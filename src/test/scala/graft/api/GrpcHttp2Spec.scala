@@ -130,6 +130,59 @@ class GrpcHttp2Spec extends SparkSpec {
     }
   }
 
+  test("TLS transport: rpcs round-trip over real TLS + ALPN h2 (keytool-generated cert)") {
+    // self-signed server keystore from the JDK's own keytool — no
+    // external dependency; the client trusts it explicitly (the shape a
+    // stock client's `new FileInputStream(caCert)` channel builder takes)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls").toFile
+    dir.deleteOnExit()
+    val ks = new java.io.File(dir, "server.p12")
+    val proc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "2",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1",
+      "-storetype", "PKCS12", "-keystore", ks.getAbsolutePath,
+      "-storepass", "changeit").redirectErrorStream(true).start()
+    assert(proc.waitFor() === 0, "keytool must generate the keystore")
+
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ks)
+    try store.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(store, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(store) // trust exactly the generated cert, not trust-all
+    val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+
+    val db = new NeighborlySpark(spark, 3)
+    val srv = new GrpcHttp2Server(db, tls = Some(serverCtx))
+    val port = srv.start()
+    val client = new GrpcHttp2Client("127.0.0.1", port, tls = Some(clientCtx))
+    try {
+      val id = "0f8fad5b-d9cb-469f-a165-70867728950e"
+      val (_, addT, _) = client.call("AddVector",
+        VectorProto.encodeAddVectorRequest(VectorBinary.toBinary(
+          VectorRecord(id, Array(1f, 2f, 3f)))))
+      assert(addT("grpc-status") === "0")
+      val (gm, gt, _) = client.call("GetVectorById",
+        VectorProto.encodeGetVectorByIdRequest(id))
+      assert(gt("grpc-status") === "0")
+      assert(VectorBinary.fromBinary(
+        VectorProto.decodeGetVectorResponse(gm).get).values.toSeq === Seq(1f, 2f, 3f))
+      // a cleartext client CANNOT talk to the TLS endpoint — the h2c
+      // preface is not a TLS ClientHello, so the handshake never
+      // completes and no rpc succeeds
+      val plain = new GrpcHttp2Client("127.0.0.1", port)
+      try intercept[Exception](plain.call("GetVectors", Array.emptyByteArray,
+        timeoutSec = 3))
+      finally plain.close()
+    } finally { client.close(); srv.stop(); db.close() }
+  }
+
   test("GetVectors pass-2 byte-count guard: divergent second pass aborts with INTERNAL") {
     val db = new NeighborlySpark(spark, 3)
     // test seam: pass 1 sizes the full table, pass 2 streams one row

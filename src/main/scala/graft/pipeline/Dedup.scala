@@ -907,7 +907,14 @@ object Dedup {
     * output contract as [[cosineCandidateDistances]] (rep-level
     * `id_a < id_b` pairs with round-6 `cos_dist`, eagerly checkpointed)
     * so it drops into [[cosineRepPairs]]/[[cosineComponents]]/
-    * [[cosineNearDuplicates]] via their `candidates` parameter. */
+    * [[cosineNearDuplicates]] via their `candidates` parameter.
+    *
+    * Sizing: the per-cell self-join is quadratic in cell occupancy, so
+    * `centers.length` must GROW with the corpus — pick
+    * nlist ≈ N / targetCellSize (the standard IVF regime), exactly as
+    * the ANN index itself is sized; `maxBucket` is the backstop for
+    * skewed cells (drops counted, loggable via `logDroppedBuckets`),
+    * not the sizing mechanism. */
   def cosineIvfCandidateDistances(df: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Float]], nAssign: Int = 2, maxBucket: Int = 4096,
       logDroppedBuckets: Boolean = false): DataFrame = {

@@ -80,6 +80,19 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(t1.count() === 1000L && t1.filter($"epoch" =!= 0L).count() === 0L)
   }
 
+  test("temperatureMixture plan: broadcast rate join, narrow explode, no corpus shuffle") {
+    val d = docs(2000, 4)
+    val plan = CorpusSampling.temperatureMixture(d, "doc_id", "domain", 2.0, "tp")
+      .queryExecution.executedPlan.toString
+    // rates (O(#domains) rows) must broadcast into the corpus scan — the
+    // corpus itself is never shuffled (the only exchanges feed the tiny
+    // counts/totals aggregates)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate join must broadcast, got:\n${plan.take(800)}")
+    // the epoch fan-out is a Generate (explode) riding the scan stage
+    assert(plan.contains("Generate"), s"epoch explode missing:\n${plan.take(800)}")
+  }
+
   test("temperatureMixture is deterministic under repartition and keeps NULL domains") {
     val base = spark.range(500L).select($"id".as("doc_id"),
       when($"id" % 5 === 0, lit(null).cast("string")).otherwise(

@@ -138,6 +138,19 @@ object TextStats {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", " "),
       "\\s+", " "))
 
+  /** PII redaction — the tag-preserving counterpart of [[scrub]] (which
+    * DELETES urls/emails): dotted-quad IPs and phone-shaped digit runs
+    * are replaced with `[IP]` / `[PHONE]` placeholders so downstream
+    * stats keep a token where the entity was (the convention C4-style
+    * cleaning pipelines use so sentence shape survives redaction).
+    * Patterns restricted to syntax with identical Java-regex/RE2
+    * semantics (explicit classes, no `\b`, no `\s`) so a SQL oracle
+    * replays byte-for-byte; codegen'd `regexp_replace` chain, narrow. */
+  def redact(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(textCol, "([0-9]{1,3}\\.){3}[0-9]{1,3}", "[IP]"),
+      "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "[PHONE]")
+
   /** All word-n-gram OCCURRENCES of the text (lowercased, [[graft.pipeline.Dedup.tokens]]'
     * whitespace split) — NOT distinct, unlike `Dedup.shingles`: corpus
     * frequency counting needs every occurrence. One codegen kernel pass

@@ -336,6 +336,17 @@ object PipelineQueries {
         TextStats.tokenCount(TextStats.scrub(col("text"))).as("n_tokens_clean"))
     }),
 
+    // PII redaction over a fixture that actually contains PII: every doc
+    // gets a synthetic phone + IP suffix (the corpus itself has none), so
+    // the oracle exercises both patterns on every row rather than
+    // replaying an identity transform.
+    "pipeline_redact" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextStats.redact(concat(col("text"),
+          lit(" contact +1 (555) 123-4567 or 10.0.0.1 end"))).as("text_redacted"))
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata (oracle checks
     // the schema/derivation; the stubbed decode is covered by its spec).
     "multimodal_meta" -> ((s, dir) =>
@@ -970,6 +981,18 @@ object PipelineQueries {
          | CAST(len(list_filter(regexp_split_to_array(lower(trim($scrubSql)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS BIGINT) AS n_tokens_clean
          |FROM documents""".stripMargin
     },
+
+    // redact replay: same synthetic PII suffix, same pattern order
+    // (IP inner, phone outer — the [IP] tag has no digits so the phone
+    // pattern cannot re-match it); explicit classes only, no \b or \s,
+    // identical Java-regex/RE2 semantics
+    "pipeline_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text || ' contact +1 (555) 123-4567 or 10.0.0.1 end',
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS text_redacted
+        |FROM documents""".stripMargin,
 
     // Synthetic payloads are never decodable images → the stub path
     // truncates/pads every payload to w*h and rewrites the metadata.

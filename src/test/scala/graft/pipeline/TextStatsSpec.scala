@@ -78,6 +78,20 @@ class TextStatsSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"distinct-aggregate expand crept back:\n${p.take(600)}")
   }
 
+  test("redact replaces IPs and phone-shaped runs with tags, leaves prose alone") {
+    assert(one[String]("server 192.168.1.100 and 10.0.0.1 up",
+      c => TextStats.redact(c)) === "server [IP] and [IP] up")
+    assert(one[String]("call +1 (555) 123-4567 now",
+      c => TextStats.redact(c)) === "call [PHONE] now")
+    // IP runs first; the [IP] tag has no digits, so the phone pattern
+    // cannot re-match across it
+    assert(one[String]("x 10.0.0.1 555-123-4567 y",
+      c => TextStats.redact(c)) === "x [IP] [PHONE] y")
+    // short digit runs (< 8 chars) and plain prose survive
+    assert(one[String]("room 1234, call 911", c => TextStats.redact(c))
+      === "room 1234, call 911")
+  }
+
   test("ngrams keeps duplicates and guards short texts") {
     import sqlImplicits._
     val d = Seq(("a b a b", 0)).toDF("text", "i")

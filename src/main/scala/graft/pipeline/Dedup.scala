@@ -599,6 +599,35 @@ object Dedup {
     }
   }
 
+  /** Fuzzy dedup with quality-based representative selection — the
+    * cluster-collapse step corpus pipelines run after near-dup mining
+    * (keep the BEST document of every duplicate cluster, not the
+    * arbitrary lowest id): close the exact Jaccard pairs into connected
+    * components, then keep one row per component, the argmax by
+    * `(quality desc, id asc)`.
+    *
+    * Scale shape: pair mining is the prefix-filtered [[jaccardJoin]]
+    * (no all-pairs), the closure is the O(log n)-round star
+    * contraction, and the final cut is a groupBy `max_by` whose partial
+    * aggregate collapses map-side — no corpus-wide window. Documents
+    * with no near-dup partner never enter the closure: the left join +
+    * own-id fallback keeps them as singleton components. */
+  def keepBestByJaccard(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: Column, threshold: Double, shingleSize: Int = 3,
+      maxIter: Int = 50): DataFrame = {
+    val pairs = jaccardJoin(df, idCol, textCol, threshold, shingleSize)
+    val comps = connectedComponents(pairs.select("id_a", "id_b"), "id_a", "id_b", maxIter)
+    val labeled = df.select(col(idCol), qualityCol.as("quality"))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("quality"),
+        coalesce(col("comp"), col(idCol)).as("comp"))
+    labeled.groupBy(col("comp"))
+      .agg(max_by(struct(col(idCol), col("quality")),
+        struct(col("quality"), (-col(idCol)).as("_nid"))).as("_best"))
+      .select(col("_best").getField(idCol).as(idCol), col("comp"),
+        col("_best").getField("quality").as("quality"))
+  }
+
   /** MinHash-LSH near-duplicate pairs (id_a < id_b, verified Jaccard ≥
     * `threshold`). Signature → `bands` bands of `numHashes/bands` rows;
     * a shared band bucket makes a candidate pair; candidates (and only

@@ -251,6 +251,53 @@ object TextStats {
         coalesce(col("text_stripped"), lit("")).as("text_stripped"))
   }
 
+  /** The Gopher rules' stop list (Rae et al. 2021, appendix A1.1): a doc
+    * must contain at least two occurrences drawn from these eight. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Document-level Gopher quality rules (Rae et al. 2021, appendix
+    * A1.1) as one struct column — the published heuristic battery most
+    * training-data pipelines start from:
+    *
+    *   1. word count within `[minWords, maxWords]`
+    *   2. mean word length within [3, 10] characters
+    *   3. symbol-to-word ratio (`#` chars + `...` runs) at most 0.1
+    *   4. at least 80% of words contain an alphabetic character
+    *   5. at least two stop-word occurrences ([[gopherStopwords]])
+    *
+    * (The paper's remaining two rules are line-level — bullet/ellipsis
+    * line shares — and belong to the boilerplate family served by
+    * [[stripBoilerplate]].) Pure codegen column expressions, narrow at
+    * any scale; explicit whitespace class and no `\b`/`\s` so a SQL
+    * oracle replays byte-for-byte. Ratios are rounded to 6 decimals;
+    * rule comparisons use the unrounded doubles, which both engines
+    * derive from identical integer counts (exact, order-free). */
+  def gopherProfile(textCol: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val toks = filter(split(trim(textCol), "[ \\t\\n\\x0B\\f\\r]+"), t => t =!= "")
+    val nw = size(toks).cast("long")
+    val nwD = nw.cast("double")
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val meanLen = when(nw === 0L, lit(0.0)).otherwise(charSum.cast("double") / nwD)
+    val hashes = (length(textCol) - length(replace(textCol, lit("#"), lit("")))).cast("long")
+    val ellipses = ((length(textCol) - length(replace(textCol, lit("..."), lit("")))) / 3).cast("long")
+    val symRatio = when(nw === 0L, lit(0.0)).otherwise((hashes + ellipses).cast("double") / nwD)
+    val alphaFrac = when(nw === 0L, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nwD)
+    val stopHits = size(filter(toks, t => lower(t).isin(gopherStopwords: _*))).cast("long")
+    val keep = nw >= minWords && nw <= maxWords &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symRatio <= 0.1 && alphaFrac >= 0.8 && stopHits >= 2L
+    struct(
+      nw.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symRatio, 6).as("symbol_ratio"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      keep.as("keep"))
+  }
+
   /** One-call profile: every stat as a column. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, CorpusSampling, Decontamination, Dedup, HybridSearch, Multimodal, SequencePacking, TextStats}
+import graft.pipeline.{Bm25, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, Multimodal, SequencePacking, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -346,6 +346,51 @@ object PipelineQueries {
         TextStats.redact(concat(col("text"),
           lit(" contact +1 (555) 123-4567 or 10.0.0.1 end"))).as("text_redacted"))
     }),
+
+    // Gopher document-level quality rules over a symbol-augmented
+    // fixture: the synthetic vocabulary contains no '#'/'...', so the
+    // query appends doc_id%8 '#' marks — the symbol-ratio and
+    // alpha-word rules then fire on real rows instead of replaying
+    // constants. All six struct fields come from ONE gopherProfile
+    // expression (Project-level CSE computes the token pass once).
+    "gopher_filter" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val g = TextStats.gopherProfile(
+        concat(col("text"), expr("repeat(' #', CAST(doc_id % 8 AS INT))")),
+        minWords = 50)
+      d.select(col("doc_id"),
+        g.getField("n_words").as("n_words"),
+        g.getField("mean_word_len").as("mean_word_len"),
+        g.getField("symbol_ratio").as("symbol_ratio"),
+        g.getField("alpha_frac").as("alpha_frac"),
+        g.getField("stop_hits").as("stop_hits"),
+        g.getField("keep").as("keep"))
+    }),
+
+    // DSIR importance selection: hashed-unigram log-ratio weights
+    // estimated against the lang='en' slice as the target, every doc
+    // scored by exact integer micro-nat summation, top-200 kept. The
+    // oracle replays weight estimation AND scoring end-to-end.
+    "dsir_topk" -> ((s, dir) =>
+      Dsir.selectTopK(table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 64, k = 200)),
+
+    // Symmetric int8 embedding quantization: per-vector scale, codes,
+    // and max round-trip error — the 4x storage-compression pass an
+    // embedding corpus ships through before ANN indexing.
+    "embed_quantize" -> ((s, dir) =>
+      table(s, dir, "embeddings").select(col("vec_id"),
+        EmbeddingOps.quantScale(col("embedding")).as("scale"),
+        EmbeddingOps.quantizeInt8(col("embedding")).as("codes"),
+        EmbeddingOps.quantError(col("embedding")).as("max_err"))),
+
+    // Quality-argmax representative per fuzzy-dup component (exact
+    // Jaccard edges at 0.8 → star-contraction closure → max_by cut);
+    // the oracle recomputes pairs, closes them with a recursive CTE and
+    // replays the argmax.
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestByJaccard(table(s, dir, "documents"), "doc_id", "text",
+        TextStats.qualityScore(col("text")), threshold = 0.8)),
 
     // Multimodal plumbing: binary payload + typed metadata (oracle checks
     // the schema/derivation; the stubbed decode is covered by its spec).
@@ -993,6 +1038,110 @@ object PipelineQueries {
         |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS text_redacted
         |FROM documents""".stripMargin,
+
+    // Gopher rules replay: same '#'-augmented fixture, same explicit
+    // whitespace class, same guarded integer-count / double-division
+    // shape (exact in both engines); '...' runs divide by 3 exactly
+    // (each non-overlapping replace removes 3 chars).
+    "gopher_filter" ->
+      """WITH a AS (SELECT doc_id,
+        |            text || repeat(' #', CAST(doc_id % 8 AS INT)) AS t
+        |          FROM documents),
+        |tk AS (SELECT doc_id, t,
+        |         list_filter(regexp_split_to_array(trim(t), '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
+        |       FROM a),
+        |m AS (SELECT doc_id, t, tk, len(tk) AS nw,
+        |        coalesce(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE), 0.0) AS chars,
+        |        length(t) - length(replace(t, '#', '')) AS hashes,
+        |        (length(t) - length(replace(t, '...', ''))) // 3 AS ell,
+        |        len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+        |        len(list_filter(tk, w -> list_contains(['the','be','to','of','and','that','have','with'], lower(w)))) AS stops
+        |      FROM tk)
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(CASE WHEN nw = 0 THEN 0.0 ELSE chars / nw END, 6) AS mean_word_len,
+        |  round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(hashes + ell AS DOUBLE) / nw END, 6) AS symbol_ratio,
+        |  round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nw END, 6) AS alpha_frac,
+        |  CAST(stops AS BIGINT) AS stop_hits,
+        |  (nw BETWEEN 50 AND 100000)
+        |    AND (CASE WHEN nw = 0 THEN 0.0 ELSE chars / nw END) BETWEEN 3.0 AND 10.0
+        |    AND (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(hashes + ell AS DOUBLE) / nw END) <= 0.1
+        |    AND (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nw END) >= 0.8
+        |    AND stops >= 2 AS keep
+        |FROM m""".stripMargin,
+
+    // DSIR replay: md5-prefix buckets, Laplace log-ratio weights frozen
+    // to integer micro-nats with explicit floor(x+0.5) half-up, exact
+    // integer score sums — order-free, so the only float ops are the
+    // two ln() calls per bucket (64 of them), each rounded at 1e-6.
+    "dsir_topk" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($toksSql) AS t FROM documents),
+         |bk AS (SELECT doc_id, CAST(('0x' || substring(md5(t),1,4)) AS BIGINT) % 64 AS b, lang FROM tk),
+         |cnt AS (SELECT b, count(*) AS raw,
+         |          count(CASE WHEN lang = 'en' THEN 1 END) AS tgt
+         |        FROM bk GROUP BY b),
+         |tot AS (SELECT sum(raw) AS rt, sum(tgt) AS tt FROM cnt),
+         |w AS (SELECT b,
+         |        CAST(floor(1e6 * (ln((tgt + 1.0) / ((SELECT tt FROM tot) + 64))
+         |                        - ln((raw + 1.0) / ((SELECT rt FROM tot) + 64))) + 0.5) AS BIGINT) AS wm
+         |      FROM cnt),
+         |sc AS (SELECT d.doc_id AS doc_id, coalesce(sum(w.wm), 0) AS micro
+         |       FROM documents d
+         |       LEFT JOIN bk ON bk.doc_id = d.doc_id
+         |       LEFT JOIN w ON w.b = bk.b
+         |       GROUP BY d.doc_id)
+         |SELECT doc_id, round(CAST(micro AS DOUBLE) / 1e6, 6) AS dsir_score
+         |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin,
+
+    // Quantization replay: scale = max |x| as double (exact from
+    // float32), codes via explicit floor(x/s*127 + 0.5) — identical
+    // IEEE intermediates in both engines, no engine round() anywhere.
+    "embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding,
+        |              x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT)) END AS codes,
+        |  CASE WHEN scale = 0.0 THEN 0.0
+        |       ELSE round(coalesce(list_max(list_transform(embedding,
+        |              x -> abs(CAST(x AS DOUBLE)
+        |                - CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT) * scale / 127.0))), 0.0), 6)
+        |       END AS max_err
+        |FROM s""".stripMargin,
+
+    // keep-best replay: jaccard pairs (shared CTEs) → recursive-CTE
+    // closure → min-reachable-id labels → quality argmax per component
+    // with the same (quality desc, id asc) cut.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $jaccardJoinSqlCtes,
+         |kedges AS (SELECT id_a AS s, id_b AS d FROM jpairs
+         |           UNION SELECT id_b, id_a FROM jpairs),
+         |kreach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM kedges
+         |  UNION
+         |  SELECT e.s, kreach.r FROM kedges e JOIN kreach ON kreach.id = e.d),
+         |kcomp AS (SELECT id, min(r) AS comp FROM kreach GROUP BY id),
+         |kq AS (
+         |  SELECT doc_id,
+         |    round(
+         |      least(CAST(len($toksSql) AS DOUBLE) / 20.0, 1.0)
+         |        * (CASE WHEN len($toksSql) > 1000 THEN 0.5 ELSE 1.0 END) * 0.4
+         |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 1.0)) * 0.3
+         |      + least((CASE WHEN len($toksSql) = 0 THEN 0.0
+         |           ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END) * 5.0, 1.0) * 0.3
+         |    , 6) AS quality
+         |  FROM documents),
+         |klab AS (SELECT kq.doc_id AS doc_id, kq.quality AS quality,
+         |           coalesce(kcomp.comp, kq.doc_id) AS comp
+         |         FROM kq LEFT JOIN kcomp ON kcomp.id = kq.doc_id)
+         |SELECT doc_id, comp, quality FROM (
+         |  SELECT doc_id, comp, quality,
+         |    row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM klab) z
+         |WHERE rn = 1""".stripMargin,
 
     // Synthetic payloads are never decodable images → the stub path
     // truncates/pads every payload to w*h and rewrites the metadata.

@@ -335,4 +335,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("keepBestByJaccard keeps the quality-argmax per component, singletons survive") {
+    // 1=2 exact dups and 3 near-dup of 1 form one component {1,2,3};
+    // quality column is injected so the argmax is NOT the min id
+    val quality = when($"doc_id" === 3L, 0.9)
+      .when($"doc_id" === 4L, 0.7).otherwise(0.5)
+    val kept = Dedup.keepBestByJaccard(docs, "doc_id", "text", quality, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // component {1,2,3} labeled by its min id 1, represented by doc 3 (q=0.9);
+    // 4 and 5 are singletons (their own component / quality)
+    assert(kept === Set((3L, 1L, 0.9), (4L, 4L, 0.7), (5L, 5L, 0.5)))
+  }
+
+  test("keepBestByJaccard ties break to the smaller id") {
+    val kept = Dedup.keepBestByJaccard(docs, "doc_id", "text", lit(0.5), 0.6)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L))
+  }
 }

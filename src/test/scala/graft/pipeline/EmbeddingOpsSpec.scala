@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EmbeddingOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def frame(vs: Seq[Array[Float]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+
+  test("int8 round trip: codes in [-127,127], error bounded by scale/254") {
+    val d = frame(Seq(
+      Array(0.5f, -1.0f, 0.25f, 0.0f),
+      Array(1e-3f, 2e-3f, -3e-3f, 4e-3f)))
+    val rows = d.select(col("vec_id"),
+        EmbeddingOps.quantScale(col("embedding")).as("s"),
+        EmbeddingOps.quantizeInt8(col("embedding")).as("q"),
+        EmbeddingOps.quantError(col("embedding")).as("e"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      // half-step bound plus the 1e-6 rounding of the reported error
+      assert(r.getDouble(3) <= s / 254.0 + 1e-6)
+    }
+    // the max-magnitude element always quantizes to ±127
+    assert(rows(0).getSeq[Int](2).contains(-127))
+  }
+
+  test("zero vector quantizes to zero codes, zero scale, zero error") {
+    val r = frame(Seq(Array(0.0f, 0.0f, 0.0f)))
+      .select(EmbeddingOps.quantScale(col("embedding")),
+        EmbeddingOps.quantizeInt8(col("embedding")),
+        EmbeddingOps.quantError(col("embedding")))
+      .head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getSeq[Int](1) === Seq(0, 0, 0))
+    assert(r.getDouble(2) === 0.0)
+  }
+
+  test("dequantize inverts the scale: exact at the grid points") {
+    // 127 codes over scale 1.27 -> grid step .01 exactly representable? use exact powers of two
+    val d = frame(Seq(Array(1.0f, -0.5f, 0.25f)))
+    val deq = d.select(EmbeddingOps.dequantizeInt8(
+        EmbeddingOps.quantizeInt8(col("embedding")),
+        EmbeddingOps.quantScale(col("embedding")))).head().getSeq[Double](0)
+    assert(math.abs(deq.head - 1.0) < 1e-9)
+    assert(math.abs(deq(1) + 0.5) < 1e-2 && math.abs(deq(2) - 0.25) < 1e-2)
+  }
+
+  test("quantization is a narrow plan") {
+    val d = frame(Seq(Array(1.0f, 2.0f)))
+    val plan = d.select(EmbeddingOps.quantizeInt8(col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}

@@ -139,4 +139,33 @@ class TextStatsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"boilerplate list must broadcast, got:\n${p.take(800)}")
   }
+
+  test("gopherProfile rules: word count, mean length, symbols, alpha share, stop words") {
+    import org.apache.spark.sql.Row
+    def g(text: String, minWords: Int = 5): Row =
+      one[Row](text, c => TextStats.gopherProfile(c, minWords = minWords))
+    // fluent doc with two stopword occurrences passes every rule
+    val good = g("the cat and the dog ran over green hills")
+    assert(good.getAs[Long]("n_words") === 9L)
+    assert(good.getAs[Long]("stop_hits") === 3L) // the, and, the
+    assert(good.getAs[Boolean]("keep"))
+    // word-count floor
+    assert(!g("the and cat").getAs[Boolean]("keep"))
+    // symbol rule: '#' chars and '...' runs count against words
+    val sym = g("the cat and # dog # sat # on # a ... mat")
+    assert(sym.getAs[Double]("symbol_ratio") === 0.384615) // round(5/13, 6)
+    assert(!sym.getAs[Boolean]("keep"))
+    // alpha rule: mostly-numeric docs fail the 80% alpha-word floor
+    val num = g("the 12 34 56 78 90 and 11")
+    assert(num.getAs[Double]("alpha_frac") === 2.0 / 8.0)
+    assert(!num.getAs[Boolean]("keep"))
+    // stop-word floor: needs two OCCURRENCES
+    assert(!g("the cat sat over green mats").getAs[Boolean]("keep"))
+    // mean word length ceiling (>10 chars/word)
+    assert(!g("the with extraordinarily incomprehensibilities notwithstanding internationalization")
+      .getAs[Boolean]("keep"))
+    // empty text: zero words, all-zero stats, rejected
+    val empty = g("   ")
+    assert(empty.getAs[Long]("n_words") === 0L && !empty.getAs[Boolean]("keep"))
+  }
 }

@@ -213,4 +213,34 @@ object CorpusSampling {
     df.join(broadcast(counts.select(col(groupCol), rate.as("_rate"))), Seq(groupCol))
       .filter(frac < col("_rate")).drop("_rate")
   }
+
+  /** Reproducible global training shuffle + shard assignment: every row
+    * gets a salted hash key, a shard (`key-bits mod nShards` — NOT the
+    * split fraction, so shard and any split/mixture salt stay
+    * independent), and its 1-based position within the shard ordered by
+    * (fraction, id). Loaders replay the exact epoch order from
+    * (salt, nShards) alone — nothing is stored.
+    *
+    * Scale shape: the only non-narrow step is the per-shard position
+    * window, which partitions by shard and sorts WITHIN shards —
+    * `nShards` independent range-sorts of corpus/nShards rows each, the
+    * same layout the loader consumes, with no global total order ever
+    * materialized. A null id hashes to a null shard key — visibly
+    * quarantined in its own partition rather than silently parked in
+    * shard 0 (same propagation contract as [[hashFraction]]). */
+  def shuffleShards(df: DataFrame, idCol: String, salt: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need >= 1 shards, got $nShards")
+    // an INDEPENDENT md5 field (hex chars 16..19) drives the shard so
+    // that within-shard order (chars 1..15) is not correlated with shard
+    // membership
+    val shard = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 16, 4), 16, 10).cast("bigint") % nShards
+    val frac = hashFraction(col(idCol), salt)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_frac").asc, col(idCol).asc)
+    df.select(col(idCol), shard.as("shard"), frac.as("_frac"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model quality bucketing (Wenzek et al. 2020,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data", arXiv:1911.00359 §3.3): score every document by the perplexity
+  * of a small LM trained on a trusted target slice, then split the corpus
+  * into head / middle / tail tertiles by score. CCNet trains a 5-gram
+  * KenLM on Wikipedia; the re-expression is a hashed-feature bigram LM —
+  * the same fixed-bucket trick as [[Dsir]] — which keeps both training
+  * passes bounded and the scorer a pure narrow map.
+  *
+  *   logp(w_i | w_{i-1}) = ln(c(bigram)+1) - ln(c(context)+B)    (Laplace)
+  *   doc score           = -mean logp  (a log-perplexity; lower = fluent)
+  *
+  * Scale shape: training is one exploded token scan whose shuffle
+  * collapses to B keys under map-side partial aggregation (the counts are
+  * a bounded driver array, broadcast back as literals); scoring is one
+  * narrow pass per document summing FROZEN integer micro-nats, so scores
+  * are exact order-free integer sums and a SQL replay lands on identical
+  * values. The tertile cut deliberately avoids a global-sort `ntile`:
+  * the two cutoffs come from one exact-percentile aggregate (tree-reduced
+  * partials, one final row) and bucket assignment is a broadcast-literal
+  * comparison — no corpus-wide window at any scale.
+  */
+object LmPpl {
+
+  /** Frozen per-bucket micro-nat tables `(num, den)` for a hashed bigram
+    * LM estimated on `targetPred` rows: `num(b) = round(1e6*ln(c_big+1))`
+    * over bigram buckets, `den(b) = round(1e6*ln(c_ctx+B))` over context
+    * (leading-token) buckets. Both aggregates are bounded at B rows. */
+  def bigramLogTables(df: DataFrame, textCol: String, targetPred: Column,
+      buckets: Int): (Array[Long], Array[Long]) = {
+    val toks = Dedup.tokens(col(textCol))
+    val seed = df.filter(targetPred)
+    def freeze(counts: Map[Int, Long], add: Long): Array[Long] =
+      Array.tabulate(buckets) { b =>
+        val c = counts.getOrElse(b, 0L)
+        math.floor(math.log((c + add).toDouble) * 1e6 + 0.5).toLong
+      }
+    val bigCounts = seed
+      .select(explode(bigrams(toks)).as("g"))
+      .select(Dsir.bucket(col("g"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val ctxCounts = seed
+      .select(explode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+        .as("t"))
+      .select(Dsir.bucket(col("t"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (freeze(bigCounts, 1L), freeze(ctxCounts, buckets.toLong))
+  }
+
+  /** Adjacent-token bigram strings `"prev cur"` (the hashed LM feature). */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  /** Per-document log-perplexity against frozen tables: exact integer
+    * micro-nat sums, divided once at the end. Documents with fewer than
+    * two tokens score 0 (no bigram evidence). */
+  def logPpl(df: DataFrame, idCol: String, textCol: String,
+      numMicro: Array[Long], denMicro: Array[Long]): DataFrame = {
+    val b = numMicro.length
+    val numLit = array(numMicro.map(lit(_)): _*)
+    val denLit = array(denMicro.map(lit(_)): _*)
+    val toks = Dedup.tokens(col(textCol))
+    val n = size(toks) - 1
+    val micro = aggregate(
+      sequence(lit(1), greatest(n, lit(0))), lit(0L),
+      (acc, i) => acc
+        + element_at(numLit, (Dsir.bucket(
+            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)), b)
+          + 1L).cast("int"))
+        - element_at(denLit, (Dsir.bucket(element_at(toks, i), b)
+          + 1L).cast("int")))
+    // mean in MICRO-nat space with explicit floor(x+0.5): -micro and n
+    // are exact integers, their IEEE quotient is identical on every
+    // engine, and half-up at the micro boundary avoids the round(x, 6)
+    // half-tie split (Spark HALF_UP vs DuckDB) that the r10 sf0.1 check
+    // caught on 3/5000 docs
+    df.select(col(idCol),
+      when(n < 1, lit(0.0))
+        .otherwise(
+          floor(-micro.cast("double") / n.cast("double") + 0.5) / 1e6)
+        .as("log_ppl"))
+  }
+
+  /** The composed CCNet bucketing: train on `targetPred`, score all, cut
+    * head/middle/tail at the exact 1/3 and 2/3 score percentiles. */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame = {
+    val (num, den) = bigramLogTables(df, textCol, targetPred, buckets)
+    val scored = logPpl(df, idCol, textCol, num, den)
+    val cuts = scored.agg(
+      percentile(col("log_ppl"), lit(1.0 / 3)).as("c1"),
+      percentile(col("log_ppl"), lit(2.0 / 3)).as("c2")).head()
+    val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+    scored.select(col(idCol), col("log_ppl"),
+      when(col("log_ppl") <= c1, "head")
+        .when(col("log_ppl") <= c2, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+}

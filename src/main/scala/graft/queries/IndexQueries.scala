@@ -521,14 +521,25 @@ object IndexQueries {
          |SELECT vec_id, hamming, dist FROM h
          |WHERE hamming <= 16 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
+    // Regime-aware replay of the reference's empty-only fallback
+    // (Search/BinaryQuantization.cs:171-179): candidates under the
+    // prefilter win when ANY exist (even fewer than k — the reference
+    // returns a short result, not a fallback); only a fully-empty
+    // prefilter falls back to the 3k closest by Hamming. The r10 sf1
+    // sweep caught the old unconditional-fallback oracle: at 20k vectors
+    // one random code slips under the 16-bit bar and the engines split.
     "bq_knn_fallback" ->
       s"""WITH $gmCte,
          |h AS (SELECT e.vec_id AS vec_id,
          |        ${sqlSignHamming("e.embedding", const10)} AS hamming,
          |        ${sqlEuclid("e.embedding", const10)} AS dist
          |      FROM embeddings e, gm),
-         |cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 30)
-         |SELECT vec_id, hamming, dist FROM cand ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+         |cand AS (SELECT * FROM h WHERE hamming <= 16),
+         |fb AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 30),
+         |sel AS (SELECT * FROM cand
+         |        UNION ALL
+         |        SELECT * FROM fb WHERE NOT EXISTS (SELECT 1 FROM cand))
+         |SELECT vec_id, hamming, dist FROM sel ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
     "lsh_knn" ->
       s"""WITH $hpCte,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, Multimodal, SequencePacking, TextStats}
+import graft.pipeline.{Bm25, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -392,6 +392,28 @@ object PipelineQueries {
       Dedup.keepBestByJaccard(table(s, dir, "documents"), "doc_id", "text",
         TextStats.qualityScore(col("text")), threshold = 0.8)),
 
+    // Exact duplicated-substring removal (Lee et al. 2107.06499): every
+    // 40+-char run occurring twice anywhere in the corpus is cut from
+    // every occurrence; the oracle replays windows/islands/reassembly
+    // over raw substrings while Spark groups 8-byte xxhash64 keys.
+    "substr_dedup" -> ((s, dir) =>
+      SubstrDedup.stripDuplicatedSubstrings(table(s, dir, "documents"),
+        "doc_id", "text", minLen = 40)),
+
+    // CCNet-style LM quality tertiles: hashed-bigram LM trained on the
+    // lang='en' slice, every doc scored by frozen integer micro-nat
+    // log-perplexity, head/middle/tail cut at exact score percentiles
+    // (one bounded aggregate — no global-sort ntile).
+    "lm_ppl_bucket" -> ((s, dir) =>
+      LmPpl.pplBuckets(table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 256)),
+
+    // Reproducible global training shuffle: salted-hash shard + within-
+    // shard position; loaders replay the epoch order from (salt, shards).
+    "corpus_shuffle" -> ((s, dir) =>
+      CorpusSampling.shuffleShards(table(s, dir, "documents"), "doc_id",
+        salt = "epoch0", nShards = 8)),
+
     // Multimodal plumbing: binary payload + typed metadata (oracle checks
     // the schema/derivation; the stubbed decode is covered by its spec).
     "multimodal_meta" -> ((s, dir) =>
@@ -711,7 +733,7 @@ object PipelineQueries {
   private val bm25Ctes =
     """params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
       |dl AS (SELECT doc_id,
-      |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS tk
+      |         list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t != '') AS tk
       |       FROM documents),
       |dl2 AS (SELECT doc_id, len(tk) AS dl, tk FROM dl),
       |ad AS (SELECT avg(dl) AS avgdl FROM dl2),
@@ -751,9 +773,9 @@ object PipelineQueries {
     "text_profile" ->
       s"""SELECT doc_id,
          | CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         | CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords,
+         | CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS n_subwords,
          | round(CASE WHEN length(text) = 0 THEN 0.0
-         |   ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+         |   ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
          | round(CASE WHEN len($toksSql) = 0 THEN 0.0
          |   ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END, 6) AS stopword_ratio,
          | CASE WHEN len(list_filter($toksSql, t -> list_contains($stopList, t))) > 0 THEN 'en' ELSE 'und' END AS lang_id,
@@ -1004,7 +1026,7 @@ object PipelineQueries {
          |      least(CAST(len($toksSql) AS DOUBLE) / 20.0, 1.0)
          |        * (CASE WHEN len($toksSql) > 1000 THEN 0.5 ELSE 1.0 END) * 0.4
          |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-         |           ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 1.0)) * 0.3
+         |           ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 1.0)) * 0.3
          |      + least((CASE WHEN len($toksSql) = 0 THEN 0.0
          |           ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END) * 5.0, 1.0) * 0.3
          |    , 6) AS quality,
@@ -1019,9 +1041,9 @@ object PipelineQueries {
     "pipeline_scrub" -> {
       val scrubSql =
         """trim(regexp_replace(regexp_replace(regexp_replace(text,
-          |  'https?://[^\s]+', ' ', 'g'),
+          |  'https?://[^ \t\n\x0b\f\r]+', ' ', 'g'),
           |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
-          |  '\s+', ' ', 'g'))""".stripMargin
+          |  '[ \t\n\x0b\f\r]+', ' ', 'g'))""".stripMargin
       s"""SELECT doc_id, $scrubSql AS clean_text,
          | CAST(len(list_filter(regexp_split_to_array(lower(trim($scrubSql)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS BIGINT) AS n_tokens_clean
          |FROM documents""".stripMargin
@@ -1129,7 +1151,7 @@ object PipelineQueries {
          |      least(CAST(len($toksSql) AS DOUBLE) / 20.0, 1.0)
          |        * (CASE WHEN len($toksSql) > 1000 THEN 0.5 ELSE 1.0 END) * 0.4
          |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-         |           ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 1.0)) * 0.3
+         |           ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 1.0)) * 0.3
          |      + least((CASE WHEN len($toksSql) = 0 THEN 0.0
          |           ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END) * 5.0, 1.0) * 0.3
          |    , 6) AS quality
@@ -1142,6 +1164,106 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id ASC) AS rn
          |  FROM klab) z
          |WHERE rn = 1""".stripMargin,
+
+    // Duplicated-substring strip replay: raw 40-char windows at every
+    // offset (Spark groups xxhash64 of the same windows — identical
+    // modulo 64-bit collisions, none at test scale), gaps-and-islands
+    // span merge, then segment reassembly via ordered string_agg. The
+    // islands/fold shapes mirror the Spark window + aggregate fold.
+    "substr_dedup" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |         unnest(generate_series(1, greatest(length(text) - 39, 0))) AS i
+        |       FROM documents),
+        |g AS (SELECT doc_id, i, substring(text, i, 40) AS s FROM pos),
+        |dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
+        |cov AS (SELECT g.doc_id, g.i FROM g JOIN dup ON dup.s = g.s),
+        |m AS (SELECT doc_id, i,
+        |       max(i + 40) OVER (PARTITION BY doc_id ORDER BY i
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM cov),
+        |i2 AS (SELECT doc_id, i,
+        |        CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END AS ni FROM m),
+        |i3 AS (SELECT doc_id, i,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS UNBOUNDED PRECEDING) AS isl FROM i2),
+        |sp AS (SELECT doc_id, isl, min(i) AS s, max(i + 40) AS e
+        |       FROM i3 GROUP BY doc_id, isl),
+        |seg AS (SELECT doc_id,
+        |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS b,
+        |          s AS t
+        |        FROM sp
+        |        UNION ALL
+        |        SELECT doc_id, max(e) AS b, NULL AS t FROM sp GROUP BY doc_id),
+        |pieces AS (SELECT sg.doc_id, sg.b,
+        |             substring(d.text, sg.b,
+        |               coalesce(sg.t, length(d.text) + 1) - sg.b) AS piece
+        |           FROM seg sg JOIN documents d ON d.doc_id = sg.doc_id),
+        |rec AS (SELECT doc_id, string_agg(piece, '' ORDER BY b) AS clean_text
+        |        FROM pieces GROUP BY doc_id),
+        |rem AS (SELECT doc_id, sum(e - s) AS n_removed FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |       coalesce(r.clean_text, d.text) AS clean_text,
+        |       CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d
+        |LEFT JOIN rec r ON r.doc_id = d.doc_id
+        |LEFT JOIN rem rm ON rm.doc_id = d.doc_id""".stripMargin,
+
+    // CCNet log-perplexity replay: the hashed-bigram tables are rebuilt
+    // from the en slice with the same md5 buckets and micro-nat freeze
+    // (empty context buckets fall back to the frozen ln(B) constant the
+    // Scala tabulate produces), scores are exact integer sums, and the
+    // tertile cuts replay Spark's exact `percentile` as quantile_cont
+    // (the q_percentile-established parity).
+    "lm_ppl_bucket" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS tks FROM documents),
+         |seedbig AS (SELECT unnest(list_transform(
+         |              generate_series(1, greatest(len(tks) - 1, 0)),
+         |              i -> tks[i] || ' ' || tks[i+1])) AS g
+         |            FROM tk WHERE lang = 'en'),
+         |bigc AS (SELECT CAST(('0x' || substring(md5(g),1,4)) AS BIGINT) % 256 AS b,
+         |                count(*) AS c FROM seedbig GROUP BY b),
+         |seedctx AS (SELECT unnest(tks[1:len(tks)-1]) AS t
+         |            FROM tk WHERE lang = 'en'),
+         |ctxc AS (SELECT CAST(('0x' || substring(md5(t),1,4)) AS BIGINT) % 256 AS b,
+         |                count(*) AS c FROM seedctx GROUP BY b),
+         |num AS (SELECT b, CAST(floor(ln(c + 1.0) * 1e6 + 0.5) AS BIGINT) AS wm FROM bigc),
+         |den AS (SELECT b, CAST(floor(ln(c + 256.0) * 1e6 + 0.5) AS BIGINT) AS wm FROM ctxc),
+         |bi AS (SELECT doc_id, tks, len(tks) - 1 AS nbig,
+         |         unnest(generate_series(1, greatest(len(tks) - 1, 0))) AS i
+         |       FROM tk),
+         |sc AS (SELECT bi.doc_id, max(bi.nbig) AS nbig,
+         |         sum(coalesce(n.wm, 0)
+         |             - coalesce(d2.wm, CAST(floor(ln(256.0) * 1e6 + 0.5) AS BIGINT))) AS micro
+         |       FROM bi
+         |       LEFT JOIN num n ON n.b =
+         |         CAST(('0x' || substring(md5(bi.tks[i] || ' ' || bi.tks[i+1]),1,4)) AS BIGINT) % 256
+         |       LEFT JOIN den d2 ON d2.b =
+         |         CAST(('0x' || substring(md5(bi.tks[i]),1,4)) AS BIGINT) % 256
+         |       GROUP BY bi.doc_id),
+         |scored AS (SELECT d.doc_id,
+         |             CASE WHEN s.micro IS NULL OR s.nbig < 1 THEN 0.0
+         |                  ELSE floor(-CAST(s.micro AS DOUBLE) / s.nbig + 0.5) / 1e6
+         |             END AS log_ppl
+         |           FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id),
+         |cuts AS (SELECT quantile_cont(log_ppl, 1.0/3) AS c1,
+         |                quantile_cont(log_ppl, 2.0/3) AS c2 FROM scored)
+         |SELECT doc_id, log_ppl,
+         |       CASE WHEN log_ppl <= (SELECT c1 FROM cuts) THEN 'head'
+         |            WHEN log_ppl <= (SELECT c2 FROM cuts) THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM scored""".stripMargin,
+
+    // Shuffle replay: shard from an independent md5 hex field (chars
+    // 16-19), within-shard order from the standard 60-bit fraction.
+    "corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 16, 4)) AS BIGINT) % 8 AS shard,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS f
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY f, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin,
 
     // Synthetic payloads are never decodable images → the stub path
     // truncates/pads every payload to w*h and rewrites the metadata.

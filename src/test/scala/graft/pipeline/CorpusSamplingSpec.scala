@@ -148,4 +148,29 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) < 1.0)
     assert(math.abs(stats.getDouble(2) - 0.5) < 0.02)
   }
+
+  test("shuffleShards: exact partition of rows, dense per-shard positions, balanced") {
+    val d = docs(2000, 4)
+    val out = CorpusSampling.shuffleShards(d, "doc_id", "e0", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2000)
+    assert(out.map(_._1).distinct.length == 2000) // every row exactly once
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // positions are a dense 1..n_s ranking inside every shard
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $s")
+    }
+    // hash sharding stays roughly balanced
+    assert(byShard.values.map(_.length).min > 2000 / 8 / 2)
+  }
+
+  test("shuffleShards: deterministic under repartition, salt changes the order") {
+    val d = docs(500, 2)
+    def run(df: org.apache.spark.sql.DataFrame, salt: String) =
+      CorpusSampling.shuffleShards(df, "doc_id", salt, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(run(d, "e0").toSeq == run(d.repartition(13), "e0").toSeq)
+    assert(run(d, "e0").toSeq != run(d, "e1").toSeq) // epoch reshuffle
+  }
 }

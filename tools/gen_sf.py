@@ -142,6 +142,14 @@ def main():
     vocab = np.array(VOCAB)
     for L in lens:
         texts.append(" ".join(vocab[rng.integers(0, len(vocab), L)]))
+    # plant duplicate structure so the near-dup family (minhash/simhash/
+    # text_dedup_keep) has real output at this scale, like the driver's
+    # data does: every 250th doc gets an exact copy at i+1, every 250th
+    # at offset 125 a near-copy (one word appended -> Jaccard just below 1)
+    for i in range(0, n_doc - 1, 250):
+        texts[i + 1] = texts[i]
+    for i in range(125, n_doc - 1, 250):
+        texts[i + 1] = texts[i] + " merge"
     write(outdir, "documents",
           {"doc_id": np.arange(n_doc, dtype=np.int64),
            "text": texts,

@@ -55,16 +55,16 @@ object Dedup {
     filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles (distinct), the unit of Jaccard similarity. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = tokens(textCol)
-    // guard: Spark's sequence(1, 0) DESCENDS, so short texts need an
-    // explicit empty result instead of a degenerate window start
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      array_distinct(filter(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))),
-        s => s =!= "")))
-  }
+  def shingles(textCol: Column, n: Int): Column =
+    // one-pass codegen kernel (r10): the old HOF chain referenced the
+    // un-materialized token-split expression from inside its lambda, and
+    // lambda bodies re-evaluate every referenced expression per element —
+    // a full re-split per window, O(tokens²) per document. The kernel
+    // shares WordNgramsExpr's pinned tokenizer contract (lower, Java-\s
+    // split, empty tokens dropped, < n tokens → empty) and emits grams in
+    // the same window order, so array_distinct keeps identical
+    // first-occurrence ordering.
+    array_distinct(graft.functions.WordNgramsExpr(textCol, n))
 
   /** Exact n-gram Jaccard similarity of two texts'; distinct-shingle
     * |∩| / |∪|. */

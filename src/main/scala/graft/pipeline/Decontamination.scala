@@ -84,4 +84,32 @@ object Decontamination {
       contaminated(train, eval0, idCol, textCol, shingleSize, minOverlap,
         broadcastEval).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Embedding-space (semantic) decontamination: for every train vector,
+    * the nearest EVAL vector by cosine distance and a contamination flag
+    * at `maxDist` — catches paraphrased/near-verbatim benchmark leakage
+    * that n-gram overlap misses. Same 100 TB asymmetry as the n-gram
+    * path, enforced structurally: the eval set is collected to a
+    * driver-bounded array (benchmarks are thousands of vectors — it
+    * rides the closure exactly like IVF centroids) and the train corpus
+    * is ONE narrow whole-stage-codegen pass
+    * ([[graft.functions.NearestRefExpr]]) — no join, no shuffle, no
+    * train-side materialization anywhere.
+    *
+    * Argmin ties break to the lower eval id on raw doubles (the SQL
+    * `ORDER BY <raw fold>, ref_id` contract); `cos_dist` is rounded 6dp
+    * for oracle-stable output AFTER the argmin. */
+  def semanticContamination(train: DataFrame, eval0: DataFrame, idCol: String,
+      vecCol: String, maxDist: Double): DataFrame = {
+    require(maxDist >= 0.0, s"maxDist must be >= 0, got $maxDist")
+    val refs = eval0.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val nearest = graft.functions.NearestRefExpr(col(vecCol), refs)
+    train.select(col(idCol),
+        nearest.getField("ref_id").as("eval_id"),
+        round(nearest.getField("cos_dist"), 6).as("cos_dist"))
+      .withColumn("contaminated", col("cos_dist") <= maxDist)
+  }
 }

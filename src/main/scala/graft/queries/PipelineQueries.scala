@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats}
+import graft.pipeline.{Bm25, Bpe, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -414,6 +414,49 @@ object PipelineQueries {
       CorpusSampling.shuffleShards(table(s, dir, "documents"), "doc_id",
         salt = "epoch0", nShards = 8)),
 
+    // Embedding-space decontamination over the provable planted regime:
+    // eval = the 3 query vectors, train = corpus + their 30 plants (the
+    // paraphrase stand-ins — raw corpus floor is 0.399 cosine distance,
+    // plants sit at ~1e-6). Eval rides the closure (driver-bounded,
+    // like IVF centroids); train is ONE narrow codegen pass — no join,
+    // no shuffle. Exactly the 30 plants flag at maxDist 0.2.
+    "semantic_decontam" -> ((s, dir) => {
+      val all = IndexQueries.plantedEmbeddings(s, dir)
+      Decontamination.semanticContamination(
+        all.filter(col("vec_id") >= 3),
+        all.filter(col("vec_id") < 3),
+        "vec_id", "embedding", maxDist = 0.2)
+    }),
+
+    // BPE tokenizer induction, round 0: adjacent-symbol pair counts over
+    // the vocab-bounded word-frequency frame (chars + </w>), weighted by
+    // word count — the corpus is touched once, the shuffle is bounded by
+    // the live pair alphabet. Top-50 under the deterministic
+    // (count DESC, left, right) order the trainer's argmax uses.
+    "bpe_pairs" -> ((s, dir) =>
+      Bpe.pairCounts(Bpe.symbolize(Bpe.wordCounts(table(s, dir, "documents"), "text")))
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(50)),
+
+    // The learned merge list after 8 rounds. Trains fresh on every call
+    // (the training IS this operator — no memo, the jaccard_join
+    // lesson); the oracle replays all 8 rounds as unrolled CTEs with the
+    // same integer-count argmax tie-break.
+    "bpe_merges" -> ((s, dir) =>
+      Bpe.mergesDf(s, Bpe.train(table(s, dir, "documents"), "text", merges = bpeMergeRounds))),
+
+    // Encode the corpus with the learned rules: one narrow codegen pass
+    // (BpeEncodeExpr); rules are the build artifact (memoized like the
+    // IVF codebooks — train once, encode many). Output = per-doc subword
+    // count + md5 of the pipe-framed symbol string both engines render
+    // identically.
+    "bpe_encode" -> ((s, dir) => {
+      val enc = Bpe.encodeColumn(col("text"), bpeRulesFor(s, dir))
+      table(s, dir, "documents").select(col("doc_id"),
+        Bpe.tokenCountColumn(enc).as("n_bpe_tokens"),
+        md5(enc).as("enc_md5"))
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata (oracle checks
     // the schema/derivation; the stubbed decode is covered by its spec).
     "multimodal_meta" -> ((s, dir) =>
@@ -696,6 +739,68 @@ object PipelineQueries {
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')"
+
+  /** Merge rounds for the bpe_merges / bpe_encode keys: enough to
+    * exercise multi-char symbols re-pairing across rounds, small enough
+    * that the unrolled SQL replay stays readable. */
+  private val bpeMergeRounds = 8
+
+  /** Learned BPE rules per dataset — pure values (the 8-row merge list),
+    * keyed by sessionKey like the other build artifacts. bpe_encode's
+    * build input; bpe_merges does NOT read this (it must measure, and
+    * hash-check, the training itself). */
+  private val bpeRules =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.MergeRule]]()
+  private def bpeRulesFor(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Bpe.MergeRule] =
+    bpeRules.computeIfAbsent(sessionKey(s, dir),
+      _ => Bpe.train(table(s, dir, "documents"), "text", merges = bpeMergeRounds))
+
+  /** Word-frequency + round-0 symbolization CTEs shared by the three BPE
+    * oracles. Symbol lists render pipe-framed (`|a||b||</w>|`) so a merge
+    * replays as one `replace('|l||r|' -> '|lr|')` — non-overlapping
+    * left-to-right, exactly the trainer's greedy pass. Words containing
+    * '|' are excluded on both engines (frame alphabet). */
+  private val bpeBaseCtes =
+    """bpw AS MATERIALIZED (
+      |  SELECT w, count(*)::BIGINT AS cnt
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+      |          '[ \t\n\x0b\f\r]+'), x -> x != '')) AS w FROM documents)
+      |  WHERE w NOT LIKE '%|%' GROUP BY w),
+      |bw0 AS MATERIALIZED (
+      |  SELECT '|' || list_aggregate(
+      |      list_append(list_transform(generate_series(1, length(w)),
+      |        i -> substr(w, i, 1)), '</w>'),
+      |      'string_agg', '||') || '|' AS sym, cnt
+      |  FROM bpw)""".stripMargin
+
+  /** Pair counts of round `i` from symbolization bw{i}. */
+  private def bpePairCte(i: Int): String =
+    s"""bp$i AS MATERIALIZED (
+       |  SELECT ss[j] AS l, ss[j+1] AS r, SUM(cnt)::BIGINT AS c
+       |  FROM (SELECT string_split(substr(sym, 2, length(sym) - 2), '||') AS ss, cnt
+       |        FROM bw$i) t,
+       |       UNNEST(generate_series(1, len(ss) - 1)) AS u(j)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled k-round training CTEs: bp{i} (pair counts), bb{i} (the
+    * argmax under (count DESC, left, right)), bw{i+1} (the greedy merge
+    * applied via replace on the pipe framing). */
+  private def bpeTrainCtes(rounds: Int): String =
+    (0 until rounds).map { i =>
+      val b = s"(SELECT l FROM bb$i)"
+      val r = s"(SELECT r FROM bb$i)"
+      s"""${bpePairCte(i)},
+         |bb$i AS MATERIALIZED (SELECT l, r, c FROM bp$i ORDER BY c DESC, l, r LIMIT 1),
+         |bw${i + 1} AS MATERIALIZED (
+         |  SELECT replace(sym, '|' || $b || '||' || $r || '|',
+         |                      '|' || $b || $r || '|') AS sym, cnt
+         |  FROM bw$i)""".stripMargin
+    }.mkString(",\n")
+
+  private def bpeMergesSelect(rounds: Int): String =
+    (0 until rounds).map(i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right", c AS pair_count FROM bb$i""")
+      .mkString("\nUNION ALL\n")
 
   private def shSql(textExpr: String): String =
     s"""list_distinct(list_filter(
@@ -1255,6 +1360,65 @@ object PipelineQueries {
 
     // Shuffle replay: shard from an independent md5 hex field (chars
     // 16-19), within-shard order from the standard 60-bit fraction.
+    "semantic_decontam" ->
+      s"""WITH ${IndexQueries.plantedEmbCte},
+         |ev AS (SELECT vec_id AS eval_id, embedding AS ev_v FROM fix WHERE vec_id < 3),
+         |tr AS (SELECT vec_id, embedding FROM fix WHERE vec_id >= 3),
+         |pairs AS (
+         |  SELECT tr.vec_id AS vec_id, ev.eval_id AS eval_id,
+         |    (1.0 - ${sqlCosineSimRaw("tr.embedding", "ev.ev_v")}) AS rawd
+         |  FROM tr CROSS JOIN ev),
+         |best AS (SELECT vec_id, eval_id, rawd,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY rawd, eval_id) AS rn
+         |  FROM pairs)
+         |SELECT vec_id, eval_id, round(rawd, 6) AS cos_dist,
+         |       round(rawd, 6) <= 0.2 AS contaminated
+         |FROM best WHERE rn = 1""".stripMargin,
+
+    "bpe_pairs" ->
+      s"""WITH $bpeBaseCtes,
+         |${bpePairCte(0)}
+         |SELECT l AS "left", r AS "right", c AS pair_count
+         |FROM bp0 ORDER BY c DESC, l, r LIMIT 50""".stripMargin,
+
+    "bpe_merges" ->
+      s"""WITH $bpeBaseCtes,
+         |${bpeTrainCtes(bpeMergeRounds)}
+         |${bpeMergesSelect(bpeMergeRounds)}""".stripMargin,
+
+    "bpe_encode" -> {
+      // per-doc pipe-framed symbolization, then the 8 learned merges
+      // applied in rank order by the same replace framing; count + md5
+      // derive from the final string exactly as the Spark side does
+      val enc0 =
+        """be0 AS MATERIALIZED (
+          |  SELECT doc_id, coalesce(list_aggregate(list_transform(
+          |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+          |                x -> x != '' AND x NOT LIKE '%|%'),
+          |    w -> '|' || list_aggregate(
+          |        list_append(list_transform(generate_series(1, length(w)),
+          |          i -> substr(w, i, 1)), '</w>'),
+          |        'string_agg', '||') || '|'),
+          |    'string_agg', ' '), '') AS e
+          |  FROM documents)""".stripMargin
+      val encRounds = (0 until bpeMergeRounds).map { i =>
+        val b = s"(SELECT l FROM bb$i)"
+        val r = s"(SELECT r FROM bb$i)"
+        s"""be${i + 1} AS MATERIALIZED (
+           |  SELECT doc_id, replace(e, '|' || $b || '||' || $r || '|',
+           |                            '|' || $b || $r || '|') AS e
+           |  FROM be$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeBaseCtes,
+         |${bpeTrainCtes(bpeMergeRounds)},
+         |$enc0,
+         |$encRounds
+         |SELECT doc_id,
+         |       ((length(e) - length(replace(e, '|', ''))) // 2)::BIGINT AS n_bpe_tokens,
+         |       md5(e) AS enc_md5
+         |FROM be$bpeMergeRounds""".stripMargin
+    },
+
     "corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 16, 4)) AS BIGINT) % 8 AS shard,

@@ -59,4 +59,46 @@ class DecontaminationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast eval join in:\n$plan")
   }
+
+  // ---- embedding-space (semantic) decontamination ----
+
+  private lazy val evalVecs = Seq(
+    (10L, Array(1f, 0f, 0f)),
+    (11L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+
+  test("semanticContamination flags near-verbatim vectors and keeps distant ones") {
+    val train2 = Seq(
+      (1L, Array(0.999f, 0.01f, 0f)), // ~eval 10 (paraphrase stand-in)
+      (2L, Array(0f, 0f, 1f)), //        orthogonal to both
+      (3L, Array(0.1f, 0.995f, 0f)) //   ~eval 11
+    ).toDF("vec_id", "embedding")
+    val got = Decontamination
+      .semanticContamination(train2, evalVecs, "vec_id", "embedding", maxDist = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 10L, true), (2L, 10L, false), (3L, 11L, true)))
+  }
+
+  test("semanticContamination argmin ties break to the lower eval id") {
+    // equidistant from both eval vectors (45 degrees): tie goes to id 10
+    val train2 = Seq((7L, Array(1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Decontamination
+      .semanticContamination(train2, evalVecs, "vec_id", "embedding", maxDist = 0.5)
+      .collect().head
+    assert(got.getLong(1) === 10L)
+  }
+
+  test("semanticContamination plan is one narrow pass (no join, no exchange)") {
+    val train2 = Seq((1L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val plan = Decontamination
+      .semanticContamination(train2, evalVecs, "vec_id", "embedding", maxDist = 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"semantic decontamination must be a narrow map:\n$plan")
+  }
+
+  test("semanticContamination rejects negative maxDist") {
+    intercept[IllegalArgumentException] {
+      Decontamination.semanticContamination(train, evalVecs, "vec_id", "embedding", -1.0)
+    }
+  }
 }

@@ -96,10 +96,27 @@ object Bpe {
   /** Learn `merges` BPE rules from the corpus. Returns the driver-side
     * rule list (k rows — bounded by construction; the per-round 1-row
     * argmax collect is the only driver traffic). Stops early if no pair
-    * remains. */
-  def train(docs: DataFrame, textCol: String, merges: Int): Seq[MergeRule] = {
+    * remains.
+    *
+    * Vocabularies at or below `driverVocabThreshold` distinct words run
+    * the merge loop driver-side on the collected (word, cnt) frame —
+    * the [[Dedup]] small-graph union-find precedent: the corpus pass
+    * (the scale-bound stage) already reduced the data to a bounded
+    * frame, and k distributed rounds over a few thousand rows cost k ×
+    * (job scheduling + localCheckpoint) for nothing. The collect is
+    * bounded by the threshold BY CONSTRUCTION (`limit(T+1)` — if more
+    * than T rows come back the distributed loop runs instead), and both
+    * paths share the same greedy-pass/argmax semantics
+    * ([[BpeEncode.mergePass]]; equivalence spec-pinned). At 100 TB a
+    * real vocab (~10⁸ words) takes the distributed path. */
+  def train(docs: DataFrame, textCol: String, merges: Int,
+      driverVocabThreshold: Int = 1 << 16): Seq[MergeRule] = {
     require(merges >= 1, s"bpe train requires merges >= 1, got $merges")
-    var words = symbolize(wordCounts(docs, textCol)).localCheckpoint(true)
+    val wc = wordCounts(docs, textCol)
+    val head = wc.limit(driverVocabThreshold + 1).collect()
+    if (head.length <= driverVocabThreshold)
+      return trainDriver(head.map(r => (r.getString(0), r.getLong(1))), merges)
+    var words = symbolize(wc).localCheckpoint(true)
     val rules = Seq.newBuilder[MergeRule]
     var rank = 0
     var exhausted = false
@@ -119,6 +136,46 @@ object Bpe {
       }
     }
     words.unpersist(false)
+    rules.result()
+  }
+
+  /** The bounded driver-side merge loop — byte-identical semantics to
+    * the distributed rounds: integer pair counts, argmax under
+    * (count DESC, left, right), one greedy pass per round via the same
+    * [[BpeEncode.mergePass]] routine the encoder uses. */
+  private def trainDriver(words: Array[(String, Long)], merges: Int): Seq[MergeRule] = {
+    var vocab: Array[(java.util.ArrayList[String], Long)] =
+      words.map { case (w, c) => (BpeEncode.symbols(w), c) }
+    val rules = Seq.newBuilder[MergeRule]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      for ((syms, c) <- vocab) {
+        var i = 0
+        while (i + 1 < syms.size()) {
+          val k = (syms.get(i), syms.get(i + 1))
+          counts.put(k, counts.getOrDefault(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestK: (String, String) = null
+        var bestC = Long.MinValue
+        counts.forEach { (k, v) =>
+          if (v > bestC || (v == bestC &&
+              (k._1 < bestK._1 || (k._1 == bestK._1 && k._2 < bestK._2)))) {
+            bestK = k; bestC = v
+          }
+        }
+        rules += MergeRule(rank, bestK._1, bestK._2, bestC)
+        vocab = vocab.map { case (syms, c) =>
+          (BpeEncode.mergePass(syms, bestK._1, bestK._2), c)
+        }
+        rank += 1
+      }
+    }
     rules.result()
   }
 

@@ -97,6 +97,13 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("distributed rounds and the bounded driver loop learn identical rules") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val driver = Bpe.train(docs, "text", merges = 8) // vocab ≤ threshold
+    val dist = Bpe.train(docs, "text", merges = 8, driverVocabThreshold = 0)
+    assert(driver === dist)
+  }
+
   test("train rejects merges < 1 and stops early when pairs run dry") {
     intercept[IllegalArgumentException] { Bpe.train(Seq("a").toDF("text"), "text", 0) }
     // one-char word: symbols (a, </w>) admit exactly one merge, then

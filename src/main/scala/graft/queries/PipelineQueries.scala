@@ -414,6 +414,38 @@ object PipelineQueries {
       CorpusSampling.shuffleShards(table(s, dir, "documents"), "doc_id",
         salt = "epoch0", nShards = 8)),
 
+    // The WHOLE corpus pipeline composed end-to-end, the shape a real
+    // training-data run takes: quality+language gate → exact dedup →
+    // benchmark decontamination → per-source quota sampling, each stage
+    // the library operator (not a re-implementation), one declarative
+    // plan. The oracle replays all four stages as chained CTEs, so the
+    // hash-match covers stage COMPOSITION (column threading, filter
+    // ordering, dedup-before-decontam semantics), not just each stage
+    // in isolation.
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      // stage 1: profile once (CSE), gate on quality + language — the
+      // pipeline_clean stage shape, materialized for the same reason
+      val profiled = d
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("lang_id", TextStats.languageId(col("text")))
+        .localCheckpoint(true)
+      val gated = profiled.filter(col("quality") >= 0.5 && col("lang_id") === "en")
+      // stage 2: exact dedup (min-id representative per content hash)
+      val deduped = Dedup.exact(gated, "doc_id", "text")
+      // stage 3: decontaminate the train slice against the held-out
+      // eval slice of the RAW corpus (benchmarks are external — they do
+      // not pass through the cleaning stages)
+      val decon = Decontamination.decontaminate(
+        deduped.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 3, minOverlap = 5)
+      // stage 4: per-source quota through the scale path
+      CorpusSampling.quotaSample(decon, "source", "doc_id", quota = 10,
+          salt = "e2e", prefilterMargin = Some(4.0))
+        .select(col("doc_id"), col("source"), col("quality"))
+    }),
+
     // Embedding-space decontamination over the provable planted regime:
     // eval = the 3 query vectors, train = corpus + their 30 plants (the
     // paraphrase stand-ins — raw corpus floor is 0.399 cosine distance,
@@ -1360,6 +1392,44 @@ object PipelineQueries {
 
     // Shuffle replay: shard from an independent md5 hex field (chars
     // 16-19), within-shard order from the standard 60-bit fraction.
+    "pipeline_e2e" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, text,
+         |    round(
+         |      least(CAST(len($toksSql) AS DOUBLE) / 20.0, 1.0)
+         |        * (CASE WHEN len($toksSql) > 1000 THEN 0.5 ELSE 1.0 END) * 0.4
+         |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 1.0)) * 0.3
+         |      + least((CASE WHEN len($toksSql) = 0 THEN 0.0
+         |           ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END) * 5.0, 1.0) * 0.3
+         |    , 6) AS quality,
+         |    CASE WHEN len(list_filter($toksSql, t -> list_contains($stopList, t))) > 0
+         |         THEN 'en' ELSE 'und' END AS lang_id
+         |  FROM documents),
+         |kept AS (SELECT doc_id, source, text, quality FROM q
+         |         WHERE quality >= 0.5 AND lang_id = 'en'),
+         |dd AS (SELECT k.doc_id AS doc_id, k.source AS source, k.text AS text,
+         |              k.quality AS quality
+         |       FROM kept k JOIN (SELECT min(doc_id) AS doc_id FROM kept
+         |                         GROUP BY md5(text)) m ON k.doc_id = m.doc_id),
+         |tr AS (SELECT doc_id AS tid, unnest(${shSql("text")}) AS tok
+         |       FROM dd WHERE doc_id % 10 != 0),
+         |ev AS (SELECT doc_id AS eid, unnest(${shSql("text")}) AS tok
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |ov AS (SELECT tid, eid, count(*) AS ov
+         |       FROM tr JOIN ev USING (tok) GROUP BY tid, eid),
+         |bad AS (SELECT tid FROM ov GROUP BY tid HAVING max(ov) >= 5),
+         |decon AS (SELECT doc_id, source, quality FROM dd
+         |          WHERE doc_id % 10 != 0
+         |            AND doc_id NOT IN (SELECT tid FROM bad))
+         |SELECT doc_id, source, quality
+         |FROM (SELECT doc_id, source, quality, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':e2e'),1,15)) AS BIGINT)
+         |      / CAST(1152921504606846976 AS DOUBLE), doc_id) AS rn
+         |  FROM decon)
+         |WHERE rn <= 10""".stripMargin,
+
     "semantic_decontam" ->
       s"""WITH ${IndexQueries.plantedEmbCte},
          |ev AS (SELECT vec_id AS eval_id, embedding AS ev_v FROM fix WHERE vec_id < 3),

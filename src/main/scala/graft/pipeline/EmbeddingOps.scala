@@ -1,12 +1,16 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+import graft.ops.Knn
 
 /** Embedding-column utilities for training-data pipelines: symmetric
   * int8 scalar quantization (the storage/serving format ANN stacks ship
   * embeddings in — 4x smaller than float32, dequantizable on the fly)
-  * and its inverse. Pure column expressions, narrow at any scale.
+  * and its inverse, plus hard-negative mining for contrastive training.
+  * Quantization is pure column expressions, narrow at any scale.
   *
   * Engine parity: quantization uses `floor(x/scale*127 + 0.5)` — an
   * explicit round-half-up on exactly-representable IEEE intermediates —
@@ -38,5 +42,32 @@ object EmbeddingOps {
     val deq = dequantizeInt8(quantizeInt8(vecCol), quantScale(vecCol))
     round(coalesce(array_max(zip_with(vecCol, deq,
       (x, d) => abs(x.cast("double") - d))), lit(0.0)), 6)
+  }
+
+  /** Hard-negative mining for contrastive/embedding training (the DPR /
+    * sentence-transformers prep step): for every query vector, the k
+    * NEAREST corpus vectors farther than `minDist` — close enough to be
+    * confusable (hard), far enough to be presumed non-duplicates
+    * (negative; `dist > minDist` excludes the query's own row, exact
+    * copies, and near-dup positives in one band).
+    *
+    * Scale shape: the query set broadcasts (an eval/anchor set is small
+    * by construction); the corpus is scanned ONCE with a codegen
+    * distance, the exclusion band filters BEFORE aggregation, and
+    * per-query top-k runs as the partial-aggregable bounded heap
+    * ([[graft.ops.Knn.batchOver]]) — the only shuffle is the
+    * O(#queries × k) combine, never the corpus.
+    *
+    * Returns (query_id, rank BIGINT, id, dist), nearest-first with the
+    * (dist, id) deterministic tie-break. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 10, minDist: Double = 0.05,
+      metric: String = "cosine_distance"): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+      .withColumn("dist", round(Distances.metric(metric)(col(vecCol), col(qVecCol)), 6))
+      .filter(col("dist") > minDist)
+    Knn.batchOver(scored, idCol, qIdCol, k)
   }
 }

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.WinnowExpr
+
+/** Winnowing fingerprints as corpus operators (Schleimer et al. SIGMOD
+  * 2003 — the MOSS partial-overlap detector; build-brief extension:
+  * document fingerprinting / rolling hash).
+  *
+  * Scale shape: fingerprint production is ONE narrow codegen pass per
+  * document ([[graft.functions.WinnowExpr]] — no shuffle until the
+  * output explode materializes ~n_chars/w rows per doc). Overlap mining
+  * equi-joins fingerprints on the hash — never all document pairs — and
+  * caps the join's skew the way MOSS does: gram hashes shared by more
+  * than `maxDocFreq` documents are boilerplate (licence headers, common
+  * code idioms) and are dropped from PAIRING (not from the fingerprint
+  * artifact), so no hash bucket joins more than maxDocFreq² rows and a
+  * 100 TB corpus cannot produce a quadratic bucket off one ubiquitous
+  * substring. The cap is deterministic and part of the operator's
+  * contract — the SQL oracle replays it.
+  */
+object Winnowing {
+
+  /** Distinct (pos, hash) winnowing fingerprints per document, exploded
+    * to one row each: (id, pos, gram_hash). `pos` is the 1-based char
+    * offset of the selected k-gram — locational, so matches can be
+    * mapped back to document spans. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol), explode(WinnowExpr(col(textCol), k, w)).as("fp"))
+      .select(col(idCol),
+        col("fp.pos").cast("long").as("pos"),
+        col("fp.hash").as("gram_hash"))
+
+  /** Document pairs sharing ≥ `minShared` distinct fingerprint hashes
+    * (id_a < id_b), with per-hash document frequency capped at
+    * `maxDocFreq` before pairing. Returns (id_a, id_b, shared). */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDocFreq: Int = 50, minShared: Int = 2): DataFrame = {
+    val fp = fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("gram_hash")).distinct()
+    // boilerplate cap: hashes in more than maxDocFreq docs never pair
+    val rare = fp.groupBy("gram_hash")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("gram_hash")
+    val kept = fp.join(rare, "gram_hash")
+    kept.as("a").join(kept.as("b"), Seq("gram_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, Bpe, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats}
+import graft.pipeline.{Bm25, Bpe, Chunking, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats, Winnowing}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -460,6 +460,45 @@ object PipelineQueries {
         "vec_id", "embedding", maxDist = 0.2)
     }),
 
+    // Winnowing fingerprints (Schleimer SIGMOD'03 / MOSS): per-doc
+    // distinct (pos, md5-gram) selections — one narrow codegen pass
+    // (monotone-deque sliding min, rightmost tie). The oracle replays
+    // the window minimum with an order-encoding trick: min over
+    // 'hash || zero-padded(1e9 - pos)' IS (min hash, rightmost pos).
+    // k=16/w=8: any shared run >= k+w-1 = 23 chars leaves a shared
+    // fingerprint; at k=8 the template vocabulary's 8-char grams made
+    // half of all doc pairs "overlap" (measured: 63k pairs at sf0.01 vs
+    // 146 at k=16) — character-gram specificity is the knob, not the cap.
+    "winnow_fingerprint" -> ((s, dir) =>
+      Winnowing.fingerprints(table(s, dir, "documents"), "doc_id", "text",
+        k = 16, w = 8)),
+
+    // Partial-overlap detection over the fingerprints: equi-join on the
+    // gram hash with the MOSS boilerplate cap (doc_freq <= 10) so no
+    // bucket is quadratic, pairs sharing >= 3 distinct fingerprints.
+    "winnow_overlap" -> ((s, dir) =>
+      Winnowing.overlapPairs(table(s, dir, "documents"), "doc_id", "text",
+        k = 16, w = 8, maxDocFreq = 10, minShared = 3)),
+
+    // RAG/retrieval chunking: fixed 200-char windows, 50-char overlap,
+    // final chunk clamped to the doc end — one narrow explode.
+    "doc_chunk" -> ((s, dir) =>
+      Chunking.chunk(table(s, dir, "documents"), "doc_id", "text",
+        size = 200, overlap = 50)),
+
+    // Hard-negative mining for contrastive training: every 50th vector
+    // is an anchor; its 5 nearest corpus vectors OUTSIDE the near-dup
+    // band (cosine distance > 0.05 — which also drops the anchor's own
+    // row) are the hard negatives. Broadcast anchors, one corpus scan,
+    // bounded-heap top-k.
+    "hard_negatives" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      EmbeddingOps.hardNegatives(e, "vec_id", "embedding",
+        q, "query_id", "qv", k = 5, minDist = 0.05)
+    }),
+
     // BPE tokenizer induction, round 0: adjacent-symbol pair counts over
     // the vocab-bounded word-frequency frame (chars + </w>), weighted by
     // word count — the corpus is touched once, the shuffle is bounded by
@@ -771,6 +810,31 @@ object PipelineQueries {
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')"
+
+  /** Winnowing-fingerprint CTE chain (k=16, w=8) shared by the
+    * winnow_fingerprint / winnow_overlap oracles, ending in
+    * `wfp(doc_id, pos, gram_hash)`. The window minimum runs as ONE
+    * window-function pass over an order-encoding key: md5 hex is fixed
+    * 32 chars, so `hash || lpad(1e9 - pos, 10, '0')` sorts by (hash asc,
+    * pos DESC) — its min per window IS the rightmost minimal gram, the
+    * Schleimer tie rule, with no banded self-join. Docs with fewer than
+    * w grams keep exactly their single all-gram window via the
+    * `j <= greatest(n - 7, 1)` clamp (window frames truncate at the
+    * partition edge, so the j=1 frame is the whole short doc). */
+  private val winnowFpCtes =
+    """WITH d0 AS (SELECT doc_id, text, greatest(length(text) - 15, 0) AS n FROM documents),
+      |g AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text
+      |      FROM d0 WHERE n >= 1),
+      |h AS (SELECT doc_id, n, i, md5(substring(text, CAST(i AS INT), 16)) AS h FROM g),
+      |wm AS (SELECT doc_id, n, i AS j,
+      |         min(h || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0'))
+      |           OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sk
+      |       FROM h),
+      |wfp AS (SELECT DISTINCT doc_id,
+      |          CAST(1000000000 - CAST(substring(sk, 33, 10) AS BIGINT) AS BIGINT) AS pos,
+      |          substring(sk, 1, 32) AS gram_hash
+      |        FROM wm WHERE j <= greatest(n - 7, 1))""".stripMargin
 
   /** Merge rounds for the bpe_merges / bpe_encode keys: enough to
     * exercise multi-char symbols re-pairing across rounds, small enough
@@ -1444,6 +1508,54 @@ object PipelineQueries {
          |SELECT vec_id, eval_id, round(rawd, 6) AS cos_dist,
          |       round(rawd, 6) <= 0.2 AS contaminated
          |FROM best WHERE rn = 1""".stripMargin,
+
+    // Winnowing replay: md5 every 16-char gram, then the rightmost-min
+    // window selection as ONE window pass via an order-encoding key —
+    // min over (hash || lpad(1e9 - pos)) is lexicographically (min hash,
+    // then MAX pos), exactly the paper's tie rule — no banded self-join.
+    // Short docs (< w grams) keep their single all-gram window (the
+    // j <= greatest(n-w+1, 1) clamp).
+    "winnow_fingerprint" ->
+      s"""$winnowFpCtes
+         |SELECT doc_id, pos, gram_hash FROM wfp""".stripMargin,
+
+    // Fingerprint overlap replay: distinct (doc, hash), doc-frequency
+    // cap at 10, hash equi-self-join, shared >= 3.
+    "winnow_overlap" ->
+      s"""$winnowFpCtes,
+         |fp AS (SELECT DISTINCT doc_id, gram_hash FROM wfp),
+         |rare AS (SELECT gram_hash FROM fp GROUP BY gram_hash HAVING count(*) <= 10),
+         |kept AS (SELECT fp.doc_id, fp.gram_hash FROM fp JOIN rare USING (gram_hash))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |FROM kept a JOIN kept b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // Chunking replay: identical start/count arithmetic (stride 150,
+    // integer-exact ceil-div) + 1-based substring.
+    "doc_chunk" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    1 + (greatest(length(text) - 200, 0) + 149) // 150 AS nc
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, unnest(generate_series(0, CAST(nc - 1 AS INT))) AS ci FROM n)
+        |SELECT doc_id, CAST(ci + 1 AS BIGINT) AS chunk_idx,
+        |       CAST(ci * 150 + 1 AS BIGINT) AS chunk_off,
+        |       CAST(length(substring(text, CAST(ci * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+        |       substring(text, CAST(ci * 150 + 1 AS INT), 200) AS chunk_text
+        |FROM c""".stripMargin,
+
+    // Hard-negative replay: per-anchor row_number over the exclusion
+    // band (> 0.05 also drops the anchor's self-row).
+    "hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |d AS (SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+         |        round(1.0 - ${sqlCosineSimRaw("e.embedding", "q.qv")}, 6) AS dist
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
+         |FROM (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d WHERE dist > 0.05)
+         |WHERE rank <= 5""".stripMargin,
 
     "bpe_pairs" ->
       s"""WITH $bpeBaseCtes,

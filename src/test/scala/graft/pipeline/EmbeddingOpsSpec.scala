@@ -56,4 +56,42 @@ class EmbeddingOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("hard negatives: excludes self and the near-dup band, bounds k, nearest-first") {
+    // anchor at 0°; near-dup at ~1°; negatives fan out by angle
+    def unit(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = frame(Seq(
+      unit(0),    // 0: the anchor's own row (dist 0 → excluded)
+      unit(1),    // 1: near-dup positive (dist ~1.5e-4 ≤ 0.05 → excluded)
+      unit(25),   // 2: hardest negative
+      unit(45),   // 3
+      unit(90),   // 4
+      unit(180))) // 5: easiest
+    val anchors = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val out = EmbeddingOps.hardNegatives(corpus, "vec_id", "embedding",
+        anchors, "query_id", "qv", k = 3, minDist = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._3).toSeq == Seq(2L, 3L, 4L), s"got ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L)) // ranks
+    assert(out.forall(_._4 > 0.05))
+    assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted)
+  }
+
+  test("hard negatives: the heap is partial-aggregable (one bounded shuffle)") {
+    val corpus = frame((0 until 64).map(i =>
+      Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))
+    val anchors = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val df = EmbeddingOps.hardNegatives(corpus, "vec_id", "embedding",
+      anchors, "query_id", "qv", k = 4, minDist = 0.05)
+    val plan = df.queryExecution.executedPlan.toString
+    // broadcast anchors (no shuffle of the corpus side), partial agg
+    // before the single exchange on query_id
+    assert(plan.contains("BroadcastExchange"))
+    assert(df.collect().length == 8)
+  }
 }

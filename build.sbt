@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: the full 126-key bench sweep accumulates memoized artifacts
+  // (index RDDs, checkpoint blocks, broadcasts) across keys; at 8g the
+  // shuffle-heavy late-alphabet keys ran ~2x slower in the full sweep
+  // than isolated (storage squeezing execution -> spills). The host has
+  // 128 GiB; measurement must not be the bottleneck.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

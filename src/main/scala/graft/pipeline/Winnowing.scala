@@ -36,17 +36,27 @@ object Winnowing {
 
   /** Document pairs sharing ≥ `minShared` distinct fingerprint hashes
     * (id_a < id_b), with per-hash document frequency capped at
-    * `maxDocFreq` before pairing. Returns (id_a, id_b, shared). */
+    * `maxDocFreq` before pairing. Returns (id_a, id_b, shared).
+    *
+    * Plan: the boilerplate cap is ONE window count over the gram-hash
+    * partition (no doc-frequency aggregate + membership join), and the
+    * capped fingerprint set is MATERIALIZED (eager localCheckpoint)
+    * before the self-join — the join references it twice, and without
+    * the cut each side would re-run the whole kernel + explode +
+    * distinct subtree (4 corpus passes measured as the dominant cost).
+    * Materializing here is not a corpus-sized cache: the fingerprint
+    * set is the ~2/(w+1)-density winnowing artifact, exactly what MOSS
+    * persists as its index. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocFreq: Int = 50, minShared: Int = 2): DataFrame = {
     val fp = fingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("gram_hash")).distinct()
-    // boilerplate cap: hashes in more than maxDocFreq docs never pair
-    val rare = fp.groupBy("gram_hash")
-      .agg(count(lit(1)).as("df"))
+    val kept = fp
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram_hash")))
       .filter(col("df") <= maxDocFreq)
-      .select("gram_hash")
-    val kept = fp.join(rare, "gram_hash")
+      .select("id", "gram_hash")
+      .localCheckpoint(true)
     kept.as("a").join(kept.as("b"), Seq("gram_hash"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

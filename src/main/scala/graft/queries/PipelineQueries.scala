@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, Bpe, Chunking, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats, Winnowing}
+import graft.pipeline.{Bm25, Bpe, BudgetSelect, Chunking, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats, Winnowing}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -499,6 +499,18 @@ object PipelineQueries {
         q, "query_id", "qv", k = 5, minDist = 0.05)
     }),
 
+    // Token-budget selection: best-scoring docs until 10k tokens are
+    // spent. Scores coarsen to 2dp via the explicit floor freeze (big
+    // tie buckets → the boundary-bucket path actually runs); selection
+    // is the bucket-histogram plan, never a global corpus sort.
+    "budget_select" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        (floor(TextStats.qualityScore(col("text")) * 100.0 + 0.5) / 100.0).as("score"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))
+      BudgetSelect.budgetSelect(d, "doc_id", "score", "n_tokens",
+        budgetTokens = 10000L)
+    }),
+
     // BPE tokenizer induction, round 0: adjacent-symbol pair counts over
     // the vocab-bounded word-frequency frame (chars + </w>), weighted by
     // word count — the corpus is touched once, the shuffle is bounded by
@@ -810,6 +822,19 @@ object PipelineQueries {
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')"
+
+  /** The qualityScore replay expression (round 6dp), verbatim from the
+    * pipeline_clean / gopher-family oracles — defined once for new
+    * oracles; the pre-existing inlined copies are character-identical. */
+  private lazy val qualitySql6 =
+    s"""round(
+       |      least(CAST(len($toksSql) AS DOUBLE) / 20.0, 1.0)
+       |        * (CASE WHEN len($toksSql) > 1000 THEN 0.5 ELSE 1.0 END) * 0.4
+       |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+       |           ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 1.0)) * 0.3
+       |      + least((CASE WHEN len($toksSql) = 0 THEN 0.0
+       |           ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END) * 5.0, 1.0) * 0.3
+       |    , 6)""".stripMargin
 
   /** Winnowing-fingerprint CTE chain (k=16, w=8) shared by the
     * winnow_fingerprint / winnow_overlap oracles, ending in
@@ -1556,6 +1581,20 @@ object PipelineQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
          |      FROM d WHERE dist > 0.05)
          |WHERE rank <= 5""".stripMargin,
+
+    // Budget-selection replay: the straightforward global prefix — one
+    // window cumsum over (score desc, id) — which the bucket-histogram
+    // plan must reproduce exactly, boundary bucket included.
+    "budget_select" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    floor($qualitySql6 * 100.0 + 0.5) / 100.0 AS score,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, score, n_tokens,
+         |        sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT doc_id, score, n_tokens FROM c WHERE cum <= 10000""".stripMargin,
 
     "bpe_pairs" ->
       s"""WITH $bpeBaseCtes,

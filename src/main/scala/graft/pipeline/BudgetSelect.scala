@@ -43,9 +43,13 @@ object BudgetSelect {
       .agg(sum(col(tokenCol).cast("long")).as("btok"))
     // bounded frame: running total through each bucket in score-desc
     // order, and the total before it (prev = cum - btok)
+    // materialize the grid-bounded marks frame once: both the full-
+    // bucket branch and the boundary branch broadcast it, and without
+    // the cut each branch would re-run the corpus-wide bucket aggregate
     val cum = buckets
       .withColumn("cum", sum("btok").over(Window.orderBy(col("si").desc)))
       .withColumn("prev", col("cum") - col("btok"))
+      .localCheckpoint(true)
     val marked = base.join(broadcast(cum), "si")
     // buckets wholly within budget: narrow filter, no per-doc order
     val full = marked.filter(col("cum") <= budgetTokens)

@@ -486,6 +486,19 @@ object PipelineQueries {
       Chunking.chunk(table(s, dir, "documents"), "doc_id", "text",
         size = 200, overlap = 50)),
 
+    // Chunk-level lexical retrieval — the RAG composition: chunk the
+    // corpus (200/50), then BM25 top-k over CHUNKS. Stage composition is
+    // the point (chunk ids thread through tokenization, stats, scoring);
+    // corpus stats (N, avgdl) recompute over the derived chunk frame.
+    "chunk_bm25" -> ((s, dir) => {
+      val chunks = Chunking.chunk(table(s, dir, "documents"), "doc_id", "text",
+          size = 200, overlap = 50)
+        .select(concat(col("doc_id"), lit("#"), col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      Bm25.topK(chunks, "chunk_id", "chunk_text",
+        Seq("vector", "hash", "stream"), k = 20)
+    }),
+
     // Hard-negative mining for contrastive training: every 50th vector
     // is an anchor; its 5 nearest corpus vectors OUTSIDE the near-dup
     // band (cosine distance > 0.05 — which also drops the anchor's own
@@ -1567,6 +1580,46 @@ object PipelineQueries {
         |       CAST(length(substring(text, CAST(ci * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
         |       substring(text, CAST(ci * 150 + 1 AS INT), 200) AS chunk_text
         |FROM c""".stripMargin,
+
+    // Chunk-BM25 replay: the doc_chunk CTE feeds the same BM25 formula
+    // the bm25_topk oracle established, with chunk ids and chunk-frame
+    // corpus stats.
+    "chunk_bm25" ->
+      """WITH n0 AS (SELECT doc_id, text,
+        |    1 + (greatest(length(text) - 200, 0) + 149) // 150 AS nc
+        |  FROM documents),
+        |c0 AS (SELECT doc_id, text, unnest(generate_series(0, CAST(nc - 1 AS INT))) AS ci FROM n0),
+        |ch AS (SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(ci + 1 AS VARCHAR) AS chunk_id,
+        |         substring(text, CAST(ci * 150 + 1 AS INT), 200) AS text
+        |       FROM c0),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ch),
+        |dl AS (SELECT chunk_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t != '') AS tk
+        |       FROM ch),
+        |dl2 AS (SELECT chunk_id, len(tk) AS dl, tk FROM dl),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl2),
+        |terms AS (
+        |  SELECT chunk_id, dl, t, count(*) AS tf
+        |  FROM (SELECT chunk_id, dl, unnest(tk) AS t FROM dl2)
+        |  WHERE t IN ('vector', 'hash', 'stream')
+        |  GROUP BY chunk_id, dl, t),
+        |idf AS (
+        |  SELECT t, round(ln(1.0 + ((SELECT n FROM params) - count(DISTINCT chunk_id) + 0.5)
+        |                          / (count(DISTINCT chunk_id) + 0.5)), 6) AS idf
+        |  FROM terms GROUP BY t),
+        |contrib AS (
+        |  SELECT te.chunk_id AS chunk_id, te.t AS t,
+        |    idf.idf * (te.tf * (1.2 + 1)) /
+        |      (te.tf + 1.2 * (1 - 0.75 + 0.75 * te.dl / (SELECT avgdl FROM ad))) AS c
+        |  FROM terms te JOIN idf ON idf.t = te.t),
+        |bm AS (
+        |  SELECT chunk_id,
+        |    round(coalesce(sum(CASE WHEN t = 'vector' THEN c END), 0)
+        |        + coalesce(sum(CASE WHEN t = 'hash' THEN c END), 0)
+        |        + coalesce(sum(CASE WHEN t = 'stream' THEN c END), 0), 6) AS bm25
+        |  FROM contrib GROUP BY chunk_id)
+        |SELECT chunk_id, bm25 FROM bm
+        |ORDER BY bm25 DESC, chunk_id LIMIT 20""".stripMargin,
 
     // Hard-negative replay: per-anchor row_number over the exclusion
     // band (> 0.05 also drops the anchor's self-row).

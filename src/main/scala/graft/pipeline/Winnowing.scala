@@ -49,8 +49,12 @@ object Winnowing {
     * persists as its index. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocFreq: Int = 50, minShared: Int = 2): DataFrame = {
-    val fp = fingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("gram_hash")).distinct()
+    // per-doc hash dedup happens IN-ROW (array_distinct over the ~2n/w
+    // fingerprint array), not as a corpus-wide DISTINCT shuffle — the
+    // only exchange before the self-join is the doc-frequency window
+    val fp = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        WinnowExpr(col(textCol), k, w).getField("hash"))).as("gram_hash"))
     val kept = fp
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("gram_hash")))

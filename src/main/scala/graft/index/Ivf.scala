@@ -181,18 +181,21 @@ object Ivf {
       .select(col(idCol), col("cluster"), col("codes"))
 
   /** Default ADC pool bound: `candidateFactor × k` best compressed-domain
-    * candidates pay an exact distance. 32 is sized against the measured
-    * worst-case true-neighbor ADC rank on near-uniform 64-dim data (the
-    * hardest PQ regime): with residual 4-dim-block codes the worst
-    * true-top-5 rank over 20 sf0.1 queries is 30 of ~1250 probed rows,
-    * a 5× margin at pool 160 ([[fitResidualPq]]) — the pool stays
-    * O(k·cf) per query regardless of table size, so at 100 TB the exact
-    * re-rank still touches a few hundred rows while the scan reads only
-    * the compact code column. */
+    * candidates pay an exact distance. Sizing history: 32 was set
+    * against the measured worst-case true-neighbor ADC rank on
+    * near-uniform 64-dim data (rank 30 of ~125-row probed cells at
+    * sf0.1, 5× margin at pool 160). The sf1 sweep then showed the rank
+    * GROWS with probed-cell population at fixed code resolution — at
+    * ~1250-row cells one batch query's true top-5 slipped past pool 160
+    * (cf 32) while cf 128 restored exact parity — so the default is 128:
+    * still O(k·cf) per query regardless of table size (the exact re-rank
+    * touches several hundred rows while the scan reads only the compact
+    * code column), with `ivfpq_recall`'s 0.9 floor as the guard for
+    * regimes beyond the measured ones. */
   def searchPq(ivf: IvfModel, pq: PqModel, vectors: DataFrame,
       idCol: String, vecCol: String, query: Array[Float], k: Int,
       nprobe: Int = 4, metric: String = "euclidean",
-      candidateFactor: Int = 32, coded0: Option[DataFrame] = None): DataFrame = {
+      candidateFactor: Int = 128, coded0: Option[DataFrame] = None): DataFrame = {
     if (pq.numSubVectors == 0)
       return search(ivf, vectors, idCol, vecCol, query, k, nprobe, metric)
     val probeSet = ivf.probes(query, nprobe)
@@ -238,7 +241,7 @@ object Ivf {
       idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nprobe: Int = 4, metric: String = "euclidean",
-      candidateFactor: Int = 32, coded0: Option[DataFrame] = None): DataFrame = {
+      candidateFactor: Int = 128, coded0: Option[DataFrame] = None): DataFrame = {
     if (pq.numSubVectors == 0)
       return searchBatch(ivf, vectors, idCol, vecCol,
         queries, queryIdCol, queryVecCol, k, nprobe, metric)

@@ -117,10 +117,18 @@ object ProductQuantization {
   }
 
   /** PQ kNN: ADC scan → `candidateFactor×k` candidates by (adc, id) →
-    * exact re-rank top-k by (dist, id). */
+    * exact re-rank top-k by (dist, id). Default pool 512×k (sf1-sweep
+    * sizing): true-neighbor ADC rank grows with SCANNED population at
+    * fixed code resolution, and plain whole-table PQ has no coarse
+    * quantizer to shrink the scan — 10×k that held at sf0.1's 2k rows
+    * let a true top-10 slip past the pool at 20k (128×k still missed
+    * one; 512×k restores exact parity). The pool stays O(k·cf) per
+    * query at any table size, but the honest 100 TB read path is
+    * residual IVFPQ ([[graft.index.Ivf.searchPq]], cell-pruned, 128×k
+    * suffices there) — plain PQ is the reference-parity verb. */
   def search(model: PqModel, vectors: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, metric: String = "euclidean",
-      candidateFactor: Int = 10): DataFrame = {
+      candidateFactor: Int = 512): DataFrame = {
     if (model.numSubVectors == 0)
       return vectors.limit(0).select(col(idCol), lit(0.0).as("dist"))
     val tables = model.adcTables(query)

@@ -414,22 +414,25 @@ object IndexQueries {
   /** The Knuth-hash centroid ranking of [[Ivf.fitSampledCentroids]]. */
   private val ivfHashExpr = "(CAST(vec_id AS BIGINT) * 2654435761) % 4294967296"
 
-  /** Centroid + TOP-2 cell-assignment CTEs replaying
+  /** Centroid + TOP-4 cell-assignment CTEs replaying
     * [[Ivf.fitSampledCentroids]] (Knuth-hash-ranked rows) and
     * [[graft.functions.TopCellsExpr]] ((squared-euclid, cid) order,
     * identical sequential-double fold) — the blocking key of the
-    * IVF-blocked semantic dedup family's oracles in [[PipelineQueries]]. */
+    * IVF-blocked semantic dedup family's oracles in [[PipelineQueries]].
+    * nlist is count-scaled like the Spark mining path: max(16, ⌈N/500⌉)
+    * (identical to the 16-cell fixture at N ≤ 8000). */
   private[queries] lazy val ivfCellCtes: String =
     s"""cent AS (
        |  SELECT row_number() OVER (ORDER BY $ivfHashExpr, vec_id) - 1 AS cid,
        |         embedding AS cv
-       |  FROM embeddings ORDER BY $ivfHashExpr, vec_id LIMIT 16),
+       |  FROM embeddings ORDER BY $ivfHashExpr, vec_id
+       |  LIMIT (SELECT greatest(16, CAST(ceil(count(*) / 500.0) AS BIGINT)) FROM embeddings)),
        |acell AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id AS vec_id, c.cid AS cid,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${sqlEuclidSq("e.embedding", "c.cv")}, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cent c) WHERE rn <= 2)""".stripMargin
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn <= 4)""".stripMargin
 
   /** Full IVF pipeline replay in SQL: the centroid CTE reproduces
     * `Ivf.fitSampledCentroids` (Knuth-hash-ranked rows), assignment and

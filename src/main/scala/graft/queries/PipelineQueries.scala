@@ -254,11 +254,10 @@ object PipelineQueries {
     // Anti-join against the non-representative members, so the corpus
     // scan stays map-side.
     "semantic_dedup_keep" -> ((s, dir) => {
-      // r10: blocking moved from hyperplane LSH to the IVF coarse
-      // quantizer's top-2 cells — the ANN index's own partition key, so
-      // at scale the mining join prunes to cluster-partitioned cells
-      // (and the data-adaptive cells track embedding density better than
-      // uniform hyperplane slices).
+      // late-r10 dual blocking: IVF top-4 cells (the ANN index's own
+      // partition key — at scale the mining join prunes to cluster-
+      // partitioned cells) UNION hyperplane-LSH buckets; each family
+      // catches the other's boundary misses (see semanticCandsFor).
       val emb = table(s, dir, "embeddings")
       val comps = Dedup.cosineComponents(emb, "vec_id", "embedding",
         maxCosineDistance = 0.5, IndexQueries.lshP,
@@ -722,27 +721,62 @@ object PipelineQueries {
       _ => Dedup.cosineCandidateDistances(table(s, dir, "embeddings"),
         "vec_id", "embedding", IndexQueries.lshP))
 
-  /** IVF-blocked cosine candidate distances (top-2 coarse cells as the
-    * blocking key), memoized per dataset — shared by `semantic_dedup_keep`
-    * and `semantic_recall`. Uses the SAME memoized sampled-centroid model
-    * as the `ivf_knn` family, so the oracle replays assignment from the
-    * Knuth-hash centroid CTE and at scale the dedup reuses the ANN
-    * index's cluster-partitioned layout. */
+  /** Mining centroids for the semantic-dedup family: the SAME sampled-
+    * centroid builder as the `ivf_knn` fixture, but with nlist scaled to
+    * the corpus — `max(16, ceil(N/500))` — per
+    * [[graft.pipeline.Dedup.cosineIvfCandidateDistances]]'s own sizing
+    * rule (the per-cell self-join is quadratic in occupancy, so cells
+    * must track N). Identical to the 16-cell query fixture at the
+    * driver's sf0.01/0.1 regimes (N ≤ 2000 → clamp to 16); at the sf1
+    * sweep's 20k vectors it yields 40 cells, which is what restored the
+    * 0.9 mining-recall floor there (16 cells measured 0.63 — the 4096
+    * bucket cap was binding and borderline pairs were lost with it).
+    * The oracle replays the same count-scaled LIMIT. */
+  private val semanticCenters =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  private def semanticCentersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    semanticCenters.computeIfAbsent(sessionKey(s, dir), _ => {
+      val e = table(s, dir, "embeddings")
+      val nlist = math.max(16, math.ceil(e.count() / 500.0).toInt)
+      graft.index.Ivf.fitSampledCentroids(e, "vec_id", "embedding", nlist).centers
+    })
+
+  /** Dual-blocked semantic candidates — IVF top-4 coarse cells UNION
+    * hyperplane-LSH buckets — memoized per dataset, shared by
+    * `semantic_dedup_keep` and `semantic_recall`. The sf1 sweep showed
+    * why a single blocking family is not enough at the operator's 0.5
+    * threshold: the truth set there is dominated by BORDERLINE pairs
+    * (the corpus floor is 0.399 cosine distance), and each family alone
+    * measured 0.49–0.86 recall while their union measures 0.96 — the
+    * two block different geometries (density-adaptive cells vs
+    * orientation slices), so each catches the other's boundary misses.
+    * Both blockings are replayed by the oracle; at scale this is two
+    * bounded candidate joins, never all-pairs. */
   private val semanticCands =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def semanticCandsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    semanticCands.computeIfAbsent(sessionKey(s, dir),
-      _ => Dedup.cosineIvfCandidateDistances(table(s, dir, "embeddings"),
-        "vec_id", "embedding", IndexQueries.ivfModelFor(s, dir).centers, nAssign = 2))
+    semanticCands.computeIfAbsent(sessionKey(s, dir), _ => {
+      val e = table(s, dir, "embeddings")
+      Dedup.cosineIvfCandidateDistances(e, "vec_id", "embedding",
+          semanticCentersFor(s, dir), nAssign = 4)
+        .unionAll(Dedup.cosineCandidateDistances(e, "vec_id", "embedding",
+          IndexQueries.lshP))
+        .dropDuplicates("id_a", "id_b")
+    })
 
-  /** IVF-blocked candidates over the PLANTED fixture (same centers, same
-    * top-2 assignment) — the numerator path of `semantic_recall`. */
+  /** Dual-blocked candidates over the PLANTED fixture (same centers,
+    * same assignments) — the numerator path of `semantic_recall`. */
   private val semanticPlantedCands =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def semanticPlantedCandsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    semanticPlantedCands.computeIfAbsent(sessionKey(s, dir),
-      _ => Dedup.cosineIvfCandidateDistances(IndexQueries.plantedEmbeddings(s, dir),
-        "vec_id", "embedding", IndexQueries.ivfModelFor(s, dir).centers, nAssign = 2))
+    semanticPlantedCands.computeIfAbsent(sessionKey(s, dir), _ => {
+      val fix = IndexQueries.plantedEmbeddings(s, dir)
+      Dedup.cosineIvfCandidateDistances(fix, "vec_id", "embedding",
+          semanticCentersFor(s, dir), nAssign = 4)
+        .unionAll(Dedup.cosineCandidateDistances(fix, "vec_id", "embedding",
+          IndexQueries.lshP))
+        .dropDuplicates("id_a", "id_b")
+    })
 
   /** EXACT member-level cosine pairs at the semantic threshold (0.5) over
     * the planted fixture — the all-pairs truth the recall gate divides
@@ -1742,16 +1776,22 @@ object PipelineQueries {
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // Same closure as dedup_components, then the surviving corpus: drop
-    // every non-representative member of a duplicate cluster. r10:
-    // candidate blocking replays the IVF coarse quantizer — the cent CTE
-    // reproduces Ivf.fitSampledCentroids (Knuth-hash-ranked rows, the
-    // same CTE as the ivf_knn family) and acell assigns each vector to
-    // its TOP-2 cells by (squared euclid, cid), mirroring TopCellsExpr's
-    // sequential-double fold and tie order exactly.
+    // every non-representative member of a duplicate cluster. Candidate
+    // blocking replays BOTH mining families (late-r10 dual blocking):
+    // the cent/acell CTEs reproduce Ivf.fitSampledCentroids (count-
+    // scaled nlist) + TopCellsExpr's top-4 (squared euclid, cid) order,
+    // and the hp/vkeys CTEs reproduce the hyperplane LSH buckets — the
+    // cand union mirrors semanticCandsFor exactly.
     "semantic_dedup_keep" ->
-      s"""WITH RECURSIVE ${IndexQueries.ivfCellCtes},
+      s"""WITH RECURSIVE ${IndexQueries.hpCte},
+         |${IndexQueries.vkeysCte},
+         |${IndexQueries.ivfCellCtes},
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM acell a JOIN acell b ON a.cid = b.cid
+         |         WHERE a.vec_id < b.vec_id
+         |         UNION
+         |         SELECT DISTINCT a.vec_id, b.vec_id
+         |         FROM vkeys a JOIN vkeys b ON a.tbl = b.tbl AND a.key = b.key
          |         WHERE a.vec_id < b.vec_id),
          |pairs AS (
          |  SELECT c.id_a AS id_a, c.id_b AS id_b

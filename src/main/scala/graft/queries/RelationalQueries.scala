@@ -19,15 +19,23 @@ object RelationalQueries {
 
   val defs: Map[String, Q] = Map(
     // TPC-H Q1-shaped scan+aggregate: predicate pushdown + partial aggs.
+    // Money sums run as DECIMAL, not DOUBLE: at sf1 the group sums reach
+    // ~2.8e10 where double partial-agg order noise (~ulp·√n ≈ 5e-3)
+    // crosses the 4-dp rounding grid and the two engines disagree — the
+    // q_events_window lesson (r7) at a new scale. Per-row casts are
+    // engine-identical (same doubles, same half-up), decimal sums are
+    // exact integers, so the result is order- and engine-independent.
     "q1_agg" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_disc_price"),
+          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -304,10 +312,10 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 4) AS sum_qty,
-        | round(sum(l_extendedprice), 4) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-        | round(avg(l_discount), 6) AS avg_disc,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

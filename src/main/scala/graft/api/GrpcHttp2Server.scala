@@ -210,39 +210,25 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0,
       ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h, true))
     }
 
-    /** Two-pass streaming (see class scaladoc): sizes first, then one
-      * DATA frame per record under the declared total, flushed every
+    /** Two-pass streaming (core shared with the HTTP/1.1 transports via
+      * [[GetVectorsStream]]): sizes first, then one DATA frame per
+      * record under the declared total, flushed every
       * [[GrpcHttp2Server.FlushBytes]] with a back-pressure gate — when
       * the stream channel reports non-writable (flow-control window or
       * socket buffer full) the rpc thread blocks on the flush future
       * until the peer drains, so outbound buffering stays bounded by one
-      * flush window for any table size. Pass 2 verifies bytes written
-      * against the declared total and aborts with INTERNAL on mismatch.
-      * Mid-stream failures report through the trailing HEADERS — the
-      * same surface a stock client already reads for status. */
+      * flush window for any table size. The shared pass-2 byte-count
+      * guard surfaces here as grpc-status 13 INTERNAL. Mid-stream
+      * failures report through the trailing HEADERS — the same surface
+      * a stock client already reads for status. */
     private def streamGetVectors(ctx: ChannelHandlerContext, req: Array[Byte]): Unit = {
       try {
-        val declared = {
-          val it = vectorsPass().toLocalIterator()
-          var total = 0L
-          while (it.hasNext)
-            total += VectorProto.encodedVectorListItemSize(
-              VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next())))
-          total
-        }
+        val declared = GetVectorsStream.declaredLength(() => vectorsPass())
         require(declared <= Int.MaxValue, s"GetVectors response exceeds 2 GiB ($declared B)")
         ctx.write(new DefaultHttp2HeadersFrame(grpcHeaders()))
         ctx.write(new DefaultHttp2DataFrame(lengthPrefix(declared.toInt)))
-        var written = 0L
         var unflushed = 5L // the length prefix
-        val it = vectorsPass().toLocalIterator()
-        while (it.hasNext) {
-          val item = VectorProto.encodeVectorListItem(
-            VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next())))
-          if (written + item.length > declared)
-            throw GrpcWeb.StatusException(13,
-              s"GetVectors pass 2 exceeds declared length $declared (source changed between passes)")
-          written += item.length
+        try GetVectorsStream.writeGuarded(() => vectorsPass(), declared) { item =>
           unflushed += item.length
           val frame = new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(item))
           if (unflushed >= GrpcHttp2Server.FlushBytes) {
@@ -258,10 +244,10 @@ class GrpcHttp2Server(val db: NeighborlySpark, port: Int = 0,
                 "GetVectors peer stalled: flow-control window closed > 30 s")
           } else ctx.write(frame)
           streamedFrames.incrementAndGet()
+        } catch {
+          case e: GetVectorsStream.LengthMismatch =>
+            throw GrpcWeb.StatusException(13, e.getMessage)
         }
-        if (written != declared)
-          throw GrpcWeb.StatusException(13,
-            s"GetVectors pass 2 wrote $written B, declared $declared B (source changed between passes)")
         maxUnflushedBytes.getAndAccumulate(unflushed, Math.max(_, _))
         ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers(0), true))
         streamFlushes.incrementAndGet()

@@ -129,9 +129,9 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
     val reqCt = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
     val isText = reqCt.startsWith("application/grpc-web-text")
     val rawBody = ex.getRequestBody.readAllBytes()
-    // GetVectors on the binary transport streams — the reply is unbounded
+    // GetVectors streams on BOTH content types — the reply is unbounded
     // (the whole table) and must never materialize in one driver buffer
-    if (!isText && method == "GetVectors") return streamGetVectors(ex, rawBody)
+    if (method == "GetVectors") return streamGetVectors(ex, rawBody, isText)
     val frames: Array[Byte] =
       try {
         val body = if (isText) java.util.Base64.getDecoder.decode(
@@ -161,34 +161,37 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
   private[api] val streamedGetVectorsRecords = new java.util.concurrent.atomic.AtomicLong
 
   /** `GetVectors` streamed under ONE exact message frame (r7 verdict
-    * item 3, upgraded in r8 to the native transport's two-pass shape):
-    * the proto has no paging fields and the reference returns the whole
-    * table (VectorService.cs:18-38), which at engine scale is a driver
-    * OOM if buffered. Pass 1 sums the encoded per-record sizes from
-    * `toLocalIterator` (O(1) driver memory), then the 5-byte message
-    * frame header with the EXACT total goes out and pass 2 streams each
-    * record's bytes straight to the chunked response — a stock unary
-    * gRPC-Web client sees exactly one message frame (no multi-frame
-    * merge semantics required) while the driver holds one record's
-    * encoding at a time. A pass-2 failure truncates the chunked body
-    * (a transport-level error, the same surface native gRPC leaves);
-    * pass-1/validation failures get a clean trailers-only body. The
-    * base64 `grpc-web-text` form still buffers (chunk-aligned base64
-    * streaming isn't worth it for the browser-compat path) — large
-    * tables should use the binary transport or REST paging. */
-  private def streamGetVectors(ex: HttpExchange, rawBody: Array[Byte]): Unit = {
-    ex.getResponseHeaders.set("Content-Type", "application/grpc-web+proto")
+    * item 3; two-pass core shared with the native transport via
+    * [[GetVectorsStream]]): the proto has no paging fields and the
+    * reference returns the whole table (VectorService.cs:18-38), which
+    * at engine scale is a driver OOM if buffered. Pass 1 sums the
+    * encoded per-record sizes (O(1) driver memory), then the 5-byte
+    * message frame header with the EXACT total goes out and pass 2
+    * streams each record's bytes straight to the chunked response — a
+    * stock unary gRPC-Web client sees exactly one message frame while
+    * the driver holds one record's encoding at a time. A pass-2 failure
+    * truncates the chunked body (a transport-level error, the same
+    * surface native gRPC leaves); pass-1/validation failures get a clean
+    * trailers-only body. The base64 `grpc-web-text` form streams through
+    * the SAME incremental writes (r10 verdict item 3): base64 is
+    * chunkable at 3-byte boundaries, so the JDK's encoding wrapper
+    * (3-byte carry, padding emitted on close) turns the record stream
+    * into a base64 stream without ever holding the table. */
+  private def streamGetVectors(ex: HttpExchange, rawBody: Array[Byte],
+      isText: Boolean): Unit = {
+    ex.getResponseHeaders.set("Content-Type",
+      if (isText) "application/grpc-web-text" else "application/grpc-web+proto")
     ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
-    val os = ex.getResponseBody
+    val os: java.io.OutputStream =
+      if (isText) java.util.Base64.getEncoder.wrap(ex.getResponseBody)
+      else ex.getResponseBody
     try {
       val total =
         try {
-          GrpcWeb.firstMessage(rawBody) // validates request framing
-          val it = vectorsPass().toLocalIterator()
-          var sum = 0L
-          while (it.hasNext)
-            sum += VectorProto.encodedVectorListItemSize(
-              VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next())))
+          val body = if (isText) java.util.Base64.getDecoder.decode(
+            new String(rawBody, StandardCharsets.US_ASCII).trim) else rawBody
+          GrpcWeb.firstMessage(body) // validates request framing
+          val sum = GetVectorsStream.declaredLength(() => vectorsPass())
           require(sum <= Int.MaxValue, s"GetVectors response exceeds 2 GiB ($sum B)")
           Some(sum.toInt)
         } catch {
@@ -203,26 +206,13 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
         val header = java.nio.ByteBuffer.allocate(5)
         header.put(0x00.toByte).putInt(len)
         os.write(header.array())
-        // pass-2 byte-count guard: the message-frame header above already
-        // promised `len` bytes, so a pass-2 that disagrees (source changed
-        // between passes) must NOT end in a clean status-0 trailer — abort
-        // the exchange, truncating the chunked body into a transport-level
-        // error the client cannot mistake for success.
-        var written = 0L
-        val it = vectorsPass().toLocalIterator()
-        while (it.hasNext) {
-          val item = VectorProto.encodeVectorListItem(
-            VectorBinary.toBinary(VectorHttpServer.rowToRecord(it.next())))
-          if (written + item.length > len)
-            throw new IllegalStateException(
-              s"GetVectors pass 2 exceeds declared length $len B (source changed between passes)")
+        // pass-2 byte-count guard (shared core): the message-frame header
+        // above already promised `len` bytes, so a pass 2 that disagrees
+        // throws LengthMismatch before the status-0 trailer can go out.
+        GetVectorsStream.writeGuarded(() => vectorsPass(), len.toLong) { item =>
           os.write(item)
-          written += item.length
           streamedGetVectorsRecords.incrementAndGet()
         }
-        if (written != len)
-          throw new IllegalStateException(
-            s"GetVectors pass 2 wrote $written B, declared $len B (source changed between passes)")
         os.write(GrpcWeb.trailersFrame(0))
       }
     } catch {
@@ -394,9 +384,12 @@ object VectorHttpServer {
   private[api] def dispatchRpc(db: NeighborlySpark, method: String,
       req: Array[Byte]): Array[Byte] = method match {
     case "GetVectors" =>
-      VectorProto.encodeVectorList(
-        db.vectors.collect().toSeq
-          .map(r => VectorBinary.toBinary(rowToRecord(r))))
+      // never reached: every transport (gRPC-Web binary AND text, native
+      // HTTP/2) routes GetVectors to its streaming two-pass path — the
+      // reply is O(table) and must not buffer on the driver. A routing
+      // regression must fail loudly here, not silently collect the table.
+      throw new IllegalStateException(
+        "GetVectors must be served by the streaming path, never buffered")
     case "AddVector" =>
       val payload = VectorProto.decodeAddVectorRequest(req)
       require(payload.nonEmpty, "AddVectorRequest carried no vector")

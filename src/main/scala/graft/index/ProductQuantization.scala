@@ -116,26 +116,40 @@ object ProductQuantization {
       .drop((0 until m).flatMap(b => Seq(s"_pq_f$b", s"_pq_c$b")): _*)
   }
 
-  /** PQ kNN: ADC scan → `candidateFactor×k` candidates by (adc, id) →
-    * exact re-rank top-k by (dist, id). Default pool 512×k (sf1-sweep
-    * sizing): true-neighbor ADC rank grows with SCANNED population at
-    * fixed code resolution, and plain whole-table PQ has no coarse
-    * quantizer to shrink the scan — 10×k that held at sf0.1's 2k rows
-    * let a true top-10 slip past the pool at 20k (128×k still missed
-    * one; 512×k restores exact parity). The pool stays O(k·cf) per
-    * query at any table size, but the honest 100 TB read path is
-    * residual IVFPQ ([[graft.index.Ivf.searchPq]], cell-pruned, 128×k
-    * suffices there) — plain PQ is the reference-parity verb. */
+  /** Re-rank pool sized by the measured ADC-rank law, not a hand-tuned
+    * constant: at fixed code resolution the true neighbor's rank in the
+    * ADC ordering grows LINEARLY with the scanned population (sf-sweep
+    * anchors on the 64-dim/4-block table: at N=2k rows a 100-row pool
+    * held; at N=20k a 1280-row pool missed a true top-10 — rank/N >
+    * 0.064 — while 5120 sufficed — rank/N ≤ 0.256). Pool =
+    * max(64·k, ⌈0.3·N⌉) covers the measured worst case with margin at
+    * ANY table size, because the law's slope is a property of the code
+    * resolution, not the scale regime. Re-ranking Θ(N) candidates keeps
+    * the same asymptotics as the Θ(N) ADC scan itself — plain
+    * whole-table PQ is the reference-parity verb; the 100 TB read path
+    * is residual IVFPQ ([[graft.index.Ivf.searchPq]], cell-pruned,
+    * sub-linear pool). */
+  def rerankPool(k: Int, scannedRows: Long): Int =
+    math.max(64L * k, math.ceil(0.3 * scannedRows).toLong)
+      .min(Int.MaxValue.toLong).toInt
+
+  /** PQ kNN: ADC scan → [[rerankPool]] candidates by (adc, id) → exact
+    * re-rank top-k by (dist, id). `candidateFactor > 0` pins a fixed
+    * `cf×k` pool for callers that know their regime; the default (0)
+    * derives the pool from the scanned row count via the measured law. */
   def search(model: PqModel, vectors: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, metric: String = "euclidean",
-      candidateFactor: Int = 512): DataFrame = {
+      candidateFactor: Int = 0): DataFrame = {
     if (model.numSubVectors == 0)
       return vectors.limit(0).select(col(idCol), lit(0.0).as("dist"))
     val tables = model.adcTables(query)
+    val pool =
+      if (candidateFactor > 0) math.max(k, candidateFactor * k)
+      else rerankPool(k, vectors.count())
     quantize(model, vectors, vecCol)
       .withColumn("adc", AdcExpr(col("codes"), tables))
       .orderBy(col("adc"), col(idCol))
-      .limit(math.max(k, candidateFactor * k))
+      .limit(math.max(k, pool))
       .withColumn("dist", round(Distances.metric(metric)(col(vecCol), typedLit(query)), 6))
       .select(col(idCol), col("dist"))
       .orderBy(col("dist"), col(idCol))

@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * extension.
   *
   * Semantics (exact, replayable by a SQL oracle): order documents by
-  * (score DESC, id ASC); select the maximal prefix whose running token
-  * sum stays ≤ `budgetTokens` (each document counts its own tokens —
-  * the first document that would overflow the budget stops the prefix).
-  * Scores are frozen to integer micro-units (`floor(s·1e6 + 0.5)`, the
-  * repo-wide freeze) so engine `ORDER BY` on doubles can never disagree
-  * in the last ulp.
+  * (⌊score·1e6 + 0.5⌋ DESC, id ASC) — the integer micro-unit freeze
+  * (the repo-wide 6dp freeze) IS the selection-order contract, not an
+  * implementation detail: two scores within 1e-6 of each other TIE and
+  * cut in id order, on both engines, so engine `ORDER BY` on raw
+  * doubles can never disagree in the last ulp. Select the maximal
+  * prefix whose running token sum stays ≤ `budgetTokens` (each document
+  * counts its own tokens — the first document that would overflow the
+  * budget stops the prefix).
   *
   * Scale shape — deliberately NOT a global corpus sort: a 100 TB corpus
   * cannot `ORDER BY score` to take a prefix. Instead:

@@ -98,10 +98,20 @@ object Decontamination {
     *
     * Argmin ties break to the lower eval id on raw doubles (the SQL
     * `ORDER BY <raw fold>, ref_id` contract); `cos_dist` is rounded 6dp
-    * for oracle-stable output AFTER the argmin. */
+    * for oracle-stable output AFTER the argmin.
+    *
+    * The eval collect is guarded by `maxEvalRows` (default 1e6 — far
+    * above any benchmark suite, far below a mis-pointed train frame):
+    * an eval side over the cap fails LOUDLY naming the knob instead of
+    * silently OOMing the driver. */
   def semanticContamination(train: DataFrame, eval0: DataFrame, idCol: String,
-      vecCol: String, maxDist: Double): DataFrame = {
+      vecCol: String, maxDist: Double, maxEvalRows: Int = 1000000): DataFrame = {
     require(maxDist >= 0.0, s"maxDist must be >= 0, got $maxDist")
+    val evalCount = eval0.count()
+    require(evalCount <= maxEvalRows,
+      s"semanticContamination eval set has $evalCount rows, over the driver-collect cap " +
+        s"maxEvalRows=$maxEvalRows — the eval side must be the SMALL (benchmark) frame; " +
+        s"raise maxEvalRows only if the driver can hold that many vectors")
     val refs = eval0.select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

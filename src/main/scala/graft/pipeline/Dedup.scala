@@ -106,14 +106,26 @@ object Dedup {
         Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(idCol))))
       .filter(col("_rn") <= maxBucket).drop("_rn")
 
-  private def logDrops(name: String, banded: DataFrame, bucketKeys: Seq[String],
-      idCol: String, maxBucket: Int, enabled: Boolean): Unit =
-    if (enabled) {
-      val dropped = banded.withColumn("_rn", row_number().over(
-          Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(idCol))))
-        .filter(col("_rn") > maxBucket).count()
-      if (dropped > 0)
-        log.warn(s"$name: bucket cap $maxBucket dropped $dropped banded rows (recall, not precision)")
+  /** Audit the per-bucket cap. `fail = true` is for callers whose output
+    * is held to an oracle that replays NO cap (the driver's hash-match
+    * gates): a cap that silently binds would diverge from the oracle in
+    * a new data regime and hash-mismatch mysteriously — strict mode
+    * turns that into a loud, named failure at mining time instead. The
+    * audit is one map-side-partial groupBy count (no window shuffle of
+    * the banded rows into per-bucket hot partitions). */
+  private def checkDrops(name: String, banded: DataFrame, bucketKeys: Seq[String],
+      maxBucket: Int, logEnabled: Boolean, failEnabled: Boolean): Unit =
+    if (logEnabled || failEnabled) {
+      val dropped = banded.groupBy(bucketKeys.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+        .agg(coalesce(sum(col("_n") - maxBucket), lit(0L))).head().getLong(0)
+      if (dropped > 0) {
+        val msg = s"$name: bucket cap $maxBucket dropped $dropped banded rows (recall, not precision)"
+        if (failEnabled) throw new IllegalStateException(
+          s"$msg — this mining pass feeds an oracle that replays no cap; " +
+            "grow the blocking key space (nlist / LSH params) or raise maxBucket")
+        log.warn(msg)
+      }
     }
 
   /** Expand verified rep-level pairs to all member-level pairs (groups
@@ -678,7 +690,7 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double,
       shingleSize: Int = 3, maxBucket: Int = 4096,
       logDroppedBuckets: Boolean = false): DataFrame = {
-    logDrops("minhash", banded, Seq("band", "bucket"), idCol, maxBucket, logDroppedBuckets)
+    checkDrops("minhash", banded, Seq("band", "bucket"), maxBucket, logDroppedBuckets, failEnabled = false)
     val capped = capBuckets(banded, Seq("band", "bucket"), idCol, maxBucket)
     val candidates = capped.join(
         capped.withColumnRenamed(idCol, "_id_b"), Seq("band", "bucket"))
@@ -794,7 +806,7 @@ object Dedup {
         shiftrightunsigned(col("sh64"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
       val banded = hashed.select(col(idCol), col("sh64"), posexplode(words))
         .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
-      logDrops("simhash", banded, Seq("word", "bucket"), idCol, maxBucket, logDroppedBuckets)
+      checkDrops("simhash", banded, Seq("word", "bucket"), maxBucket, logDroppedBuckets, failEnabled = false)
       val capped = capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
       val left = capped.select(col("word"), col("bucket"), col(idCol).as("id_a"), col("sh64").as("ha"))
       val right = capped.select(col("word"), col("bucket"), col(idCol).as("id_b"), col("sh64").as("hb"))
@@ -888,7 +900,8 @@ object Dedup {
   def cosineCandidateDistances(df: DataFrame, idCol: String, vecCol: String,
       params: LshParams, maxBucket: Int = 4096,
       logDroppedBuckets: Boolean = false,
-      coded0: Option[DataFrame] = None): DataFrame = {
+      coded0: Option[DataFrame] = None,
+      failOnCappedBuckets: Boolean = false): DataFrame = {
     // standalone path keeps the eager rep checkpoint (the bucket
     // self-join reads two sides) and frees it before returning; a
     // caller-shared coded0 skips both
@@ -899,7 +912,7 @@ object Dedup {
         (Lsh.withCodes(reps, vecCol, params)
           .select(col(idCol), explode(col("codes")).as("code")), Some(reps))
     }
-    logDrops("cosine", coded, Seq("code"), idCol, maxBucket, logDroppedBuckets)
+    checkDrops("cosine", coded, Seq("code"), maxBucket, logDroppedBuckets, failOnCappedBuckets)
     val capped = capBuckets(coded, Seq("code"), idCol, maxBucket)
     val candidates = capped.join(
         capped.withColumnRenamed(idCol, "_id_b"), "code")
@@ -946,12 +959,13 @@ object Dedup {
     * not the sizing mechanism. */
   def cosineIvfCandidateDistances(df: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Float]], nAssign: Int = 2, maxBucket: Int = 4096,
-      logDroppedBuckets: Boolean = false): DataFrame = {
+      logDroppedBuckets: Boolean = false,
+      failOnCappedBuckets: Boolean = false): DataFrame = {
     require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
     val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
     val celled = reps.select(col(idCol),
       explode(graft.functions.TopCellsExpr(col(vecCol), centers, nAssign)).as("cell"))
-    logDrops("semantic-ivf", celled, Seq("cell"), idCol, maxBucket, logDroppedBuckets)
+    checkDrops("semantic-ivf", celled, Seq("cell"), maxBucket, logDroppedBuckets, failOnCappedBuckets)
     val capped = capBuckets(celled, Seq("cell"), idCol, maxBucket)
     val candidates = capped.join(
         capped.withColumnRenamed(idCol, "_id_b"), "cell")

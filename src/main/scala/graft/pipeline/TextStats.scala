@@ -223,16 +223,34 @@ object TextStats {
     * rather than disappearing — row count is stable, so the pass composes
     * with downstream per-doc stats.
     *
-    * Scale shape: the boilerplate list is ≤ k rows and is broadcast into
-    * the line-gram semi-join, so the corpus-side work is one narrow
-    * explode + broadcast semi-join + anti-join; the only corpus-wide
-    * shuffle is the per-doc reassembly groupBy, which IS the
-    * materialization of the output. Line grams reuse the
+    * Scale shape — two jobs, one corpus ranking scan, no checkpoint:
+    * pass 1's k winners are a BOUNDED collect (k grams ride the task
+    * closure as a literal — the same bounded-artifact pattern as IVF
+    * centroids), replacing `topNgrams`' shared-reuse localCheckpoint,
+    * which a single-use caller pays for without reusing (r10 measured
+    * it as this composite's 0.19 → 0.62 s regression). Pass 2 (exact
+    * doc_freq for the winners, narrow literal membership filter +
+    * bounded distinct agg) stays LAZY and fuses into the output job as
+    * a broadcast-semi-join subtree, so no third job materializes. The
+    * only corpus-wide shuffle is the per-doc reassembly groupBy, which
+    * IS the materialization of the output. Line grams reuse the
     * [[graft.functions.WordNgramsExpr]] codegen kernel. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, docFreqBar: Long): DataFrame = {
-    val boiler = topNgrams(df, idCol, textCol, n, k)
-      .filter(col("doc_freq") >= docFreqBar).select("gram")
+    val pairs = ngramPairs(df, idCol, textCol, n)
+    // pass 1: the k winners by occurrence count — bounded collect (k
+    // rows ride the closure as a literal from here on)
+    val winners = rankNgrams(pairs, k).select("gram")
+      .collect().map(_.getString(0)).toSeq
+    // pass 2 (lazy — fuses into the output job): exact doc_freq for ONLY
+    // the k winners via a narrow literal membership filter, bar-filtered
+    // to the ≤ k boilerplate grams and broadcast into the line semi-join
+    val boiler = pairs
+      .filter(col("gram").isInCollection(winners))
+      .distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= docFreqBar)
+      .select("gram")
     val lines = df.select(col(idCol).as("_id"),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
     val hit = lines

@@ -38,27 +38,35 @@ object Winnowing {
     * (id_a < id_b), with per-hash document frequency capped at
     * `maxDocFreq` before pairing. Returns (id_a, id_b, shared).
     *
-    * Plan: the boilerplate cap is ONE window count over the gram-hash
-    * partition (no doc-frequency aggregate + membership join), and the
-    * capped fingerprint set is MATERIALIZED (eager localCheckpoint)
-    * before the self-join — the join references it twice, and without
-    * the cut each side would re-run the whole kernel + explode +
-    * distinct subtree (4 corpus passes measured as the dominant cost).
+    * Plan: the boilerplate cap is a doc-frequency `groupBy(gram_hash)
+    * .count` — map-side PARTIAL aggregation, so a ubiquitous
+    * boilerplate gram collapses to per-partition counts before the
+    * shuffle instead of routing every (doc, hash) row of the hot key
+    * into one partition (the r10 window-count formulation's skew) —
+    * followed by a broadcast anti-join against the OVER-cap hashes.
+    * That side is the small one by construction: at most
+    * total_fps/maxDocFreq distinct hashes can exceed the cap, and in a
+    * real corpus boilerplate is a short list. The capped fingerprint
+    * set is then MATERIALIZED (eager localCheckpoint) before the
+    * self-join — the join references it twice, and without the cut
+    * each side would re-run the whole kernel + explode + distinct
+    * subtree (4 corpus passes measured as the dominant cost).
     * Materializing here is not a corpus-sized cache: the fingerprint
     * set is the ~2/(w+1)-density winnowing artifact, exactly what MOSS
     * persists as its index. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocFreq: Int = 50, minShared: Int = 2): DataFrame = {
     // per-doc hash dedup happens IN-ROW (array_distinct over the ~2n/w
-    // fingerprint array), not as a corpus-wide DISTINCT shuffle — the
-    // only exchange before the self-join is the doc-frequency window
+    // fingerprint array), not as a corpus-wide DISTINCT shuffle
     val fp = df.select(col(idCol).as("id"),
       explode(array_distinct(
         WinnowExpr(col(textCol), k, w).getField("hash"))).as("gram_hash"))
+    val overCap = fp.groupBy("gram_hash")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("gram_hash")
     val kept = fp
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("gram_hash")))
-      .filter(col("df") <= maxDocFreq)
+      .join(broadcast(overCap), Seq("gram_hash"), "left_anti")
       .select("id", "gram_hash")
       .localCheckpoint(true)
     kept.as("a").join(kept.as("b"), Seq("gram_hash"))

@@ -61,9 +61,11 @@ object IndexQueries {
     }),
 
     // PQ kNN: seed-42 codebooks (4 blocks × 16 dims for the 64-dim table),
-    // ADC scan, 10k-candidate margin, exact re-rank. With the margin the
-    // deterministic result equals exact kNN, which the oracle checks; a
-    // ScalaTest separately asserts the raw ADC ordering's recall.
+    // ADC scan, scale-law re-rank pool (max(64·k, 0.3·N) — derived from
+    // the measured linear ADC-rank law, no hand-tuned constant), exact
+    // re-rank. With the pool the deterministic result equals exact kNN,
+    // which the oracle checks; a ScalaTest separately asserts the raw
+    // ADC ordering's recall.
     "pq_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       ProductQuantization.search(pqModelFor(s, dir), e, "vec_id", "embedding",
@@ -584,10 +586,10 @@ object IndexQueries {
          |      FROM d)
          |WHERE rank <= 5""".stripMargin,
 
-    // With the 100-candidate ADC margin the PQ result is exactly the true
-    // top-10 — so the oracle is plain exact kNN. If the codebook degraded
-    // (non-determinism, bad training) the margin would leak a wrong
-    // candidate and this hash-mismatch.
+    // With the scale-law re-rank pool (max(64·k, 0.3·N)) the PQ result
+    // is exactly the true top-10 — so the oracle is plain exact kNN. If
+    // the codebook degraded (non-determinism, bad training) the pool
+    // would leak a wrong candidate and this hash-mismatch.
     "pq_knn" ->
       s"""SELECT e.vec_id AS vec_id, $knnDistSql AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q

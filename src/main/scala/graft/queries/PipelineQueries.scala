@@ -377,10 +377,14 @@ object PipelineQueries {
     // Symmetric int8 embedding quantization: per-vector scale, codes,
     // and max round-trip error — the 4x storage-compression pass an
     // embedding corpus ships through before ANN indexing.
+    // `codes` ships as a comma-joined string (not ARRAY<INT>): the
+    // driver's comparator sorts a pandas frame and array cells are
+    // unhashable there, so every gate column must be a sortable scalar.
     "embed_quantize" -> ((s, dir) =>
       table(s, dir, "embeddings").select(col("vec_id"),
         EmbeddingOps.quantScale(col("embedding")).as("scale"),
-        EmbeddingOps.quantizeInt8(col("embedding")).as("codes"),
+        array_join(EmbeddingOps.quantizeInt8(col("embedding")).cast("array<string>"), ",")
+          .as("codes"),
         EmbeddingOps.quantError(col("embedding")).as("max_err"))),
 
     // Quality-argmax representative per fuzzy-dup component (exact
@@ -470,14 +474,14 @@ object PipelineQueries {
     // 146 at k=16) — character-gram specificity is the knob, not the cap.
     "winnow_fingerprint" -> ((s, dir) =>
       Winnowing.fingerprints(table(s, dir, "documents"), "doc_id", "text",
-        k = 16, w = 8)),
+        k = winnowK, w = winnowW)),
 
     // Partial-overlap detection over the fingerprints: equi-join on the
     // gram hash with the MOSS boilerplate cap (doc_freq <= 10) so no
     // bucket is quadratic, pairs sharing >= 3 distinct fingerprints.
     "winnow_overlap" -> ((s, dir) =>
       Winnowing.overlapPairs(table(s, dir, "documents"), "doc_id", "text",
-        k = 16, w = 8, maxDocFreq = 10, minShared = 3)),
+        k = winnowK, w = winnowW, maxDocFreq = 10, minShared = 3)),
 
     // RAG/retrieval chunking: fixed 200-char windows, 50-char overlap,
     // final chunk clamped to the doc end — one narrow explode.
@@ -719,7 +723,7 @@ object PipelineQueries {
   private def cosineCandsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     cosineCands.computeIfAbsent(sessionKey(s, dir),
       _ => Dedup.cosineCandidateDistances(table(s, dir, "embeddings"),
-        "vec_id", "embedding", IndexQueries.lshP))
+        "vec_id", "embedding", IndexQueries.lshP, failOnCappedBuckets = true))
 
   /** Mining centroids for the semantic-dedup family: the SAME sampled-
     * centroid builder as the `ivf_knn` fixture, but with nlist scaled to
@@ -757,10 +761,13 @@ object PipelineQueries {
   private def semanticCandsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     semanticCands.computeIfAbsent(sessionKey(s, dir), _ => {
       val e = table(s, dir, "embeddings")
+      // strict cap audit (r10 ADVICE): these candidates feed hash-match
+      // oracles whose acell/vkeys CTEs replay NO bucket cap — a binding
+      // cap must fail loudly at mining time, never hash-mismatch later
       Dedup.cosineIvfCandidateDistances(e, "vec_id", "embedding",
-          semanticCentersFor(s, dir), nAssign = 4)
+          semanticCentersFor(s, dir), nAssign = 4, failOnCappedBuckets = true)
         .unionAll(Dedup.cosineCandidateDistances(e, "vec_id", "embedding",
-          IndexQueries.lshP))
+          IndexQueries.lshP, failOnCappedBuckets = true))
         .dropDuplicates("id_a", "id_b")
     })
 
@@ -772,9 +779,9 @@ object PipelineQueries {
     semanticPlantedCands.computeIfAbsent(sessionKey(s, dir), _ => {
       val fix = IndexQueries.plantedEmbeddings(s, dir)
       Dedup.cosineIvfCandidateDistances(fix, "vec_id", "embedding",
-          semanticCentersFor(s, dir), nAssign = 4)
+          semanticCentersFor(s, dir), nAssign = 4, failOnCappedBuckets = true)
         .unionAll(Dedup.cosineCandidateDistances(fix, "vec_id", "embedding",
-          IndexQueries.lshP))
+          IndexQueries.lshP, failOnCappedBuckets = true))
         .dropDuplicates("id_a", "id_b")
     })
 
@@ -883,30 +890,41 @@ object PipelineQueries {
        |           ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksSql) END) * 5.0, 1.0) * 0.3
        |    , 6)""".stripMargin
 
-  /** Winnowing-fingerprint CTE chain (k=16, w=8) shared by the
-    * winnow_fingerprint / winnow_overlap oracles, ending in
-    * `wfp(doc_id, pos, gram_hash)`. The window minimum runs as ONE
-    * window-function pass over an order-encoding key: md5 hex is fixed
-    * 32 chars, so `hash || lpad(1e9 - pos, 10, '0')` sorts by (hash asc,
-    * pos DESC) — its min per window IS the rightmost minimal gram, the
-    * Schleimer tie rule, with no banded self-join. Docs with fewer than
-    * w grams keep exactly their single all-gram window via the
-    * `j <= greatest(n - 7, 1)` clamp (window frames truncate at the
-    * partition edge, so the j=1 frame is the whole short doc). */
+  /** The winnowing parameters, shared between the Spark query
+    * definitions and the generated oracle CTE — ONE source of truth so
+    * changing either k or w re-derives every dependent literal on both
+    * sides (r10 ADVICE: the CTE used to hard-code k−1/w−1 in five
+    * scattered places). k=16/w=8: any shared run ≥ k+w−1 = 23 chars
+    * leaves a shared fingerprint; at k=8 the template vocabulary's
+    * 8-char grams made half of all doc pairs "overlap". */
+  private val winnowK = 16
+  private val winnowW = 8
+
+  /** Winnowing-fingerprint CTE chain (parameterized by [[winnowK]] /
+    * [[winnowW]]) shared by the winnow_fingerprint / winnow_overlap
+    * oracles, ending in `wfp(doc_id, pos, gram_hash)`. The window
+    * minimum runs as ONE window-function pass over an order-encoding
+    * key: md5 hex is fixed 32 chars, so `hash || lpad(1e9 - pos, 10,
+    * '0')` sorts by (hash asc, pos DESC) — its min per window IS the
+    * rightmost minimal gram, the Schleimer tie rule, with no banded
+    * self-join. Docs with fewer than w grams keep exactly their single
+    * all-gram window via the `j <= greatest(n - (w-1), 1)` clamp
+    * (window frames truncate at the partition edge, so the j=1 frame is
+    * the whole short doc). */
   private val winnowFpCtes =
-    """WITH d0 AS (SELECT doc_id, text, greatest(length(text) - 15, 0) AS n FROM documents),
+    s"""WITH d0 AS (SELECT doc_id, text, greatest(length(text) - ${winnowK - 1}, 0) AS n FROM documents),
       |g AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text
       |      FROM d0 WHERE n >= 1),
-      |h AS (SELECT doc_id, n, i, md5(substring(text, CAST(i AS INT), 16)) AS h FROM g),
+      |h AS (SELECT doc_id, n, i, md5(substring(text, CAST(i AS INT), $winnowK)) AS h FROM g),
       |wm AS (SELECT doc_id, n, i AS j,
       |         min(h || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0'))
       |           OVER (PARTITION BY doc_id ORDER BY i
-      |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sk
+      |                 ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS sk
       |       FROM h),
       |wfp AS (SELECT DISTINCT doc_id,
       |          CAST(1000000000 - CAST(substring(sk, 33, 10) AS BIGINT) AS BIGINT) AS pos,
       |          substring(sk, 1, 32) AS gram_hash
-      |        FROM wm WHERE j <= greatest(n - 7, 1))""".stripMargin
+      |        FROM wm WHERE j <= greatest(n - ${winnowW - 1}, 1))""".stripMargin
 
   /** Merge rounds for the bpe_merges / bpe_encode keys: enough to
     * exercise multi-char symbols re-pairing across rounds, small enough
@@ -1396,9 +1414,11 @@ object PipelineQueries {
         |  coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
         |  FROM embeddings)
         |SELECT vec_id, scale,
-        |  CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
-        |       ELSE list_transform(embedding,
-        |              x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT)) END AS codes,
+        |  array_to_string(
+        |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT)) END,
+        |    ',') AS codes,
         |  CASE WHEN scale = 0.0 THEN 0.0
         |       ELSE round(coalesce(list_max(list_transform(embedding,
         |              x -> abs(CAST(x AS DOUBLE)
@@ -1670,15 +1690,20 @@ object PipelineQueries {
          |WHERE rank <= 5""".stripMargin,
 
     // Budget-selection replay: the straightforward global prefix — one
-    // window cumsum over (score desc, id) — which the bucket-histogram
-    // plan must reproduce exactly, boundary bucket included.
+    // window cumsum over the selection order — which the bucket-histogram
+    // plan must reproduce exactly, boundary bucket included. The ORDER BY
+    // runs on the SAME frozen micro-units the Spark side buckets on
+    // (floor(score*1e6+0.5) DESC, doc_id): micro-unit order IS the
+    // selection contract, so two scores within 1e-6 tie and cut in id
+    // order on both engines instead of diverging on raw-double order.
     "budget_select" ->
       s"""WITH t AS (SELECT doc_id,
          |    floor($qualitySql6 * 100.0 + 0.5) / 100.0 AS score,
          |    CAST(len($toksSql) AS BIGINT) AS n_tokens
          |  FROM documents),
          |c AS (SELECT doc_id, score, n_tokens,
-         |        sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |        sum(n_tokens) OVER (
+         |          ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
          |          ROWS UNBOUNDED PRECEDING) AS cum
          |      FROM t)
          |SELECT doc_id, score, n_tokens FROM c WHERE cum <= 10000""".stripMargin,

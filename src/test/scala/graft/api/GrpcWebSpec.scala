@@ -287,6 +287,47 @@ class GrpcWebSpec extends SparkSpec {
     }
   }
 
+  test("GetVectors grpc-web-text streams: incremental base64, bounded driver buffers") {
+    withServer(8) { (srv, base) =>
+      import org.apache.spark.sql.functions._
+      val n = 400
+      val rows = spark.range(n).select(
+        format_string("00000000-0000-0000-0000-%012x", col("id")).as("id"),
+        array((0 until 8).map(i => (col("id") + i).cast("float")): _*).as("values"),
+        array().cast("array<smallint>").as("tags"),
+        concat(lit("doc "), col("id")).as("original_text"),
+        lit(0).cast("tinyint").as("priority"),
+        lit(0L).as("user_id"), lit(0L).as("org_id")).repartition(4)
+      srv.db.addVectors(rows)
+
+      // the -text path must hit the SAME streaming core as binary: the
+      // counter proves n incremental record writes (a buffered
+      // dispatchRpc reply would leave it untouched — and that fallback
+      // now throws, so a buffered path can't even answer), while the
+      // base64 body still decodes to one exact-length message frame.
+      val before = srv.streamedGetVectorsRecords.get()
+      val (lm, lt) = rpc(base, "GetVectors", Array.emptyByteArray, text = true)
+      assert(lt("grpc-status") === "0")
+      assert(lm.size === 1, s"expected one exact-length frame, got ${lm.size}")
+      assert(srv.streamedGetVectorsRecords.get() - before === n.toLong)
+      val ids = VectorProto.decodeVectorList(lm.head)
+        .map(VectorBinary.fromBinary(_).id).toSet
+      assert(ids.size === n)
+
+      // malformed base64-framed request still fails loudly on this path
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/Vector/GetVectors"))
+          .header("Content-Type", "application/grpc-web-text")
+          .method("POST", java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            java.util.Base64.getEncoder.encode(Array(0x00, 0x00, 0x00, 0x00, 0x7F).map(_.toByte))))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() === 200)
+      val decoded = java.util.Base64.getDecoder.decode(new String(resp.body()).trim)
+      assert(GrpcWeb.readFrames(decoded)._2("grpc-status") === "2")
+    }
+  }
+
   test("GetVectors pass-2 byte-count guard: divergent second pass ends body without trailers") {
     val db = new NeighborlySpark(spark, 3, autoRebuild = false)
     // test seam: pass 1 sizes the full table, pass 2 streams one row

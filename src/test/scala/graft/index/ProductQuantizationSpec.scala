@@ -51,6 +51,19 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(pq === exact)
   }
 
+  // The measured law's anchors (sf1 sweep): at N=20k a 1280-row pool missed
+  // a true top-10 (rank/N > 0.064) and 5120 sufficed (rank/N <= 0.256), so
+  // the derived pool must stay strictly above 0.256*N while growing
+  // linearly — no hand-tuned constant.
+  test("rerankPool follows the linear ADC-rank law with margin over the measured anchors") {
+    assert(ProductQuantization.rerankPool(10, 200) === 640)      // small N: 64*k floor
+    assert(ProductQuantization.rerankPool(10, 2000) === 640)     // sf0.1 regime: floor still
+    assert(ProductQuantization.rerankPool(10, 20000) === 6000)   // sf1: > the 5120 that sufficed
+    assert(ProductQuantization.rerankPool(10, 2000000) === 600000) // 100x: linear, > 0.256*N
+    assert(ProductQuantization.rerankPool(10, 20000) > (0.256 * 20000).toInt)
+    assert(ProductQuantization.rerankPool(10, 2000000) > (0.256 * 2000000).toInt)
+  }
+
   // The reference asserts no recall bar for PQ (only HNSW carries the 0.8
   // bar, served here by LSH + the margin re-rank which is exact). Raw ADC
   // on uniform-random 64-dim data quantizes coarsely; this is a sanity

@@ -48,6 +48,25 @@ class BudgetSelectSpec extends SparkSpec {
     }
   }
 
+  test("sub-micro score ties collapse into one bucket and cut in id order (the si contract)") {
+    // 0.5 and 0.5 + 4e-7 freeze to the SAME micro-unit (500000): the
+    // contract says they tie, so the cut inside the merged bucket runs
+    // in id order — doc 3 (the higher raw score!) is cut because doc 2
+    // precedes it by id. A raw-double ordering would keep doc 3 instead.
+    val rows = Seq(
+      (1L, 0.9, 10L),
+      (2L, 0.5, 10L),
+      (3L, 0.5 + 4e-7, 10L),
+      (4L, 0.1, 1L))
+    assert(run(rows, 20) == Set(1L, 2L))
+    // and a full-micro-unit gap does NOT tie: 0.5 + 2e-6 outranks 0.5
+    val apart = Seq(
+      (1L, 0.9, 10L),
+      (2L, 0.5, 10L),
+      (3L, 0.5 + 2e-6, 10L))
+    assert(run(apart, 20) == Set(1L, 3L))
+  }
+
   test("budget 0 and budget >= total") {
     val rows = Seq((1L, 0.9, 5L), (2L, 0.8, 0L), (3L, 0.7, 5L))
     assert(run(rows, 0) == naive(rows, 0))

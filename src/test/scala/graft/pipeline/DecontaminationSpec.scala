@@ -101,4 +101,15 @@ class DecontaminationSpec extends SparkSpec {
       Decontamination.semanticContamination(train, evalVecs, "vec_id", "embedding", -1.0)
     }
   }
+
+  test("semanticContamination fails loudly when the eval side exceeds the collect cap") {
+    val train2 = Seq((1L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Decontamination.semanticContamination(train2, evalVecs, "vec_id", "embedding",
+        maxDist = 0.2, maxEvalRows = 1)
+    }
+    // the error must name the knob so a mis-pointed eval frame is
+    // actionable, not a silent driver OOM
+    assert(e.getMessage.contains("maxEvalRows"), e.getMessage)
+  }
 }

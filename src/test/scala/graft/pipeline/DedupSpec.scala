@@ -336,6 +336,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("failOnCappedBuckets turns a binding bucket cap into a loud mining-time error") {
+    // three vectors in one tight cluster share every LSH bucket:
+    // maxBucket = 2 binds, and a caller whose output feeds a cap-free
+    // oracle must hear about it at mining time, not hash-mismatch later
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat())
+    val emb = (1L to 3L).map { i =>
+      val v = base.clone(); v(0) += i * 1e-4f; (i, v)
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Dedup.cosineCandidateDistances(emb, "vec_id", "embedding",
+        LshParams.serving(64), maxBucket = 2, failOnCappedBuckets = true)
+    }
+    assert(e.getMessage.contains("bucket cap"), e.getMessage)
+    // without strict mode the same mining call succeeds (recall loss only)
+    Dedup.cosineCandidateDistances(emb, "vec_id", "embedding",
+      LshParams.serving(64), maxBucket = 2).collect()
+  }
+
   test("keepBestByJaccard keeps the quality-argmax per component, singletons survive") {
     // 1=2 exact dups and 3 near-dup of 1 form one component {1,2,3};
     // quality column is injected so the argmax is NOT the min id

@@ -131,6 +131,16 @@ class TextStatsSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("stripBoilerplate on empty and all-unique corpora is a no-op (empty winner list)") {
+    import sqlImplicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.stripBoilerplate(empty, "doc_id", "text", 3, 5, 2L).collect().isEmpty)
+    val uniq = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = TextStats.stripBoilerplate(uniq, "doc_id", "text", 3, 5, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "alpha beta gamma delta")
+  }
+
   test("stripBoilerplate broadcasts the boilerplate list") {
     import sqlImplicits._
     val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")

@@ -9,6 +9,17 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def reject_arrays(df, name):
+    """The driver's comparator sorts a pandas frame; array-typed cells are
+    unhashable numpy arrays there and crash the gate. Fail locally first."""
+    if len(df) == 0:
+        return None
+    for c in df.columns:
+        v = df[c].iloc[0]
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return c
+    return None
+
 def norm(df):
     df = df[sorted(df.columns)]
     # stringify for stable compare (floats already rounded by queries)
@@ -51,6 +62,11 @@ def main():
             odf = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        bad_col = reject_arrays(sdf, name)
+        if bad_col is not None:
+            print(f"FAIL {name}: array-typed output column '{bad_col}' "
+                  f"(driver comparator cannot sort arrays — flatten or join to string)")
+            n_fail += 1; continue
         if sorted(sdf.columns) != sorted(odf.columns):
             print(f"FAIL {name}: schema {sorted(sdf.columns)} vs {sorted(odf.columns)}"); n_fail += 1; continue
         if len(sdf) != len(odf):

@@ -11,10 +11,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass intra-document repetition profile — the duplicate-n-gram
   * quality signals of the published large-corpus filtering rules
-  * (Gopher/MassiveText-style repetition cuts): a single scan of the text
-  * yields `[n_grams, distinct_grams, total_gram_chars, dup_gram_chars]`
-  * over word n-grams, from which the duplicate-n-gram fraction and the
-  * character-weighted duplicate fraction are scalar reads.
+  * (Gopher/MassiveText repetition cuts, Rae et al. 2112.11446 A1.1): a
+  * single scan of the text yields `[n_grams, distinct_grams,
+  * total_gram_chars, dup_gram_chars, top_gram_chars]` over word
+  * n-grams, from which the duplicate-n-gram fraction, the
+  * character-weighted duplicate fraction AND the top-n-gram character
+  * fraction (occurrences of the single most frequent gram × its
+  * length; ties break to the binary-smallest gram so the SQL replay's
+  * `ORDER BY cnt DESC, gram` picks the same one) are scalar reads.
   *
   * A HOF formulation needs an occurrence count per gram and is O(G²)
   * per document — quadratic in document length, wrong at corpus scale.
@@ -49,7 +53,7 @@ object RepetitionProfile {
       i += 1
     }
     val t = starts.size()
-    val out = new Array[Long](4)
+    val out = new Array[Long](5)
     if (t < n) return out
     val counts = new java.util.HashMap[String, Long](t * 2)
     val sb = new java.lang.StringBuilder()
@@ -69,11 +73,20 @@ object RepetitionProfile {
       g += 1
     }
     out(1) = counts.size().toLong
+    var topCnt = 0L
+    var topGram: String = null
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getValue > 1L) out(3) += e.getValue * e.getKey.length.toLong
+      // top gram: highest count, ties to the binary-smallest gram (the
+      // HashMap's iteration order never decides)
+      if (e.getValue > topCnt ||
+          (e.getValue == topCnt && topGram != null && e.getKey.compareTo(topGram) < 0)) {
+        topCnt = e.getValue; topGram = e.getKey
+      }
     }
+    if (topGram != null) out(4) = topCnt * topGram.length.toLong
     out
   }
 }

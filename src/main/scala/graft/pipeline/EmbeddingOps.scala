@@ -44,6 +44,82 @@ object EmbeddingOps {
       (x, d) => abs(x.cast("double") - d))), lit(0.0)), 6)
   }
 
+  /** Driver mirror of the engine's cosine kernel (DistanceExpr
+    * CosineSimilarity): one sequential float→double fold per
+    * accumulator, `dot / (√na · √nb)` — bit-identical to the
+    * distributed expression, so scores computed over the collected
+    * candidate pool replay against a SQL oracle. */
+  private def cosSim(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein,
+    * SIGIR 1998) — the standard RAG re-rank that trades relevance
+    * against redundancy: greedily pick
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`
+    * (max over the empty selection = 0, so the first pick is the most
+    * relevant candidate). All similarities are 6dp-rounded (the
+    * repo-wide freeze) BEFORE the score arithmetic and ties break to
+    * the lower id, so the greedy trajectory is deterministic and
+    * SQL-replayable step by step.
+    *
+    * Scale shape: candidate generation is the DISTRIBUTED part — one
+    * codegen cosine scan + `TakeOrderedAndProject` bounded top-C — and
+    * the greedy loop runs on the driver over the collected C-row pool
+    * (C ≤ 4096 enforced; the pool is the bounded artifact, like IVF
+    * centroids — MMR is inherently sequential in k, and k·C driver
+    * similarity evaluations are microseconds). Returns
+    * (rank, id, score) nearest-trajectory-first. */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, candidates: Int = 50,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    require(candidates <= 4096,
+      s"candidates ($candidates) is a bounded driver collect — cap 4096")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    val spark = corpus.sparkSession
+    val pool = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        round(Distances.cosineSimilarity(col(vecCol), typedLit(query)), 6).as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(candidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1) // ascending-id iteration makes strict > keep the lower id on ties
+    val selectedVecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val taken = scala.collection.mutable.LinkedHashSet[Long]()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var rank = 1L
+    while (rank <= k && taken.size < pool.length) {
+      var bestId = -1L; var bestVec: Array[Float] = null
+      var bestScore = Double.NegativeInfinity
+      pool.foreach { case (id, v, rel) =>
+        if (!taken.contains(id)) {
+          val maxSel =
+            if (selectedVecs.isEmpty) 0.0
+            else selectedVecs.map(s => round6(cosSim(v, s))).max
+          val score = lambda * rel - (1.0 - lambda) * maxSel
+          if (score > bestScore) { bestScore = score; bestId = id; bestVec = v }
+        }
+      }
+      taken += bestId
+      selectedVecs += bestVec
+      out += ((rank, bestId, round6(bestScore)))
+      rank += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "id", "score")
+  }
+
   /** Hard-negative mining for contrastive/embedding training (the DPR /
     * sentence-transformers prep step): for every query vector, the k
     * NEAREST corpus vectors farther than `minDist` — close enough to be

@@ -126,6 +126,72 @@ object TextStats {
       .otherwise(element_at(p, 4).cast("double") / chars)
   }
 
+  /** Top-n-gram character fraction (Gopher A1.1): occurrences of the
+    * single most frequent word n-gram × its character length, over the
+    * total gram characters — the "one phrase dominates the page" signal
+    * the duplicate fraction misses when the dominator is the ONLY
+    * repeated gram. Ties break to the binary-smallest gram (kernel and
+    * SQL replay agree). 0.0 for texts with no n-grams. */
+  def topNgramCharFrac(textCol: Column, n: Int): Column = {
+    val p = RepetitionProfileExpr(textCol, n)
+    val chars = element_at(p, 3).cast("double")
+    when(chars === 0.0, lit(0.0))
+      .otherwise(element_at(p, 5).cast("double") / chars)
+  }
+
+  /** Duplicate segment (line / paragraph) fraction — share of non-empty
+    * segments that are exact repeats of an earlier one:
+    * 1 − distinct/total ([[graft.functions.SegmentRepetitionExpr]],
+    * `sep = "\n"` for lines, `"\n\n"` for paragraphs). */
+  def dupSegmentFrac(textCol: Column, sep: String): Column = {
+    val p = graft.functions.SegmentRepetitionExpr(textCol, sep)
+    val tot = element_at(p, 1).cast("double")
+    when(tot === 0.0, lit(0.0))
+      .otherwise(lit(1.0) - element_at(p, 2).cast("double") / tot)
+  }
+
+  /** Character-weighted duplicate segment fraction — share of segment
+    * characters inside segments occurring more than once. */
+  def dupSegmentCharFrac(textCol: Column, sep: String): Column = {
+    val p = graft.functions.SegmentRepetitionExpr(textCol, sep)
+    val chars = element_at(p, 3).cast("double")
+    when(chars === 0.0, lit(0.0))
+      .otherwise(element_at(p, 4).cast("double") / chars)
+  }
+
+  /** The FULL Gopher repetition battery (Rae et al. 2112.11446 A1.1) as
+    * one struct column — the 13 repetition cuts most large-corpus
+    * pipelines apply beside the word-level rules of [[gopherProfile]]:
+    * duplicate line/paragraph fraction ≤ 0.30, duplicate line/paragraph
+    * CHARACTER fraction ≤ 0.20, top-{2,3,4}-gram character fraction ≤
+    * {0.20, 0.18, 0.16}, duplicate-{5..10}-gram character fraction ≤
+    * {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}. All fractions are rounded
+    * 6dp BEFORE the threshold compare (the repo-wide freeze, so both
+    * engines cut identically at the boundary); `keep` is the AND of all
+    * thirteen. Narrow per-document codegen kernels throughout — one
+    * [[graft.functions.RepetitionProfileExpr]] pass per n (9), two
+    * [[graft.functions.SegmentRepetitionExpr]] passes — zero shuffle. */
+  def gopherRepetition(textCol: Column): Column = {
+    val dupLine = round(dupSegmentFrac(textCol, "\n"), 6)
+    val dupPara = round(dupSegmentFrac(textCol, "\n\n"), 6)
+    val dupLineCh = round(dupSegmentCharFrac(textCol, "\n"), 6)
+    val dupParaCh = round(dupSegmentCharFrac(textCol, "\n\n"), 6)
+    val tops = Seq(2, 3, 4).map(n => n -> round(topNgramCharFrac(textCol, n), 6))
+    val dups = Seq(5, 6, 7, 8, 9, 10).map(n => n -> round(dupNgramCharFrac(textCol, n), 6))
+    val topBars = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupBars = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    val keep = Seq(
+      dupLine <= 0.30, dupPara <= 0.30, dupLineCh <= 0.20, dupParaCh <= 0.20) ++
+      tops.map { case (n, c) => c <= topBars(n) } ++
+      dups.map { case (n, c) => c <= dupBars(n) }
+    struct(
+      (Seq(dupLine.as("dup_line_frac"), dupPara.as("dup_para_frac"),
+        dupLineCh.as("dup_line_char_frac"), dupParaCh.as("dup_para_char_frac")) ++
+        tops.map { case (n, c) => c.as(s"top${n}_char_frac") } ++
+        dups.map { case (n, c) => c.as(s"dup${n}_char_frac") } :+
+        keep.reduce(_ && _).as("keep")): _*)
+  }
+
   /** Training-data text scrub: strip URLs and email addresses (the
     * standard PII/noise pass before tokenization), then collapse runs of
     * whitespace and trim. Pure codegen'd regexp_replace chain — patterns

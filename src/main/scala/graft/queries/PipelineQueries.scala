@@ -49,6 +49,21 @@ object PipelineQueries {
         round(TextStats.dupNgramCharFrac(col("text"), 3), 6).as("dup3_char_frac"))
     }),
 
+    // The FULL Gopher repetition battery (Rae 2112.11446 A1.1): dup
+    // line/paragraph (+char) fractions, top-{2,3,4}-gram char fractions,
+    // dup-{5..10}-gram char fractions, and the 13-rule keep flag — all
+    // narrow per-doc codegen kernel passes, zero shuffle. Complements
+    // gopher_filter (the word-level rules) and text_repetition (the
+    // 2/3-gram dup stats).
+    "gopher_repetition" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val g = TextStats.gopherRepetition(col("text"))
+      val fields = Seq("dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+        "dup_para_char_frac", "top2_char_frac", "top3_char_frac", "top4_char_frac") ++
+        (5 to 10).map(n => s"dup${n}_char_frac") :+ "keep"
+      d.select(col("doc_id") +: fields.map(f => g.getField(f).as(f)): _*)
+    }),
+
     // Deterministic corpus sampling (salted md5-fraction membership —
     // stable across runs/partitioning/engines). Split and mixture are
     // stateless narrow maps; exact-binary fractions keep the literal
@@ -515,6 +530,20 @@ object PipelineQueries {
         q, "query_id", "qv", k = 5, minDist = 0.05)
     }),
 
+    // MMR diverse top-k (Carbonell/Goldstein SIGIR'98): relevance-vs-
+    // redundancy greedy re-rank over a bounded candidate pool — the
+    // standard RAG diversity pass. The oracle replays every greedy step
+    // (k unrolled argmax CTEs over the same 6dp-rounded similarities),
+    // so the full trajectory is hash-checked, not just the final set.
+    "mmr_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      EmbeddingOps.mmrSelect(e, "vec_id", "embedding", q,
+          k = 5, candidates = 50, lambda = 0.7)
+        .select(col("rank"), col("id").as("vec_id"), col("score"))
+    }),
+
     // Token-budget selection: best-scoring docs until 10k tokens are
     // spent. Scores coarsen to 2dp via the explicit floor freeze (big
     // tie buckets → the boundary-bucket path actually runs); selection
@@ -926,6 +955,83 @@ object PipelineQueries {
       |          substring(sk, 1, 32) AS gram_hash
       |        FROM wm WHERE j <= greatest(n - ${winnowW - 1}, 1))""".stripMargin
 
+  /** gopher_repetition oracle generators — per-n CTE triples so the 9
+    * gram sizes and both segment levels replay from ONE template (the
+    * winnowFpCtes lesson: scattered per-n literals desynchronize).
+    * Grams keep original case (RepetitionProfile does not fold) and the
+    * whitespace class is spelled out (RE2's \s lacks \x0b). */
+  private def repGramCtes(n: Int): String =
+    s"""g$n AS (SELECT doc_id, array_to_string(tk[i:i+${n - 1}], ' ') AS gram
+       |        FROM (SELECT doc_id, tk,
+       |                unnest(generate_series(1, len(tk) - ${n - 1})) AS i FROM rtoks)),
+       |c$n AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+       |        FROM g$n GROUP BY doc_id, gram)""".stripMargin
+
+  /** Top-gram char fraction: (cnt DESC, gram) picks the kernel's
+    * binary-smallest tie winner; denominator = total gram chars. */
+  private def repTopCte(n: Int): String =
+    s"""t$n AS (SELECT doc_id, round(CAST(cnt * glen AS DOUBLE) / tot, 6) AS frac
+       |        FROM (SELECT doc_id, cnt, glen,
+       |                sum(cnt * glen) OVER (PARTITION BY doc_id) AS tot,
+       |                row_number() OVER (PARTITION BY doc_id
+       |                  ORDER BY cnt DESC, gram) AS rn
+       |              FROM c$n) WHERE rn = 1)""".stripMargin
+
+  private def repDupCte(n: Int): String =
+    s"""d$n AS (SELECT doc_id,
+       |          round(CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * glen END), 0) AS DOUBLE)
+       |                / sum(cnt * glen), 6) AS frac
+       |        FROM c$n GROUP BY doc_id)""".stripMargin
+
+  /** Line ("\n") / paragraph ("\n\n") exact-duplicate segment stats;
+    * empty segments dropped on both engines (the kernel's contract). */
+  private def repSegCtes(tag: String, sepSql: String): String =
+    s"""${tag}seg AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, $sepSql), x -> x != '')) AS seg
+       |  FROM documents),
+       |${tag}c AS (SELECT doc_id, seg, count(*) AS cnt, length(seg) AS slen
+       |        FROM ${tag}seg GROUP BY doc_id, seg),
+       |${tag}f AS (SELECT doc_id,
+       |          round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_frac,
+       |          round(CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * slen END), 0) AS DOUBLE)
+       |                / sum(cnt * slen), 6) AS dup_char_frac
+       |        FROM ${tag}c GROUP BY doc_id)""".stripMargin
+
+  /** mmr_topk oracle: the greedy MMR trajectory unrolled into k argmax
+    * CTEs. Every similarity is the 6dp-rounded engine cosine
+    * ([[sqlCosineSim]], whose sequential folds mirror the kernel), the
+    * score arithmetic renders `(1.0 - λ)` literally so both engines
+    * compute the SAME IEEE double (Scala's `1.0 - 0.7` ≠ a literal
+    * `0.3`), and every step's ORDER BY (score DESC, vec_id) matches the
+    * driver loop's strict-> ascending-id tie rule. */
+  private lazy val mmrOracleSql: String = {
+    val k = 5; val c = 50; val lam = "0.7"
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (SELECT c.vec_id AS vec_id,
+         |  $lam * c.rel - (1.0 - $lam) * (SELECT max(pw.sim) FROM pw
+         |     WHERE pw.da = c.vec_id AND pw.db IN (SELECT vec_id FROM a${i - 1})) AS score
+         |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM a${i - 1})
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |a$i AS (SELECT vec_id FROM a${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, vec_id, round(score, 6) AS score FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding,
+       |           ${sqlCosineSim("e.embedding", "q.qv")} AS rel
+       |         FROM embeddings e, q
+       |         ORDER BY rel DESC, vec_id LIMIT $c),
+       |pw AS (SELECT a.vec_id AS da, b.vec_id AS db,
+       |         ${sqlCosineSim("a.embedding", "b.embedding")} AS sim
+       |       FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+       |s1 AS (SELECT vec_id, $lam * rel AS score FROM cand
+       |       ORDER BY score DESC, vec_id LIMIT 1),
+       |a1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |$finalSel""".stripMargin
+  }
+
   /** Merge rounds for the bpe_merges / bpe_encode keys: enough to
     * exercise multi-char symbols re-pairing across rounds, small enough
     * that the unrolled SQL replay stays readable. */
@@ -1254,6 +1360,48 @@ object PipelineQueries {
         |  coalesce(a3.dup3_frac, 0.0) AS dup3_frac,
         |  coalesce(a3.dup3_char_frac, 0.0) AS dup3_char_frac
         |FROM documents d LEFT JOIN a3 USING (doc_id) LEFT JOIN a2 USING (doc_id)""".stripMargin,
+
+    // Full Gopher repetition battery replay: 9 generated gram-size CTE
+    // triples + 2 segment levels; thresholds compare the same rounded
+    // 6dp values the Spark side cuts on. LEFT JOIN + coalesce gives
+    // short/empty docs all-zero fractions (keep = true), matching the
+    // kernels' zero returns.
+    "gopher_repetition" -> {
+      val gramCtes = (2 to 10).map(repGramCtes).mkString(",\n")
+      val topCtes = (2 to 4).map(repTopCte).mkString(",\n")
+      val dupCtes = (5 to 10).map(repDupCte).mkString(",\n")
+      val topCols = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+      val dupCols = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+      val selCols = Seq(
+        "coalesce(lf.dup_frac, 0.0) AS dup_line_frac",
+        "coalesce(pf.dup_frac, 0.0) AS dup_para_frac",
+        "coalesce(lf.dup_char_frac, 0.0) AS dup_line_char_frac",
+        "coalesce(pf.dup_char_frac, 0.0) AS dup_para_char_frac") ++
+        topCols.map { case (n, _) => s"coalesce(t$n.frac, 0.0) AS top${n}_char_frac" } ++
+        dupCols.map { case (n, _) => s"coalesce(d$n.frac, 0.0) AS dup${n}_char_frac" }
+      val keepConds = Seq(
+        "coalesce(lf.dup_frac, 0.0) <= 0.30",
+        "coalesce(pf.dup_frac, 0.0) <= 0.30",
+        "coalesce(lf.dup_char_frac, 0.0) <= 0.20",
+        "coalesce(pf.dup_char_frac, 0.0) <= 0.20") ++
+        topCols.map { case (n, b) => s"coalesce(t$n.frac, 0.0) <= $b" } ++
+        dupCols.map { case (n, b) => s"coalesce(d$n.frac, 0.0) <= $b" }
+      val joins = (Seq("lf", "pf") ++ (2 to 4).map(n => s"t$n") ++ (5 to 10).map(n => s"d$n"))
+        .map(t => s"LEFT JOIN $t ON $t.doc_id = d.doc_id").mkString("\n")
+      s"""WITH rtoks AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS tk
+         |  FROM documents),
+         |$gramCtes,
+         |$topCtes,
+         |$dupCtes,
+         |${repSegCtes("l", "chr(10)")},
+         |${repSegCtes("p", "chr(10) || chr(10)")}
+         |SELECT d.doc_id AS doc_id,
+         |  ${selCols.mkString(",\n  ")},
+         |  (${keepConds.mkString(" AND ")}) AS keep
+         |FROM documents d
+         |$joins""".stripMargin
+    },
 
     // full replay of the exact similarity join: string shingles sorted
     // lexicographically (the prefix filter is lossless under any global
@@ -1688,6 +1836,8 @@ object PipelineQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
          |      FROM d WHERE dist > 0.05)
          |WHERE rank <= 5""".stripMargin,
+
+    "mmr_topk" -> mmrOracleSql,
 
     // Budget-selection replay: the straightforward global prefix — one
     // window cumsum over the selection order — which the bucket-histogram

@@ -81,6 +81,39 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted)
   }
 
+  test("mmrSelect demotes a near-duplicate of the first pick below a diverse runner-up") {
+    // query = x-axis. Pure relevance order is (1, 2, 3): id 2 is a
+    // near-dup of id 1 (sim ≈ 1), id 3 mirrors id 1 across the x-axis
+    // (equally relevant direction, mutual sim only ~0.8). At λ=0.5 the
+    // redundancy tax flips the second pick from 2 to 3.
+    val corpus = frame(Seq(
+      Array(0f, 0f, 1f),          // 0: orthogonal to the query
+      Array(0.95f, 0.312f, 0f),   // 1: top hit
+      Array(0.95f, 0.315f, 0f),   // 2: near-dup of 1, slightly less relevant
+      Array(0.95f, -0.312f, 0f))) // 3: diverse, same relevance band
+    val out = EmbeddingOps.mmrSelect(corpus, "vec_id", "embedding",
+        Array(1f, 0f, 0f), k = 2, candidates = 4, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).toSeq === Seq(1L, 3L), s"got ${out.toSeq}")
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+  }
+
+  test("mmrSelect: lambda=1 is pure relevance order; guards reject bad parameters") {
+    def unit(deg: Double) =
+      Array(math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val corpus = frame(Seq(unit(10), unit(20), unit(30), unit(40)))
+    val pure = EmbeddingOps.mmrSelect(corpus, "vec_id", "embedding",
+        unit(0), k = 3, candidates = 4, lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(pure === Seq(0L, 1L, 2L)) // nearest angles first
+    intercept[IllegalArgumentException](EmbeddingOps.mmrSelect(
+      corpus, "vec_id", "embedding", unit(0), k = 0))
+    intercept[IllegalArgumentException](EmbeddingOps.mmrSelect(
+      corpus, "vec_id", "embedding", unit(0), k = 5, candidates = 3))
+    intercept[IllegalArgumentException](EmbeddingOps.mmrSelect(
+      corpus, "vec_id", "embedding", unit(0), k = 1, candidates = 9999))
+  }
+
   test("hard negatives: the heap is partial-aggregable (one bounded shuffle)") {
     val corpus = frame((0 until 64).map(i =>
       Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))

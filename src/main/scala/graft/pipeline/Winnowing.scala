@@ -46,29 +46,38 @@ object Winnowing {
     * followed by a broadcast anti-join against the OVER-cap hashes.
     * That side is the small one by construction: at most
     * total_fps/maxDocFreq distinct hashes can exceed the cap, and in a
-    * real corpus boilerplate is a short list. The capped fingerprint
-    * set is then MATERIALIZED (eager localCheckpoint) before the
-    * self-join — the join references it twice, and without the cut
-    * each side would re-run the whole kernel + explode + distinct
-    * subtree (4 corpus passes measured as the dominant cost).
-    * Materializing here is not a corpus-sized cache: the fingerprint
-    * set is the ~2/(w+1)-density winnowing artifact, exactly what MOSS
-    * persists as its index. */
+    * real corpus boilerplate is a short list. The raw fingerprint set
+    * is MATERIALIZED (eager localCheckpoint) before anything reads it
+    * — the doc-freq aggregate and BOTH self-join sides — so the kernel
+    * + explode + distinct subtree runs once, not three times (the
+    * broadcast anti-join itself is narrow and cheap to replay per
+    * side, and its overCap build reuses one exchange). Materializing
+    * here is not a corpus-sized cache: the fingerprint set is the
+    * ~2/(w+1)-density winnowing artifact, exactly what MOSS persists
+    * as its index. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocFreq: Int = 50, minShared: Int = 2): DataFrame = {
     // per-doc hash dedup happens IN-ROW (array_distinct over the ~2n/w
-    // fingerprint array), not as a corpus-wide DISTINCT shuffle
+    // fingerprint array), not as a corpus-wide DISTINCT shuffle. The
+    // fingerprint artifact itself is the materialization point: the
+    // doc-frequency aggregate AND both self-join sides read the
+    // checkpoint, so the kernel + explode pass runs exactly ONCE (a
+    // lazy fp would re-run it inside the overCap subtree).
     val fp = df.select(col(idCol).as("id"),
       explode(array_distinct(
         WinnowExpr(col(textCol), k, w).getField("hash"))).as("gram_hash"))
+      .localCheckpoint(true)
     val overCap = fp.groupBy("gram_hash")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("gram_hash")
-    val kept = fp
-      .join(broadcast(overCap), Seq("gram_hash"), "left_anti")
-      .select("id", "gram_hash")
-      .localCheckpoint(true)
+    // measured trade (sf0.1 isolated): ~1.6 s for the r10 per-hash
+    // window formulation vs ~1.9 s here — the window rode ONE reusable
+    // exchange but funneled every row of a hot hash into a single
+    // partition BEFORE the cap could bound it (straggler + spill at
+    // corpus scale); this shape pays one extra bounded aggregate at
+    // toy scale to keep the uncapped hot key out of any single task
+    val kept = fp.join(broadcast(overCap), Seq("gram_hash"), "left_anti")
     kept.as("a").join(kept.as("b"), Seq("gram_hash"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -48,6 +48,80 @@ object Dedup {
       exactGroups(df, idCol, contentCol).select(col("keep_id").as(idCol)),
       idCol)
 
+  // ------------------------------------------------- normalized ("fuzzy-exact")
+
+  /** C4-style normalization for fuzzy-exact dedup (Raffel et al.,
+    * arXiv:1910.10683 §2.2 variant): lowercase, collapse every
+    * non-alphanumeric run to one space, trim. Catches the dominant
+    * real-corpus duplicate class exact dedup misses — same content with
+    * different casing, punctuation, or whitespace — while staying a pure
+    * narrow column expression. The explicit `[^a-z0-9]` class (not
+    * `\\p{L}\\p{N}`) keeps Java-regex and RE2/DuckDB semantics identical.
+    */
+  def normalizeText(textCol: Column): Column =
+    trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " "))
+
+  /** Normalized dedup groups: [[exactGroups]] keyed on
+    * [[normalizeText]](content) — one row per normalized-content hash
+    * with the representative (minimum) id and the duplicate count. Same
+    * single hash-partitioned aggregate shuffle; the normalization rides
+    * the map side. */
+  def normalizedGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(contentCol)).cast("binary")).as("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Rows surviving normalized dedup (the representative per normalized
+    * content). */
+  def normalized(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.join(
+      normalizedGroups(df, idCol, contentCol).select(col("keep_id").as(idCol)),
+      idCol)
+
+  // ---------------------------------------------------- paragraph dedup
+
+  /** CCNet-style corpus-wide paragraph dedup (Wenzek et al.,
+    * arXiv:1911.00359 §3.1): split every document on `sep`, keep only
+    * the FIRST occurrence (minimum `(doc_id, paragraph_index)`) of each
+    * distinct paragraph anywhere in the corpus — intra-document repeats
+    * collapse too — and reassemble the survivors in original order.
+    * Documents whose every paragraph first occurred elsewhere keep an
+    * empty-text row (the [[TextStats.stripBoilerplate]] precedent).
+    *
+    * Scale shape: the split/explode is narrow; first-occurrence
+    * resolution is ONE hash-partitioned aggregate over
+    * `(md5(paragraph), id, idx)` — the paragraph text never rides that
+    * shuffle twice because the argmin is `min(struct(id, idx))`; the
+    * keep decision joins back by paragraph hash (equi-join against the
+    * one-row-per-hash argmin frame — AQE handles boilerplate hot keys);
+    * reassembly is one groupBy(doc) sort. Three linear shuffles, no
+    * window over the corpus, no driver materialization.
+    *
+    * Returns `(id, n_paras, n_kept, text)`. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_pidx", "_para")))
+      .select(col(idCol), col("_pidx"), col("_para"), md5(col("_para").cast("binary")).as("_ph"))
+    val firsts = paras
+      .groupBy(col("_ph"))
+      .agg(min(struct(col(idCol), col("_pidx"))).as("_first"))
+      .select(col("_ph"), col("_first")(idCol).as("_fid"), col("_first")("_pidx").as("_fidx"))
+    val kept = paras.join(firsts, "_ph")
+      .withColumn("_keep", col(idCol) === col("_fid") && col("_pidx") === col("_fidx"))
+    val perDoc = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_paras"),
+      count(when(col("_keep"), 1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("_keep"), struct(col("_pidx"), col("_para"))))),
+        s => s("_para")), sep).as("text"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Whitespace tokens, lowercased. */

@@ -44,6 +44,61 @@ object EmbeddingOps {
       (x, d) => abs(x.cast("double") - d))), lit(0.0)), 6)
   }
 
+  /** Deterministic sparse sign for the Johnson–Lindenstrauss projection
+    * matrix entry `(i, j)`: the first 4 hex chars of `md5("i:j:salt")`
+    * taken mod 6 → `{0 → +1, 1 → −1, 2..5 → 0}` (Achlioptas 2001's
+    * sparse distribution: ±1 w.p. 1/6 each, 0 w.p. 2/3, scaled by
+    * `sqrt(3/dOut)`). md5-derived so a SQL oracle regenerates the exact
+    * matrix from `generate_series` — no RNG state to ship. */
+  def jlSign(i: Int, j: Int, salt: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$i:$j:$salt".getBytes("UTF-8"))
+    (((d(0) & 0xff) << 8 | (d(1) & 0xff)) % 6) match {
+      case 0 => 1
+      case 1 => -1
+      case _ => 0
+    }
+  }
+
+  /** Sparse random projection (Johnson–Lindenstrauss via Achlioptas
+    * 2001) from `dIn` to `dOut` dims — the dimension-reduction pass a
+    * 100 TB embedding corpus ships through before LSH bucketing or
+    * coarse clustering, where distance fidelity within `(1 ± ε)` is
+    * enough and a 4× narrower vector quarters every downstream shuffle.
+    *
+    * Engine parity: each input element is frozen to integer micro-units
+    * (`floor(x·1e6 + 0.5)` on the exact float→double widening), so each
+    * output coordinate is an EXACT integer dot product — order-free,
+    * codegen-friendly, and bit-identical to a SQL replay. The ±1 sign
+    * pattern is only ~1/3 dense, and the projection is built as a
+    * static per-output sum of the nonzero terms — one whole-stage
+    * codegen Project, zero shuffle, no HOF lambda in the hot path.
+    *
+    * Returns `(id, j, p_micro, proj)` where `proj = p_micro ·
+    * sqrt(3/dOut) / 1e6` rounded 6dp (`3/dOut` must be exactly
+    * representable for cross-engine sqrt parity — dOut a power of two
+    * times 3, or just keep the default 16). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      dIn: Int, dOut: Int = 16, salt: String = "jl42"): DataFrame = {
+    require(dIn >= 1 && dOut >= 1, s"dims must be >= 1, got $dIn -> $dOut")
+    def term(i: Int): Column =
+      floor(element_at(col(vecCol), i + 1).cast("double") * 1e6 + 0.5).cast("long")
+    val outs = (0 until dOut).map { j =>
+      val terms = (0 until dIn).flatMap { i =>
+        jlSign(i, j, salt) match {
+          case 1  => Some(term(i))
+          case -1 => Some(-term(i))
+          case _  => None
+        }
+      }
+      terms.reduceOption(_ + _).getOrElse(lit(0L))
+    }
+    val scale = math.sqrt(3.0 / dOut)
+    df.select(col(idCol), posexplode(array(outs: _*)).as(Seq("j", "p_micro")))
+      .select(col(idCol), col("j"), col("p_micro"),
+        round(col("p_micro").cast("double") * scale / 1e6, 6).as("proj"))
+  }
+
   /** Driver mirror of the engine's cosine kernel (DistanceExpr
     * CosineSimilarity): one sequential float→double fold per
     * accumulator, `dot / (√na · √nb)` — bit-identical to the

@@ -22,6 +22,19 @@ object PipelineQueries {
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars"))),
 
+    // C4-style fuzzy-exact dedup groups: md5 of the NORMALIZED content
+    // (lowercase, non-alphanumeric runs → one space, trim) — catches
+    // case/punctuation/whitespace variants exact dedup misses, same
+    // one-aggregate shuffle shape.
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.normalizedGroups(table(s, dir, "documents"), "doc_id", "text")),
+
+    // CCNet-style corpus-wide paragraph dedup: first occurrence (by
+    // (doc_id, idx)) of each distinct '\n'-paragraph survives, docs
+    // reassembled in order; fully-deduped docs keep an empty-text row.
+    "para_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(table(s, dir, "documents"), "doc_id", "text")),
+
     // Text profile: token counts, quality signals, language id, rolling
     // fingerprint — all pure codegen column expressions.
     "text_profile" -> ((s, dir) => {
@@ -401,6 +414,15 @@ object PipelineQueries {
         array_join(EmbeddingOps.quantizeInt8(col("embedding")).cast("array<string>"), ",")
           .as("codes"),
         EmbeddingOps.quantError(col("embedding")).as("max_err"))),
+
+    // Sparse Johnson–Lindenstrauss projection (Achlioptas 2001) 64 → 16
+    // dims: the pre-LSH/pre-clustering dimension cut. Micro-unit-frozen
+    // inputs make each output an EXACT integer dot product (order-free);
+    // the md5-derived ±1/0 sign matrix is regenerated by the oracle from
+    // generate_series. One codegen Project + explode, zero shuffle.
+    "jl_project" -> ((s, dir) =>
+      EmbeddingOps.jlProject(table(s, dir, "embeddings"), "vec_id", "embedding",
+        dIn = 64, dOut = 16)),
 
     // Quality-argmax representative per fuzzy-dup component (exact
     // Jaccard edges at 0.8 → star-contraction closure → max_by cut);
@@ -1167,6 +1189,35 @@ object PipelineQueries {
         |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
         |  ON d.doc_id = k.doc_id""".stripMargin,
 
+    // normalized-dedup replay: the same explicit [^a-z0-9]+ class (kept
+    // ASCII so Java-regex and DuckDB-RE2 agree by construction)
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |         AS norm_hash,
+        | count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // paragraph-dedup replay: split on \n, first occurrence per
+    // paragraph hash by (doc_id, idx), reassemble in order; LEFT JOIN
+    // keeps fully-deduped docs as empty text
+    "para_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, i AS pidx, parts[i] AS para, md5(parts[i]) AS ph
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts,
+        |          unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+        |        FROM documents)),
+        |k AS (SELECT doc_id, pidx, para,
+        |        row_number() OVER (PARTITION BY ph ORDER BY doc_id, pidx) AS rn
+        |      FROM p),
+        |agg AS (SELECT doc_id, count(*) AS n_paras,
+        |          count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+        |          coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+        |            ORDER BY pidx), '') AS text
+        |        FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_paras, 0) AS n_paras,
+        |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text, '') AS text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
     "text_profile" ->
       s"""SELECT doc_id,
          | CAST(len($toksSql) AS BIGINT) AS n_tokens,
@@ -1573,6 +1624,30 @@ object PipelineQueries {
         |                - CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT) * scale / 127.0))), 0.0), 6)
         |       END AS max_err
         |FROM s""".stripMargin,
+
+    // JL replay: micro-frozen elements, the md5-regenerated Achlioptas
+    // sign matrix from generate_series, exact integer dot products;
+    // proj multiplies the exact sum by sqrt(3/16) (3/16 exact binary →
+    // IEEE-correctly-rounded sqrt agrees across engines) in the same
+    // op order as the Spark column.
+    "jl_project" ->
+      """WITH m AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS mv
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, 64)) AS i FROM embeddings)),
+        |s AS (
+        |  SELECT i, j,
+        |    CASE (CAST(('0x' || substring(md5(
+        |        CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':jl42'),
+        |        1, 4)) AS BIGINT) % 6)
+        |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn
+        |  FROM (SELECT unnest(generate_series(1, 64)) AS i) a,
+        |       (SELECT unnest(generate_series(0, 15)) AS j) b)
+        |SELECT m.vec_id, s.j, CAST(sum(m.mv * s.sgn) AS BIGINT) AS p_micro,
+        |  round(CAST(sum(m.mv * s.sgn) AS DOUBLE) * sqrt(3.0 / 16.0) / 1e6, 6) AS proj
+        |FROM m JOIN s USING (i)
+        |GROUP BY m.vec_id, s.j""".stripMargin,
 
     // keep-best replay: jaccard pairs (shared CTEs) → recursive-CTE
     // closure → min-reachable-id labels → quality argmax per component

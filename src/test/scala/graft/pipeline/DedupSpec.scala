@@ -25,6 +25,40 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L, 4L, 5L))
   }
 
+  test("normalized dedup collapses case/punctuation/whitespace variants") {
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO-WORLD"),
+      (4L, "hello worlds"),
+      (5L, "")).toDF("doc_id", "text")
+    val groups = Dedup.normalizedGroups(d, "doc_id", "text").collect()
+    assert(groups.length === 3) // {hello world}×3, {hello worlds}, {empty}
+    val dup = groups.find(_.getAs[Long]("n_copies") === 3L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+    val kept = Dedup.normalized(d, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+  }
+
+  test("paragraph dedup keeps first occurrence corpus-wide, reassembles in order") {
+    val d = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),     // beta first seen in doc 1
+      (3L, "alpha\nbeta"),     // fully deduped -> empty text
+      (4L, "eps\neps\neps"),   // intra-doc repeats collapse to the first
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"), r.getAs[String]("text")))).toMap
+    assert(out(1L) === ((3L, 3L, "alpha\nbeta\ngamma")))
+    assert(out(2L) === ((2L, 1L, "delta")))
+    assert(out(3L) === ((2L, 0L, "")))
+    assert(out(4L) === ((3L, 1L, "eps")))
+    // the empty paragraph of doc 5 is itself a first occurrence
+    assert(out(5L) === ((1L, 1L, "")))
+  }
+
   test("shingles are distinct word n-grams; jaccard matches hand computation") {
     val sh = docs.filter($"doc_id" === 5).select(Dedup.shingles($"text", 2)).head().getSeq[String](0)
     assert(sh === Seq("short text"))

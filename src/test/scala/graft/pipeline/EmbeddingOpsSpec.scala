@@ -114,6 +114,53 @@ class EmbeddingOpsSpec extends SparkSpec {
       corpus, "vec_id", "embedding", unit(0), k = 1, candidates = 9999))
   }
 
+  test("jlProject matches a naive driver replay of the frozen-integer dot product") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val d = frame(vecs)
+    val got = EmbeddingOps.jlProject(d, "vec_id", "embedding", dIn = 8, dOut = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for ((v, id) <- vecs.zipWithIndex; j <- 0 until 4) {
+      val want = (0 until 8).map { i =>
+        val m = math.floor(v(i).toDouble * 1e6 + 0.5).toLong
+        m * EmbeddingOps.jlSign(i, j, "jl42")
+      }.sum
+      assert(got((id.toLong, j)) === want, s"vec $id dim $j")
+    }
+  }
+
+  test("jlProject roughly preserves pairwise distance ratios (JL guarantee, loose)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val d = frame(vecs)
+    val proj = EmbeddingOps.jlProject(d, "vec_id", "embedding", dIn = 64, dOut = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      }
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      i <- vecs.indices; k <- vecs.indices if i < k
+    } yield {
+      val orig = dist(vecs(i).map(_.toDouble).toSeq, vecs(k).map(_.toDouble).toSeq)
+      dist(proj(i.toLong).toSeq, proj(k.toLong).toSeq) / orig
+    }
+    // sqrt(3/dOut)-scaled sparse JL at dOut=16: expect ratios near 1
+    // within a generous band (this is a sanity bound, not the theorem)
+    assert(ratios.forall(r => r > 0.4 && r < 1.9),
+      s"ratio range ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.25, s"mean ratio $mean")
+  }
+
+  test("jlProject plan is one narrow codegen project (no exchange)") {
+    val d = frame(Seq.fill(4)(Array.fill(8)(0.5f)))
+    val plan = EmbeddingOps.jlProject(d, "vec_id", "embedding", dIn = 8, dOut = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("hard negatives: the heap is partial-aggregable (one bounded shuffle)") {
     val corpus = frame((0 until 64).map(i =>
       Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))

@@ -68,11 +68,12 @@ object EmbeddingOps {
     *
     * Engine parity: each input element is frozen to integer micro-units
     * (`floor(x·1e6 + 0.5)` on the exact float→double widening), so each
-    * output coordinate is an EXACT integer dot product — order-free,
-    * codegen-friendly, and bit-identical to a SQL replay. The ±1 sign
-    * pattern is only ~1/3 dense, and the projection is built as a
-    * static per-output sum of the nonzero terms — one whole-stage
-    * codegen Project, zero shuffle, no HOF lambda in the hot path.
+    * output coordinate is an EXACT integer dot product — order-free and
+    * bit-identical to a SQL replay. The dot products run in ONE codegen
+    * kernel ([[graft.functions.JlProjectExpr]]) — the equivalent
+    * column-expression sum unrolls past Janino's method-size limit at
+    * dIn = 64 and silently drops the stage out of whole-stage codegen.
+    * One Project + explode, zero shuffle.
     *
     * Returns `(id, j, p_micro, proj)` where `proj = p_micro ·
     * sqrt(3/dOut) / 1e6` rounded 6dp (`3/dOut` must be exactly
@@ -81,20 +82,10 @@ object EmbeddingOps {
   def jlProject(df: DataFrame, idCol: String, vecCol: String,
       dIn: Int, dOut: Int = 16, salt: String = "jl42"): DataFrame = {
     require(dIn >= 1 && dOut >= 1, s"dims must be >= 1, got $dIn -> $dOut")
-    def term(i: Int): Column =
-      floor(element_at(col(vecCol), i + 1).cast("double") * 1e6 + 0.5).cast("long")
-    val outs = (0 until dOut).map { j =>
-      val terms = (0 until dIn).flatMap { i =>
-        jlSign(i, j, salt) match {
-          case 1  => Some(term(i))
-          case -1 => Some(-term(i))
-          case _  => None
-        }
-      }
-      terms.reduceOption(_ + _).getOrElse(lit(0L))
-    }
     val scale = math.sqrt(3.0 / dOut)
-    df.select(col(idCol), posexplode(array(outs: _*)).as(Seq("j", "p_micro")))
+    df.select(col(idCol),
+        posexplode(graft.functions.JlProjectExpr(col(vecCol), dIn, dOut, salt))
+          .as(Seq("j", "p_micro")))
       .select(col(idCol), col("j"), col("p_micro"),
         round(col("p_micro").cast("double") * scale / 1e6, 6).as("proj"))
   }

@@ -154,11 +154,15 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(mean > 0.75 && mean < 1.25, s"mean ratio $mean")
   }
 
-  test("jlProject plan is one narrow codegen project (no exchange)") {
-    val d = frame(Seq.fill(4)(Array.fill(8)(0.5f)))
-    val plan = EmbeddingOps.jlProject(d, "vec_id", "embedding", dIn = 8, dOut = 4)
+  test("jlProject plan is one narrow project inside whole-stage codegen (no exchange)") {
+    // dIn = 64 is the regime where the unrolled column-sum formulation
+    // blew Janino's method limit and dropped the stage out of codegen;
+    // the kernel must keep the '*(n)' whole-stage markers at full width.
+    val d = frame(Seq.fill(4)(Array.fill(64)(0.5f)))
+    val plan = EmbeddingOps.jlProject(d, "vec_id", "embedding", dIn = 64, dOut = 16)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*("), s"whole-stage codegen fell out of the plan:\n$plan")
   }
 
   test("hard negatives: the heap is partial-aggregable (one bounded shuffle)") {

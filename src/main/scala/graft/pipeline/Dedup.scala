@@ -77,6 +77,32 @@ object Dedup {
       normalizedGroups(df, idCol, contentCol).select(col("keep_id").as(idCol)),
       idCol)
 
+  // ------------------------------------------------- incremental dedup
+
+  /** Incremental (batch-vs-corpus) exact dedup — the crawl-refresh
+    * shape: drop batch rows whose content already exists anywhere in
+    * the reference corpus, then keep the first (minimum-id) row of
+    * each remaining within-batch duplicate group.
+    *
+    * Scale shape: yesterday's corpus NEVER reshuffles as documents —
+    * it reduces map-side to distinct content hashes (16 bytes/doc)
+    * before the anti-join, and the batch side is the small one by
+    * construction, so AQE turns the anti-join into a broadcast when
+    * the hash set fits. Within-batch survivorship is the same
+    * one-aggregate [[exact]] shape scoped to the batch. */
+  def crossDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val seen = corpus
+      .select(md5(col(contentCol).cast("binary")).as("_ch")).distinct()
+    val fresh = batch
+      .withColumn("_ch", md5(col(contentCol).cast("binary")))
+      .join(seen, Seq("_ch"), "left_anti")
+    fresh
+      .join(fresh.groupBy(col("_ch")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol)), idCol)
+      .drop("_ch")
+  }
+
   // ---------------------------------------------------- paragraph dedup
 
   /** CCNet-style corpus-wide paragraph dedup (Wenzek et al.,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, Bpe, BudgetSelect, Chunking, CorpusSampling, Decontamination, Dedup, Dsir, EmbeddingOps, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats, Winnowing}
+import graft.pipeline.{Bm25, Bpe, BudgetSelect, Chunking, CmSketch, CorpusSampling, CorpusStats, Decontamination, Dedup, Dsir, EmbeddingOps, GraphRank, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats, Winnowing}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -34,6 +34,52 @@ object PipelineQueries {
     // reassembled in order; fully-deduped docs keep an empty-text row.
     "para_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Incremental crawl-refresh dedup: the doc_id%5==0 slice plays the
+    // incoming batch, the rest the existing corpus; batch rows whose
+    // content the corpus already holds are dropped, then within-batch
+    // duplicates collapse to the minimum id.
+    "cross_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.crossDedup(
+          d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // Per-source corpus accounting (docs / tokens / distinct contents /
+    // dup rate) — the table mixing weights are set from.
+    "source_stats" -> ((s, dir) =>
+      CorpusStats.sourceStats(table(s, dir, "documents"), "source", "text")),
+
+    // Per-language length-band quality cut: keep docs inside their own
+    // language's exact [p05, p95] length band; the 6dp-frozen bounds
+    // ride along to pin the percentile computation itself.
+    "lang_length_filter" -> ((s, dir) =>
+      CorpusStats.langLengthFilter(
+          table(s, dir, "documents"), "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("lo"), col("hi"))),
+
+    // Count-min sketch corpus token frequencies (md5-derived rows, so
+    // the oracle regenerates the identical sketch): exact top-50 tokens
+    // beside their CMS estimates — cms_n >= exact_n is the contract.
+    "cms_freq" -> ((s, dir) =>
+      CmSketch.freqEstimates(table(s, dir, "documents"), "text",
+        depth = 4, width = 1024, k = 50)),
+
+    // Integer-exact PageRank (5 iterations, d = 17/20) over the exact
+    // Jaccard similarity graph at 0.8 — nano-unit fixed-point ranks so
+    // every contribution sum is order-free and the oracle replays each
+    // iteration as one chained CTE.
+    "pagerank_sim" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      GraphRank.pageRank(
+        d.select(col("doc_id")),
+        Dedup.jaccardJoin(d, "doc_id", "text", 0.8)
+          .select(col("id_a"), col("id_b")),
+        "doc_id", iterations = 5)
+    }),
 
     // Text profile: token counts, quality signals, language id, rolling
     // fingerprint — all pure codegen column expressions.
@@ -1133,6 +1179,33 @@ object PipelineQueries {
     * over string shingles: DuckDB's DECIMAL `0.8 * cnt` keeps the prefix
     * length ⌈τ·n⌉ and the length bounds exact at integer boundaries (the
     * Spark side guards its double products with 1e-9 slack instead). */
+  /** PageRank iteration CTEs (parameterized, one source of truth with
+    * the Spark query's iteration count), built on `jpairs` from
+    * [[jaccardJoinSqlCtes]] and ending in `pr<iterations>(doc_id, r)`.
+    * All-integer nano-unit arithmetic (`//` is DuckDB integer floor
+    * division; every operand is non-negative, so it equals Spark's
+    * truncating `DIV`) — contribution sums are order-free by
+    * construction. */
+  private def pageRankCtes(iterations: Int): String = {
+    val its = (1 to iterations).map { k =>
+      val prev = if (k == 1) "pr0" else s"pr${k - 1}"
+      s"""pr$k AS (SELECT d.doc_id,
+         |    (150000000 // pn.n) + (17 * coalesce(cs.s, 0)) // 20 AS r
+         |  FROM documents d CROSS JOIN pn
+         |  LEFT JOIN (SELECT u.dst, sum(p.r // dg.deg) AS s
+         |             FROM pund u JOIN pdeg dg ON dg.src = u.src
+         |             JOIN $prev p ON p.doc_id = u.src
+         |             GROUP BY u.dst) cs ON cs.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""pund AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+       |         UNION ALL SELECT id_b, id_a FROM jpairs),
+       |pdeg AS (SELECT src, count(*) AS deg FROM pund GROUP BY src),
+       |pn AS (SELECT count(*) AS n FROM documents),
+       |pr0 AS (SELECT doc_id, 1000000000 // pn.n AS r
+       |        FROM documents CROSS JOIN pn),
+       |$its""".stripMargin
+  }
+
   private lazy val jaccardJoinSqlCtes =
     s"""jsets AS (SELECT doc_id, list_sort(${shSql("text")}) AS sh FROM documents),
        |jc AS (SELECT doc_id, sh, len(sh) AS cnt FROM jsets WHERE len(sh) > 0),
@@ -1217,6 +1290,69 @@ object PipelineQueries {
         |SELECT d.doc_id, coalesce(a.n_paras, 0) AS n_paras,
         |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text, '') AS text
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // incremental-dedup replay: NOT EXISTS anti-join against the
+    // corpus slice's distinct hashes, then min-id within the batch
+    "cross_dedup" ->
+      """WITH batch AS (SELECT doc_id, n_chars, md5(text) AS ch
+        |               FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT DISTINCT md5(text) AS ch
+        |           FROM documents WHERE doc_id % 5 != 0),
+        |fresh AS (SELECT b.* FROM batch b
+        |          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.ch = b.ch)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY ch)
+        |SELECT f.doc_id, f.n_chars
+        |FROM fresh f JOIN keep k ON f.doc_id = k.doc_id""".stripMargin,
+
+    // per-source accounting replay: token counts are the same
+    // len(toks) expression text_profile pins against the kernel
+    "source_stats" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+         |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+         |              / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         |FROM documents GROUP BY source""".stripMargin,
+
+    // per-language band replay: quantile_cont is the same (n-1)*p
+    // linear-interpolation definition as Spark's exact percentile
+    "lang_length_filter" ->
+      """WITH b AS (SELECT lang,
+        |    round(quantile_cont(n_chars, 0.05), 6) AS lo,
+        |    round(quantile_cont(n_chars, 0.95), 6) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi
+        |FROM documents d JOIN b USING (lang)
+        |WHERE CAST(d.n_chars AS DOUBLE) >= b.lo
+        |  AND CAST(d.n_chars AS DOUBLE) <= b.hi""".stripMargin,
+
+    // CMS replay: the md5-derived rows regenerate the identical
+    // sketch; the 8-hex-char prefix fits BIGINT so '%' agrees
+    "cms_freq" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |hs AS (SELECT unnest(generate_series(0, 3)) AS h),
+         |occ AS (SELECT h,
+         |    CAST(('0x' || substring(md5(CAST(h AS VARCHAR) || ':' || tok), 1, 8))
+         |         AS BIGINT) % 1024 AS bucket
+         |  FROM toks CROSS JOIN hs),
+         |sk AS (SELECT h, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM occ GROUP BY h, bucket),
+         |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks
+         |       GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 50),
+         |pr AS (SELECT ex.tok, ex.exact_n, hs.h,
+         |    CAST(('0x' || substring(md5(CAST(hs.h AS VARCHAR) || ':' || ex.tok), 1, 8))
+         |         AS BIGINT) % 1024 AS bucket
+         |  FROM ex CROSS JOIN hs)
+         |SELECT pr.tok AS token, pr.exact_n, min(sk.cnt) AS cms_n
+         |FROM pr JOIN sk ON sk.h = pr.h AND sk.bucket = pr.bucket
+         |GROUP BY pr.tok, pr.exact_n""".stripMargin,
+
+    // PageRank replay: jpairs edges -> chained integer-exact iteration
+    // CTEs generated from the SAME iteration count as the Spark query
+    "pagerank_sim" ->
+      s"""WITH $jaccardJoinSqlCtes,
+         |${pageRankCtes(5)}
+         |SELECT doc_id, CAST(r AS BIGINT) AS rank_nano FROM pr5""".stripMargin,
 
     "text_profile" ->
       s"""SELECT doc_id,

@@ -41,6 +41,18 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 4L, 5L))
   }
 
+  test("crossDedup drops batch rows the corpus already holds, then dedups within batch") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // dropped: exists in corpus
+      (11L, "brand new"),
+      (12L, "brand new"),     // within-batch dup of 11
+      (13L, "also new")).toDF("doc_id", "text")
+    val kept = Dedup.crossDedup(batch, corpus, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(11L, 13L))
+  }
+
   test("paragraph dedup keeps first occurrence corpus-wide, reassembles in order") {
     val d = Seq(
       (1L, "alpha\nbeta\ngamma"),

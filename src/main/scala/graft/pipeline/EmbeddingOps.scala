@@ -44,6 +44,51 @@ object EmbeddingOps {
       (x, d) => abs(x.cast("double") - d))), lit(0.0)), 6)
   }
 
+  /** Per-label centroid-distance outlier flags — the embedding-hygiene
+    * pass that catches mislabeled or corrupted vectors before they
+    * poison contrastive training or ANN index quality: a vector whose
+    * squared distance to its OWN label's centroid exceeds `factor ×`
+    * the label's mean squared distance is flagged.
+    *
+    * Integer-exact: elements freeze to micro-units, centroids are
+    * `sum DIV count` (truncating division — identical for negatives on
+    * both engines), distances are exact integer sums, and the flag is
+    * an integer comparison — no float crosses an engine boundary.
+    *
+    * Scale shape: the centroid aggregate's reduce side is `labels ×
+    * dims` rows (map-side partial over the narrow explode); that tiny
+    * frame is collected (guarded by `maxLabels` — the IVF-centroid
+    * bounded-literal pattern) and the distance pass is ONE narrow
+    * projection over the corpus, no per-vector shuffle. The label
+    * stats reduce to one row per label and broadcast back. */
+  def embedOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, factor: Int = 4, maxLabels: Int = 4096): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    def micro(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    val cent = df
+      .select(col(labelCol), posexplode(micro(col(vecCol))).as(Seq("pos", "m")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(expr("sum(m) DIV count(1)").as("c"))
+      .collect()
+    val labels = cent.map(_.getInt(0)).distinct
+    require(labels.length <= maxLabels,
+      s"embedOutliers collects one centroid per label; got ${labels.length} " +
+        s"labels > maxLabels=$maxLabels — raise maxLabels only if the " +
+        "label space is genuinely bounded")
+    val centArr: Map[Int, Seq[Long]] = cent.groupBy(_.getInt(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val d2 = df.select(col(idCol), col(labelCol),
+      aggregate(zip_with(micro(col(vecCol)),
+          element_at(typedLit(centArr), col(labelCol)),
+        (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("dist2"))
+    val stats = d2.groupBy(col(labelCol))
+      .agg(expr("sum(dist2) DIV count(1)").as("mean_d2"))
+    d2.join(broadcast(stats), labelCol)
+      .select(col(idCol), col(labelCol), col("dist2"),
+        (col("dist2") > lit(factor.toLong) * col("mean_d2")).as("is_outlier"))
+  }
+
   /** Deterministic sparse sign for the Johnson–Lindenstrauss projection
     * matrix entry `(i, j)`: the first 4 hex chars of `md5("i:j:salt")`
     * taken mod 6 → `{0 → +1, 1 → −1, 2..5 → 0}` (Achlioptas 2001's

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bm25, Bpe, BudgetSelect, Chunking, CmSketch, CorpusSampling, CorpusStats, Decontamination, Dedup, Dsir, EmbeddingOps, GraphRank, HybridSearch, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats, Winnowing}
+import graft.pipeline.{Bm25, Bpe, BudgetSelect, Chunking, CmSketch, CorpusSampling, CorpusStats, Decontamination, Dedup, Dsir, EmbeddingOps, GraphRank, HybridSearch, KMeans, LmPpl, Multimodal, SequencePacking, SubstrDedup, TextStats, Winnowing}
 
 /** LLM-training-data pipeline queries (build-brief extension): exact
   * dedup, near-dup families, text analysis — each over `documents`, each
@@ -460,6 +460,22 @@ object PipelineQueries {
         array_join(EmbeddingOps.quantizeInt8(col("embedding")).cast("array<string>"), ",")
           .as("codes"),
         EmbeddingOps.quantError(col("embedding")).as("max_err"))),
+
+    // Integer-exact Lloyd's k-means (k=8, 3 rounds, init = k smallest
+    // ids): the SemDeDup-style clustering primitive, deterministic
+    // end-to-end in micro-unit arithmetic so the oracle replays every
+    // round as generated CTEs.
+    "kmeans_assign" -> ((s, dir) =>
+      KMeans.assign(table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iterations = 3)),
+
+    // Embedding-hygiene outlier flags: micro-frozen per-label centroids
+    // (sum DIV count), exact integer distances, flag at 4x the label's
+    // mean squared distance — all-integer, so the oracle replays every
+    // comparison exactly.
+    "embed_outliers" -> ((s, dir) =>
+      EmbeddingOps.embedOutliers(table(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")),
 
     // Sparse Johnson–Lindenstrauss projection (Achlioptas 2001) 64 → 16
     // dims: the pre-LSH/pre-clustering dimension cut. Micro-unit-frozen
@@ -1179,6 +1195,37 @@ object PipelineQueries {
     * over string shingles: DuckDB's DECIMAL `0.8 * cnt` keeps the prefix
     * length ⌈τ·n⌉ and the length bounds exact at integer boundaries (the
     * Spark side guards its double products with 1e-9 slack instead). */
+  /** Lloyd's-k-means iteration CTEs (parameterized, one source of
+    * truth with the Spark query's k / iteration count / dims), ending
+    * in `kc<iterations>(cl, pos, cm)` — micro-unit integer arithmetic
+    * throughout, `//` = Spark `DIV` (truncating, negatives included),
+    * ties to the lower cluster id, empty clusters carry the previous
+    * centroid via the LEFT JOIN coalesce. */
+  private def kmeansCtes(k: Int, iterations: Int, dims: Int): String = {
+    val rounds = (1 to iterations).map { r =>
+      s"""kd$r AS (SELECT km.vec_id, p.cl,
+         |    sum((km.m - p.cm) * (km.m - p.cm)) AS d2
+         |  FROM km JOIN kc${r - 1} p ON p.pos = km.pos
+         |  GROUP BY km.vec_id, p.cl),
+         |ka$r AS MATERIALIZED (SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn FROM kd$r) z
+         |  WHERE rn = 1),
+         |kn$r AS (SELECT a.cl, km.pos, sum(km.m) // count(*) AS cm
+         |  FROM ka$r a JOIN km ON km.vec_id = a.vec_id GROUP BY a.cl, km.pos),
+         |kc$r AS MATERIALIZED (SELECT p.cl, p.pos, coalesce(n.cm, p.cm) AS cm
+         |  FROM kc${r - 1} p LEFT JOIN kn$r n ON n.cl = p.cl AND n.pos = p.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""km AS MATERIALIZED (SELECT vec_id, i - 1 AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS m
+       |  FROM embeddings, generate_series(1, $dims) t(i)),
+       |kinit AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+       |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k) q),
+       |kc0 AS MATERIALIZED (SELECT ki.cl, km.pos, km.m AS cm
+       |       FROM kinit ki JOIN km ON km.vec_id = ki.vec_id),
+       |$rounds""".stripMargin
+  }
+
   /** PageRank iteration CTEs (parameterized, one source of truth with
     * the Spark query's iteration count), built on `jpairs` from
     * [[jaccardJoinSqlCtes]] and ending in `pr<iterations>(doc_id, r)`.
@@ -1197,28 +1244,35 @@ object PipelineQueries {
          |             JOIN $prev p ON p.doc_id = u.src
          |             GROUP BY u.dst) cs ON cs.dst = d.doc_id)""".stripMargin
     }.mkString(",\n")
-    s"""pund AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+    s"""pund AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jpairs
        |         UNION ALL SELECT id_b, id_a FROM jpairs),
-       |pdeg AS (SELECT src, count(*) AS deg FROM pund GROUP BY src),
+       |pdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM pund GROUP BY src),
        |pn AS (SELECT count(*) AS n FROM documents),
-       |pr0 AS (SELECT doc_id, 1000000000 // pn.n AS r
+       |pr0 AS MATERIALIZED (SELECT doc_id, 1000000000 // pn.n AS r
        |        FROM documents CROSS JOIN pn),
        |$its""".stripMargin
   }
 
+  /** The `AS MATERIALIZED` hints pin DuckDB's CTE handling: without
+    * them the planner re-inlines the whole mining chain at every
+    * reference — the 5-iteration pagerank_sim oracle replays `jpairs`
+    * ~11 times (measured: 170 s → 21 s at sf0.1 with the hints, and
+    * even single-reference consumers drop 96 s → 21 s because `jc` is
+    * read twice inside `jver`). Result rows are identical; the hint is
+    * evaluation-order-only and DuckDB-documented. */
   private lazy val jaccardJoinSqlCtes =
-    s"""jsets AS (SELECT doc_id, list_sort(${shSql("text")}) AS sh FROM documents),
-       |jc AS (SELECT doc_id, sh, len(sh) AS cnt FROM jsets WHERE len(sh) > 0),
+    s"""jsets AS MATERIALIZED (SELECT doc_id, list_sort(${shSql("text")}) AS sh FROM documents),
+       |jc AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS cnt FROM jsets WHERE len(sh) > 0),
        |jpref AS (SELECT doc_id, cnt,
        |    unnest(sh[1:(cnt - CAST(ceil(0.8 * cnt) AS INT) + 1)]) AS tok FROM jc),
-       |jcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |jcand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM jpref a JOIN jpref b ON a.tok = b.tok AND a.doc_id < b.doc_id
        |   AND a.cnt >= 0.8 * b.cnt AND b.cnt >= 0.8 * a.cnt),
        |jver AS (SELECT id_a, id_b,
        |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
        |          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
        |  FROM jcand JOIN jc x ON x.doc_id = id_a JOIN jc y ON y.doc_id = id_b),
-       |jpairs AS (SELECT id_a, id_b, jaccard FROM jver WHERE jaccard >= 0.8)""".stripMargin
+       |jpairs AS MATERIALIZED (SELECT id_a, id_b, jaccard FROM jver WHERE jaccard >= 0.8)""".stripMargin
 
   /** The BM25 formula as shared CTEs ending in `bm(doc_id, bm25)` —
     * used by the bm25_topk and hybrid_rrf oracles. */
@@ -1760,6 +1814,38 @@ object PipelineQueries {
         |                - CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT) * scale / 127.0))), 0.0), 6)
         |       END AS max_err
         |FROM s""".stripMargin,
+
+    // k-means replay: generated iteration CTEs, then one more
+    // dist+argmin round under the final centroids
+    "kmeans_assign" ->
+      s"""WITH ${kmeansCtes(8, 3, 64)}
+         |SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
+         |  SELECT vec_id, cl, d2, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
+         |  FROM (SELECT km.vec_id, p.cl,
+         |          sum((km.m - p.cm) * (km.m - p.cm)) AS d2
+         |        FROM km JOIN kc3 p ON p.pos = km.pos
+         |        GROUP BY km.vec_id, p.cl) z) y
+         |WHERE rn = 1""".stripMargin,
+
+    // outlier replay: '//' truncates toward zero like Spark's DIV
+    // (verified for negatives on both engines), so centroid and
+    // mean-d2 divisions agree exactly
+    "embed_outliers" ->
+      """WITH m AS (SELECT vec_id, label, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |c AS (SELECT label, pos, sum(m) // count(*) AS c
+        |      FROM m GROUP BY label, pos),
+        |d AS (SELECT m.vec_id, m.label,
+        |        sum((m.m - c.c) * (m.m - c.c)) AS dist2
+        |      FROM m JOIN c ON c.label = m.label AND c.pos = m.pos
+        |      GROUP BY m.vec_id, m.label),
+        |st AS (SELECT label, sum(dist2) // count(*) AS mean_d2
+        |       FROM d GROUP BY label)
+        |SELECT d.vec_id, d.label, CAST(d.dist2 AS BIGINT) AS dist2,
+        |  d.dist2 > 4 * st.mean_d2 AS is_outlier
+        |FROM d JOIN st USING (label)""".stripMargin,
 
     // JL replay: micro-frozen elements, the md5-regenerated Achlioptas
     // sign matrix from generate_series, exact integer dot products;

@@ -114,6 +114,30 @@ class EmbeddingOpsSpec extends SparkSpec {
       corpus, "vec_id", "embedding", unit(0), k = 1, candidates = 9999))
   }
 
+  test("embedOutliers flags the far vector and only it; distances are micro-exact") {
+    // label 1: seven points at the origin plus one at x=100 (enough
+    // inliers that the outlier's own pull on centroid and mean cannot
+    // hide it: d2_out = 87.5e6^2 = 7.66e15 > 4 x mean 1.09e15)
+    val d = ((0L to 6L).map(i => (i, Array(0.0f), 1)) ++ Seq((7L, Array(100.0f), 1),
+      (10L, Array(5.0f), 2), (11L, Array(5.0f), 2))).toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.embedOutliers(d, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // label-1 centroid micro = 100000000 DIV 8 = 12500000
+    assert(out(0L)._1 === 12500000L * 12500000L)
+    assert(out(7L)._1 === 87500000L * 87500000L)
+    assert(out(7L)._2 === true)
+    assert(((0L to 6L) ++ Seq(10L, 11L)).forall(!out(_)._2))
+    // degenerate label: identical vectors -> dist2 0, never flagged
+    assert(out(10L)._1 === 0L)
+  }
+
+  test("embedOutliers refuses an unbounded label space") {
+    val d = Seq((0L, Array(1.0f), 1), (1L, Array(2.0f), 2)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException](
+      EmbeddingOps.embedOutliers(d, "vec_id", "embedding", "label", maxLabels = 1))
+    assert(e.getMessage.contains("maxLabels"))
+  }
+
   test("jlProject matches a naive driver replay of the frozen-integer dot product") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(20)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))

@@ -97,10 +97,12 @@ object Dedup {
     val fresh = batch
       .withColumn("_ch", md5(col(contentCol).cast("binary")))
       .join(seen, Seq("_ch"), "left_anti")
-    fresh
-      .join(fresh.groupBy(col("_ch")).agg(min(col(idCol)).as(idCol))
-        .select(col(idCol)), idCol)
-      .drop("_ch")
+    // keep-ids are fresh ids by construction, so the final join goes
+    // against the RAW batch scan — joining `fresh` again would replay
+    // the corpus-hash distinct and the anti-join a second time
+    val keep = fresh.groupBy(col("_ch")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    batch.join(keep, idCol)
   }
 
   // ---------------------------------------------------- paragraph dedup

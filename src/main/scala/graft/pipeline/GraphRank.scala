@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: the adjacency (edge + degree) is materialized ONCE
   * (eager localCheckpoint — it feeds every iteration, and re-deriving
   * the similarity join per iteration would multiply the mining cost by
-  * the iteration count); each iteration is one shuffle on `dst` whose
-  * partial aggregate collapses map-side. Iterations are lazily chained
-  * — one job evaluates the whole unrolled plan, each stage exactly
-  * once.
+  * the iteration count). Per iteration the plan audit shows three
+  * linear exchanges — ranks re-key onto `src`, contributions shuffle
+  * on `dst` (map-side partial sum), node frame co-partitions for the
+  * left join — the classic Spark-SQL PageRank shape; with the node
+  * frame bucketed by id the third one drops out. Iterations are lazily
+  * chained — one job evaluates the whole unrolled plan, each stage
+  * exactly once.
   */
 object GraphRank {
 

@@ -283,6 +283,53 @@ object RelationalQueries {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"))),
 
+    // Ordered-funnel analysis (view -> click -> purchase): per user the
+    // strictly-later chained first-times, and the funnel stage reached.
+    // Three filtered min-aggregates chained by equi-joins on user_id —
+    // each shuffle is linear and map-side-partial; no per-user window,
+    // no event-array materialization.
+    "funnel_stages" -> ((s, dir) => {
+      val e = eventsTable(s, dir)
+      def fmt(c: org.apache.spark.sql.Column) =
+        date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c1 = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c1, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      e.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c1, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"),
+          fmt(col("t1")).as("t_view"), fmt(col("t2")).as("t_click"),
+          fmt(col("t3")).as("t_purchase"))
+    }),
+
+    // Weekly retention cohorts: cohort = ISO week of the user's first
+    // event, counts of distinct users active k weeks later. Two
+    // aggregates plus one user-keyed join; week arithmetic is exact
+    // integer epoch division (UTC, no DST).
+    "retention_cohorts" -> ((s, dir) => {
+      val e = eventsTable(s, dir)
+      val first = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_w"))
+      val active = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("act_w")).distinct()
+      active.join(first, "user_id")
+        .select(col("user_id"), col("cohort_w"),
+          ((unix_timestamp(col("act_w")) - unix_timestamp(col("cohort_w")))
+            / 604800L).cast("long").as("week_n"))
+        .groupBy(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Gap-based sessionization (session_window, 30-minute gap) — the
     // oracle rebuilds sessions with lag + cumulative-start-count, the
     // portable definition of the same semantics. Session start is
@@ -477,6 +524,38 @@ object RelationalQueries {
         | count(*) AS n,
         | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2
+        |       WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  strftime(v.t1, '%Y-%m-%d %H:%M:%S.%f') AS t_view,
+        |  strftime(c.t2, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+        |  strftime(p.t3, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+
+    // week arithmetic: both engines truncate to ISO Monday in UTC, the
+    // epoch difference is an exact multiple of 604800
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_w FROM events)
+        |SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+        |  (CAST(epoch(a.act_w) AS BIGINT) - CAST(epoch(f.cohort_w) AS BIGINT))
+        |    // 604800 AS week_n,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_session_window" ->
       """WITH x AS (

@@ -74,4 +74,38 @@ object Bm25 {
     score(docs, idCol, textCol, queryTerms, k1, b, stats)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** Per-document top-k TF-IDF keyword extraction (Spärck Jones 1972) —
+    * the topic-tagging / corpus-exploration pass. idf freezes to integer
+    * MICRO-nats (`⌊ln(N/df)·1e6 + 0.5⌋` — the LmPpl discipline: a
+    * half-up flip needs the true ln within ~1e-9 of a boundary, which
+    * count ratios do not produce), so every score is an exact integer
+    * `tf · idf_micro` and the per-document ranking (`score DESC, term
+    * ASC`) is engine-exact.
+    *
+    * Scale shape: one (doc, term) aggregate, one term aggregate (both
+    * map-side partial), a vocabulary-keyed equi-join (AQE picks the
+    * strategy — the idf side is vocab-sized, NOT force-broadcast), and
+    * one per-document bounded window. Returns
+    * `(idCol, term, tf, score_micro, rank)`. */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, stats: Option[(Long, Double)] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = stats.map(_._1).getOrElse(docs.count())
+    val terms = docs
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("tf"))
+    val idf = terms.groupBy(col("_t"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .select(col("_t"),
+        floor(log(lit(n.toDouble) / col("_df")) * 1e6 + 0.5).cast("long").as("_idfm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("_t").asc)
+    terms.join(idf, "_t")
+      .withColumn("score_micro", col("tf") * col("_idfm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("_t").as("term"), col("tf"),
+        col("score_micro"), col("rank"))
+  }
 }

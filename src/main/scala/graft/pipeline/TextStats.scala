@@ -382,6 +382,35 @@ object TextStats {
       keep.as("keep"))
   }
 
+  /** C4 line-level cleaning (Raffel et al., arXiv:1910.10683 §2.2): keep
+    * only lines that end in terminal punctuation (`.` `!` `?` `"`) and
+    * carry ≥ `minWords` words; a document survives when ≥ `minLines`
+    * lines remain AND it contains neither a curly brace (code) nor
+    * "lorem ipsum" (placeholder). Entirely in-row column expressions —
+    * string and integer ops only, ZERO shuffle at any scale, and every
+    * predicate replays verbatim in SQL (explicit whitespace class,
+    * `right(…, 1)` membership instead of a regex anchor). */
+  def c4KeptLines(textCol: Column, minWords: Int = 5): Column =
+    filter(split(textCol, "\n", -1), l => {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(t, "[ \\t\\x0B\\f\\r]+"), w => w =!= "")) >= minWords
+    })
+
+  /** The C4 document verdict columns over [[c4KeptLines]]:
+    * `(n_lines, n_kept, keep, text)`. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val kept = c4KeptLines(col(textCol), minWords)
+    df.select(col(idCol),
+      size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(kept) >= minLines &&
+        !col(textCol).contains("{") &&
+        !lower(col(textCol)).contains("lorem ipsum")).as("keep"),
+      array_join(kept, "\n").as("text"))
+  }
+
   /** One-call profile: every stat as a column. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -35,6 +35,18 @@ object PipelineQueries {
     "para_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(table(s, dir, "documents"), "doc_id", "text")),
 
+    // C4 line-level cleaning (Raffel 1910.10683 §2.2): terminal-punct +
+    // >=5-word lines survive; docs need >=3 kept lines, no '{', no
+    // 'lorem ipsum'. Pure in-row column expressions — zero shuffle.
+    "c4_line_filter" -> ((s, dir) =>
+      TextStats.c4LineFilter(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Per-doc top-5 TF-IDF keywords: idf frozen to integer micro-nats
+    // (the LmPpl discipline) so scores are exact integers and the
+    // per-doc rank replays engine-exactly.
+    "tfidf_topk" -> ((s, dir) =>
+      Bm25.tfIdfTopK(table(s, dir, "documents"), "doc_id", "text", k = 5)),
+
     // Incremental crawl-refresh dedup: the doc_id%5==0 slice plays the
     // incoming batch, the rest the existing corpus; batch rows whose
     // content the corpus already holds are dropped, then within-batch
@@ -1344,6 +1356,44 @@ object PipelineQueries {
         |SELECT d.doc_id, coalesce(a.n_paras, 0) AS n_paras,
         |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text, '') AS text
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // C4 replay: right(trim, 1) membership + explicit whitespace class
+    // (no regex anchor dialect risk); string_split('') = [''] on both
+    "c4_line_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  (len(kept) >= 3 AND NOT contains(text, '{')
+        |   AND NOT contains(lower(text), 'lorem ipsum')) AS keep,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text
+        |FROM (SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      right(trim(l), 1) IN ('.', '!', '?', '"')
+        |      AND len(list_filter(
+        |            regexp_split_to_array(trim(l), '[ \t\x0b\f\r]+'),
+        |            w -> w != '')) >= 5) AS kept
+        |  FROM documents) z""".stripMargin,
+
+    // TF-IDF replay: ln frozen at the micro-nat boundary on both
+    // engines; integer scores, exact rank
+    "tfidf_topk" ->
+      s"""WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents) z
+         |  GROUP BY doc_id, t),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |idf AS (SELECT term,
+         |    CAST(floor(ln(CAST(nn.n AS DOUBLE) / count(DISTINCT doc_id))
+         |               * 1e6 + 0.5) AS BIGINT) AS idfm
+         |  FROM tf CROSS JOIN nn GROUP BY term, nn.n),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |         tf.tf * idf.idfm AS score_micro
+         |       FROM tf JOIN idf USING (term))
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_micro,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rank
+         |      FROM sc) y
+         |WHERE rank <= 5""".stripMargin,
 
     // incremental-dedup replay: NOT EXISTS anti-join against the
     // corpus slice's distinct hashes, then min-id within the batch

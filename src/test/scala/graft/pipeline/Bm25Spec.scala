@@ -39,4 +39,25 @@ class Bm25Spec extends SparkSpec {
     val top = Bm25.topK(docs, "doc_id", "text", Seq("vector", "hash"), k = 1).collect()
     assert(top.length === 1 && top.head.getLong(0) === 2L)
   }
+
+  test("tfIdfTopK: exact integer micro-nat scores, per-doc rank, ubiquitous terms score 0") {
+    val out = Bm25.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 'b' (docs 1,3) and 'vector' (docs 1,2) have df=2:
+    // idf_micro = floor(ln(3/2)*1e6+0.5); df=1 terms get ln(3)
+    val idfB = math.floor(math.log(3.0 / 2.0) * 1e6 + 0.5).toLong
+    val idf1 = math.floor(math.log(3.0) * 1e6 + 0.5).toLong
+    // doc 1 top-2: a (df=1, score idf1=1098612) then vector
+    // (tf=2, score 2*idfB=810930); b (405465) drops out
+    assert(out((1L, "a")) === ((1L, idf1, 1L)))
+    assert(out((1L, "vector")) === ((2L, 2 * idfB, 2L)))
+    assert(!out.contains((1L, "b")))
+    // doc 2: hash df=1 outranks vector df=2
+    assert(out((2L, "hash"))._3 === 1L && out((2L, "vector"))._3 === 2L)
+    // doc 3: c and d (df=1, idf1) tie and outrank b (idfB); term asc
+    assert(out((3L, "c"))._3 === 1L && out((3L, "d"))._3 === 2L)
+    assert(!out.contains((3L, "b")))
+    assert(idfB < idf1)
+  }
 }

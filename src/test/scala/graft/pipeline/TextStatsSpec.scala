@@ -178,4 +178,30 @@ class TextStatsSpec extends SparkSpec {
     val empty = g("   ")
     assert(empty.getAs[Long]("n_words") === 0L && !empty.getAs[Boolean]("keep"))
   }
+
+  test("C4 line filter: terminal punctuation + word floor per line, doc-level verdict") {
+    val good = "this line has five good words.\nanother proper sentence right here friend!\nand a third full sentence stands here?"
+    val d = Seq(
+      (1L, good),                                        // 3 kept lines -> keep
+      (2L, "too short.\nno terminal punctuation here at all\nthis one is long enough to pass muster."), // 1 kept
+      (3L, good + "\nvar x = { a: 1 };"),                // brace kills the doc
+      (4L, good.toUpperCase + "\nLorem Ipsum dolor sit amet friend."), // lorem kills it
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextStats.c4LineFilter(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(out(1L) === ((3L, 3L, true, good)))
+    assert(out(2L)._2 === 1L && !out(2L)._3)
+    assert(out(2L)._4 === "this one is long enough to pass muster.")
+    assert(out(3L)._2 === 3L && !out(3L)._3) // lines fine, brace rule fails
+    assert(!out(4L)._3)                      // lorem ipsum, case-insensitive
+    assert(out(5L) === ((1L, 0L, false, "")))
+  }
+
+  test("C4 line filter plan is one narrow projection (no shuffle)") {
+    val d = Seq((1L, "a.\nb.")).toDF("doc_id", "text")
+    val plan = TextStats.c4LineFilter(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -78,10 +78,12 @@ object EmbeddingOps {
         "label space is genuinely bounded")
     val centArr: Map[Int, Seq[Long]] = cent.groupBy(_.getInt(0))
       .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    // one codegen kernel pass — the zip_with/aggregate HOF form is
+    // CodegenFallback (interpreted per row) and was measurably the
+    // hot path; the kernel keeps the identical integer arithmetic
     val d2 = df.select(col(idCol), col(labelCol),
-      aggregate(zip_with(micro(col(vecCol)),
-          element_at(typedLit(centArr), col(labelCol)),
-        (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("dist2"))
+      graft.functions.CentroidDist2Expr(col(vecCol), col(labelCol), centArr)
+        .as("dist2"))
     val stats = d2.groupBy(col(labelCol))
       .agg(expr("sum(dist2) DIV count(1)").as("mean_d2"))
     d2.join(broadcast(stats), labelCol)

@@ -481,6 +481,21 @@ object PipelineQueries {
       KMeans.assign(table(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iterations = 3)),
 
+    // Cluster-balanced diversity sampling: <=100 vectors per k-means
+    // cluster in deterministic md5 order — the rank<=q filter compiles
+    // to WindowGroupLimit (partial per-group top-k map-side), no
+    // per-cluster full sort at any scale.
+    "cluster_quota_sample" -> ((s, dir) => {
+      val a = KMeans.assign(table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iterations = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      a.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 100)
+        .select(col("vec_id"), col("cluster"), col("rn"))
+    }),
+
     // Embedding-hygiene outlier flags: micro-frozen per-label centroids
     // (sum DIV count), exact integer distances, flag at 4x the label's
     // mean squared distance — all-integer, so the oracle replays every
@@ -1235,7 +1250,16 @@ object PipelineQueries {
        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k) q),
        |kc0 AS MATERIALIZED (SELECT ki.cl, km.pos, km.m AS cm
        |       FROM kinit ki JOIN km ON km.vec_id = ki.vec_id),
-       |$rounds""".stripMargin
+       |$rounds,
+       |kassign AS MATERIALIZED (
+       |  SELECT vec_id, cl, d2 FROM (
+       |    SELECT vec_id, cl, d2, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
+       |    FROM (SELECT km.vec_id, p.cl,
+       |            sum((km.m - p.cm) * (km.m - p.cm)) AS d2
+       |          FROM km JOIN kc$iterations p ON p.pos = km.pos
+       |          GROUP BY km.vec_id, p.cl) z) y
+       |  WHERE rn = 1)""".stripMargin
   }
 
   /** PageRank iteration CTEs (parameterized, one source of truth with
@@ -1869,14 +1893,19 @@ object PipelineQueries {
     // dist+argmin round under the final centroids
     "kmeans_assign" ->
       s"""WITH ${kmeansCtes(8, 3, 64)}
-         |SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
-         |  SELECT vec_id, cl, d2, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
-         |  FROM (SELECT km.vec_id, p.cl,
-         |          sum((km.m - p.cm) * (km.m - p.cm)) AS d2
-         |        FROM km JOIN kc3 p ON p.pos = km.pos
-         |        GROUP BY km.vec_id, p.cl) z) y
-         |WHERE rn = 1""".stripMargin,
+         |SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2
+         |FROM kassign""".stripMargin,
+
+    // cluster-balanced diversity sampling replay: the shared kassign
+    // CTE + a per-cluster hash-ordered quota
+    "cluster_quota_sample" ->
+      s"""WITH ${kmeansCtes(8, 3, 64)}
+         |SELECT vec_id, cl AS cluster, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT vec_id, cl, row_number() OVER (
+         |        PARTITION BY cl
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |      FROM kassign) z
+         |WHERE rn <= 100""".stripMargin,
 
     // outlier replay: '//' truncates toward zero like Spark's DIV
     // (verified for negatives on both engines), so centroid and

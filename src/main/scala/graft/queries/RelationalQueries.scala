@@ -283,6 +283,19 @@ object RelationalQueries {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"))),
 
+    // Percentile winsorization: clamp values into the global exact
+    // [p01, p99] band — one single-row aggregate broadcast into a
+    // narrow clamp, no sort, no window.
+    "q_winsorize" -> ((s, dir) => {
+      val e = eventsTable(s, dir)
+      val b = e.agg(
+        round(percentile(col("value"), lit(0.01)), 6).as("lo"),
+        round(percentile(col("value"), lit(0.99)), 6).as("hi"))
+      e.crossJoin(broadcast(b))
+        .select(col("event_id"),
+          round(greatest(col("lo"), least(col("hi"), col("value"))), 6).as("v_w"))
+    }),
+
     // Ordered-funnel analysis (view -> click -> purchase): per user the
     // strictly-later chained first-times, and the funnel stage reached.
     // Three filtered min-aggregates chained by equi-joins on user_id —
@@ -524,6 +537,13 @@ object RelationalQueries {
         | count(*) AS n,
         | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT round(quantile_cont(value, 0.01), 6) AS lo,
+        |                  round(quantile_cont(value, 0.99), 6) AS hi FROM events)
+        |SELECT event_id,
+        |  round(greatest(b.lo, least(b.hi, value)), 6) AS v_w
+        |FROM events CROSS JOIN b""".stripMargin,
 
     "funnel_stages" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

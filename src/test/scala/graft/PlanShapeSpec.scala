@@ -101,4 +101,23 @@ class PlanShapeSpec extends SparkSpec {
       s"the O(#domains) rate frame must broadcast, got:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("cluster_quota_sample: the rank filter compiles to a Partial WindowGroupLimit") {
+    val p = plan("cluster_quota_sample")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-cluster quota must heap-cap map-side before the exchange, got:\n${p.take(1200)}")
+  }
+
+  test("kmeans_assign / jl_project / embed_outliers stay single narrow kernel passes") {
+    for (name <- Seq("kmeans_assign", "jl_project")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name grew a shuffle:\n${p.take(800)}")
+      assert(p.contains("*("), s"$name fell out of whole-stage codegen:\n${p.take(800)}")
+    }
+    // embed_outliers keeps its two bounded aggregates but the residual
+    // pass must be the codegen kernel, not a HOF fallback
+    val p = plan("embed_outliers")
+    assert(p.contains("centroid_dist2"), p.take(800))
+    assert(!p.contains("aggregate(zip_with"), "HOF fallback crept back in")
+  }
 }

@@ -33,6 +33,10 @@ object ContentType {
   case object JSON extends ContentType(".json")
   case object JSONZ extends ContentType(".json.gz")
   case object HDF5 extends ContentType(".h5")
+  /** Spark-native columnar extension BEYOND the reference's factory
+    * (EtlFactory.cs enumerates only the five above) — kept out of
+    * [[all]] so the declared parity set stays the reference's. */
+  case object ORC extends ContentType(".orc")
 
   val all: Seq[ContentType] = Seq(CSV, Parquet, JSON, JSONZ, HDF5)
 }
@@ -77,6 +81,8 @@ object Etl {
         toJsonKeys(d).write.mode("overwrite").option("compression", "gzip").json(path)
       case ContentType.Parquet =>
         d.write.mode("overwrite").parquet(path)
+      case ContentType.ORC =>
+        d.write.mode("overwrite").orc(path)
       case ContentType.HDF5 =>
         throw new UnsupportedOperationException(
           "HDF5 export is declared but not implemented (parity with Neighborly/ETL/HDF5.cs:15-28)")
@@ -102,6 +108,8 @@ object Etl {
       fromJsonKeys(spark.read.schema(jsonSchema).json(path))
     case ContentType.Parquet =>
       spark.read.schema(schema).parquet(path)
+    case ContentType.ORC =>
+      spark.read.schema(schema).orc(path)
     case ContentType.HDF5 =>
       throw new UnsupportedOperationException(
         "HDF5 import is declared but not implemented (parity with Neighborly/ETL/HDF5.cs:15-28)")

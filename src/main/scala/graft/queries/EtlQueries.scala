@@ -43,7 +43,8 @@ object EtlQueries {
     "etl_csv_roundtrip" -> rt(ContentType.CSV, "csv"),
     "etl_json_roundtrip" -> rt(ContentType.JSON, "json"),
     "etl_jsonz_roundtrip" -> rt(ContentType.JSONZ, "jsonz"),
-    "etl_parquet_roundtrip" -> rt(ContentType.Parquet, "parquet"))
+    "etl_parquet_roundtrip" -> rt(ContentType.Parquet, "parquet"),
+    "etl_orc_roundtrip" -> rt(ContentType.ORC, "orc"))
 
   private val oracle =
     s"""SELECT vec_id AS vec_id,
@@ -57,5 +58,6 @@ object EtlQueries {
     "etl_csv_roundtrip" -> oracle,
     "etl_json_roundtrip" -> oracle,
     "etl_jsonz_roundtrip" -> oracle,
-    "etl_parquet_roundtrip" -> oracle)
+    "etl_parquet_roundtrip" -> oracle,
+    "etl_orc_roundtrip" -> oracle)
 }

@@ -43,6 +43,18 @@ class CmSketchSpec extends SparkSpec {
     assert(top.toSeq === Seq("a", "b", "c")) // d loses the tie to a,b,c
   }
 
+  test("sketches merge by addition: sum of per-shard sketches == full-corpus sketch") {
+    val a = docs.filter($"doc_id" <= 1L)
+    val b = docs.filter($"doc_id" > 1L)
+    val merged = CmSketch.sketch(a, "text", 4, 16)
+      .unionByName(CmSketch.sketch(b, "text", 4, 16))
+      .groupBy("h", "bucket").agg(sum($"cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = CmSketch.sketch(docs, "text", 4, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === full)
+  }
+
   test("the sketch side of the estimate join is broadcast") {
     val plan = CmSketch.freqEstimates(docs, "text", depth = 4, width = 1024, k = 10)
       .queryExecution.executedPlan.toString

@@ -105,4 +105,48 @@ class KernelPropertiesSpec extends SparkSpec {
     }
     assert(out.length === 50)
   }
+
+  test("NearestCentroidExpr matches a driver replay: micro freeze, argmin, lower-id ties") {
+    def micro(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    for (_ <- 1 to 20) {
+      val dim = 1 + rnd.nextInt(40)
+      val centers = Array.fill(1 + rnd.nextInt(6))(
+        Array.fill(dim)(micro(rnd.nextFloat() * 4f - 2f)))
+      val vecs = Seq.fill(15)(Array.fill(dim)(rnd.nextFloat() * 4f - 2f))
+      val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .select($"id", NearestCentroidExpr($"v", centers).as("nc"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getStruct(1).getInt(0), r.getStruct(1).getLong(1)))).toMap
+      for ((v, i) <- vecs.zipWithIndex) {
+        val d2s = centers.map(c => v.indices.map(j => {
+          val d = micro(v(j)) - c(j); d * d
+        }).sum)
+        val best = d2s.indices.minBy(k => (d2s(k), k))
+        assert(got(i.toLong) === ((best, d2s(best))), s"vec $i")
+      }
+    }
+  }
+
+  test("CentroidDist2Expr matches the driver residual, including a missing label -> -1") {
+    def micro(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    for (_ <- 1 to 20) {
+      val dim = 1 + rnd.nextInt(40)
+      val labels = Seq(3, 7, 11)
+      val cents: Map[Int, Seq[Long]] =
+        labels.map(l => l -> Seq.fill(dim)(micro(rnd.nextFloat() * 4f - 2f))).toMap
+      val rows = Seq.fill(12)((labels :+ 99)(rnd.nextInt(4)))
+        .zipWithIndex.map { case (l, i) =>
+          (i.toLong, Array.fill(dim)(rnd.nextFloat() * 4f - 2f), l)
+        }
+      val got = rows.toDF("id", "v", "l")
+        .select($"id", CentroidDist2Expr($"v", $"l", cents).as("d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (id, v, l) =>
+        val want = cents.get(l).map(c =>
+          v.indices.map(j => { val d = micro(v(j)) - c(j); d * d }).sum).getOrElse(-1L)
+        assert(got(id) === want, s"row $id label $l")
+      }
+    }
+  }
 }

@@ -425,7 +425,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
           .select(col("id"), col("dist"))
       case SearchAlgorithm.ProductQuantization =>
         val m = pqModel.getOrElse { val f = PqIndex.fit(df, "values"); pqModel = Some(f); f }
-        PqIndex.search(m, df, "id", "values", query, k)
+        PqIndex.search(m, df, "id", "values", query, k, scannedRows = count)
       case Range => // not a kNN algorithm: the reference's switch default returns []
         df.limit(0).select(col("id"), lit(0.0).as("dist"))
     }
@@ -518,7 +518,7 @@ class NeighborlySpark(val spark: SparkSession, val dimension: Int,
           .select(col("id"), col("dist")))
       case SearchAlgorithm.ProductQuantization => Some((q, kk) => {
         val m = pqModel.getOrElse { val f = PqIndex.fit(df, "values"); pqModel = Some(f); f }
-        PqIndex.search(m, df, "id", "values", q, kk)
+        PqIndex.search(m, df, "id", "values", q, kk, scannedRows = count)
       })
       case Range => Some((_, _) => df.limit(0).select(col("id"), lit(0.0).as("dist")))
     }

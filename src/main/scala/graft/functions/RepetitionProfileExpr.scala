@@ -35,6 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * occurrences of grams seen more than once.
   */
 object RepetitionProfile {
+  /** `a < b` in UTF-8 byte order (unsigned lexicographic) — DuckDB's
+    * string comparison order, which the tie-break contract is pinned to. */
+  def utf8Less(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
   def compute(text: UTF8String, n: Int): Array[Long] = {
     val s = if (text == null) "" else text.toString
     // token boundaries, TokenProfile's whitespace set
@@ -80,9 +85,13 @@ object RepetitionProfile {
       val e = it.next()
       if (e.getValue > 1L) out(3) += e.getValue * e.getKey.length.toLong
       // top gram: highest count, ties to the binary-smallest gram (the
-      // HashMap's iteration order never decides)
+      // HashMap's iteration order never decides). Ties compare UTF-8
+      // BYTES, not String.compareTo: the oracle's ORDER BY gram compares
+      // UTF-8 in DuckDB, and UTF-16 code-unit order disagrees for text
+      // mixing supplementary (U+10000+) and U+E000..U+FFFF characters.
       if (e.getValue > topCnt ||
-          (e.getValue == topCnt && topGram != null && e.getKey.compareTo(topGram) < 0)) {
+          (e.getValue == topCnt && topGram != null &&
+            RepetitionProfile.utf8Less(e.getKey, topGram))) {
         topCnt = e.getValue; topGram = e.getKey
       }
     }

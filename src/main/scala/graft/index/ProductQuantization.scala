@@ -129,23 +129,37 @@ object ProductQuantization {
     * whole-table PQ is the reference-parity verb; the 100 TB read path
     * is residual IVFPQ ([[graft.index.Ivf.searchPq]], cell-pruned,
     * sub-linear pool). */
-  def rerankPool(k: Int, scannedRows: Long): Int =
+  def rerankPool(k: Int, scannedRows: Long,
+      poolCeiling: Int = DefaultPoolCeiling): Int =
     math.max(64L * k, math.ceil(0.3 * scannedRows).toLong)
-      .min(Int.MaxValue.toLong).toInt
+      .min(math.max(poolCeiling, 64 * k).toLong).toInt
+
+  /** Absolute ceiling on the default Θ(0.3·N) pool: the TakeOrdered heap
+    * holds the pool per task, so an unbounded 30%-of-table pool is a real
+    * memory hazard at large N. Beyond the ceiling plain PQ can no longer
+    * promise exact top-k (the rank law needs 0.3·N) — but at that scale
+    * plain PQ is the wrong verb anyway; residual IVFPQ (cell-pruned,
+    * sub-linear pool) is the 100 TB read path. 2²⁰ candidates × ~100 B
+    * ≈ 100 MB/task worst case — bounded, and far above every parity SF
+    * (sf1 needs 6 000). */
+  val DefaultPoolCeiling: Int = 1 << 20
 
   /** PQ kNN: ADC scan → [[rerankPool]] candidates by (adc, id) → exact
     * re-rank top-k by (dist, id). `candidateFactor > 0` pins a fixed
     * `cf×k` pool for callers that know their regime; the default (0)
-    * derives the pool from the scanned row count via the measured law. */
+    * derives the pool from the scanned row count via the measured law.
+    * `scannedRows >= 0` supplies that count from the caller (who usually
+    * already knows it) so the default path does NOT pay an extra
+    * count() job per search. */
   def search(model: PqModel, vectors: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, metric: String = "euclidean",
-      candidateFactor: Int = 0): DataFrame = {
+      candidateFactor: Int = 0, scannedRows: Long = -1L): DataFrame = {
     if (model.numSubVectors == 0)
       return vectors.limit(0).select(col(idCol), lit(0.0).as("dist"))
     val tables = model.adcTables(query)
     val pool =
       if (candidateFactor > 0) math.max(k, candidateFactor * k)
-      else rerankPool(k, vectors.count())
+      else rerankPool(k, if (scannedRows >= 0) scannedRows else vectors.count())
     quantize(model, vectors, vecCol)
       .withColumn("adc", AdcExpr(col("codes"), tables))
       .orderBy(col("adc"), col(idCol))

@@ -66,16 +66,19 @@ object EmbeddingOps {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     def micro(c: Column): Column =
       transform(c, x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    // guard BEFORE materializing labels×dims rows on the driver: a
+    // mis-pointed label column (e.g. a user-id) must fail at this
+    // one-row count, not OOM inside the collect it guards
+    val nLabels = df.agg(countDistinct(col(labelCol))).head.getLong(0)
+    require(nLabels <= maxLabels,
+      s"embedOutliers collects one centroid per label; got $nLabels " +
+        s"labels > maxLabels=$maxLabels — raise maxLabels only if the " +
+        "label space is genuinely bounded")
     val cent = df
       .select(col(labelCol), posexplode(micro(col(vecCol))).as(Seq("pos", "m")))
       .groupBy(col(labelCol), col("pos"))
       .agg(expr("sum(m) DIV count(1)").as("c"))
       .collect()
-    val labels = cent.map(_.getInt(0)).distinct
-    require(labels.length <= maxLabels,
-      s"embedOutliers collects one centroid per label; got ${labels.length} " +
-        s"labels > maxLabels=$maxLabels — raise maxLabels only if the " +
-        "label space is genuinely bounded")
     val centArr: Map[Int, Seq[Long]] = cent.groupBy(_.getInt(0))
       .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
     // one codegen kernel pass — the zip_with/aggregate HOF form is

@@ -77,7 +77,11 @@ object Winnowing {
     // partition BEFORE the cap could bound it (straggler + spill at
     // corpus scale); this shape pays one extra bounded aggregate at
     // toy scale to keep the uncapped hot key out of any single task
-    val kept = fp.join(broadcast(overCap), Seq("gram_hash"), "left_anti")
+    // NO broadcast hint on the over-cap side: its size bound is
+    // total_fps/maxDocFreq — corpus-proportional, so a heavily templated
+    // corpus could exceed the broadcast limit. AQE broadcasts it while
+    // it actually fits and falls back to a shuffled anti-join when not.
+    val kept = fp.join(overCap, Seq("gram_hash"), "left_anti")
     kept.as("a").join(kept.as("b"), Seq("gram_hash"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -58,7 +58,8 @@ object StreamingCms {
     * end-to-end — a single-task job regardless of batch size once the
     * batch's own sketch aggregate has collapsed. */
   def foldBatch(batch: DataFrame, batchId: Long, textCol: String,
-      storePath: String, depth: Int, width: Int): Unit = {
+      storePath: String, depth: Int, width: Int,
+      keepVersions: Int = 3): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev = read(spark, storePath, beforeBatch = batchId)
@@ -71,6 +72,17 @@ object StreamingCms {
     if (fs.exists(target)) fs.delete(target, true)
     fs.mkdirs(new Path(storePath))
     fs.rename(tmp, target)
+    // vacuum AFTER a successful commit: without it a long-running stream
+    // accumulates one file per micro-batch forever and the versions()
+    // listing cost grows without bound. Keep the newest `keepVersions`
+    // (the current commit + predecessors) — enough for an at-least-once
+    // replay of any in-flight batch id, which always reads a version
+    // strictly BELOW its own id and replayed ids are never older than
+    // the last committed few.
+    val vs = versions(fs, storePath)
+    vs.dropRight(math.max(keepVersions, 1)).foreach { v =>
+      fs.delete(new Path(s"$storePath/v$v.parquet"), true)
+    }
   }
 
   /** Run the maintenance query: every micro-batch folds into the store.

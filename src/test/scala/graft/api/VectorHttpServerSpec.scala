@@ -107,6 +107,32 @@ class VectorHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("unpaged GET /vectors streams record-by-record, never an O(table) buffer") {
+    val db = new NeighborlySpark(spark, 2)
+    val n = 25
+    (1 to n).foreach(i => db.addVector(
+      graft.core.VectorRecord(f"s$i%02d", Array(i.toFloat, 0f))))
+    val srv = new VectorHttpServer(db)
+    val base = s"http://127.0.0.1:${srv.start()}"
+    try {
+      val before = srv.streamedRestListRecords.get()
+      val all = req(base, "GET", "/vectors")
+      assert(all.statusCode() === 200)
+      // chunked transfer: no Content-Length — the server never computed
+      // a full-table body up front
+      assert(all.headers().firstValue("Content-Length").isEmpty)
+      // every record went through the incremental write path (a buffered
+      // ArrayNode reply would leave the counter untouched)
+      assert(srv.streamedRestListRecords.get() - before === n.toLong)
+      // and the streamed concatenation is still one valid JSON array
+      val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(all.body())
+      assert(parsed.isArray && parsed.size() === n)
+      // the paged path streams through the same counter
+      req(base, "GET", "/vectors?limit=3")
+      assert(srv.streamedRestListRecords.get() - before === (n + 3).toLong)
+    } finally srv.stop()
+  }
+
   test("searchNearest answers a k=10 search in O(1) Spark jobs, not k+1") {
     val db = new NeighborlySpark(spark, 2)
     (1 to 30).foreach(i => db.addVector(

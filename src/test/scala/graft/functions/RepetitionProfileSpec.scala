@@ -107,6 +107,22 @@ class RepetitionProfileSpec extends SparkSpec {
     assert(!out(3L)._1 && out(3L)._3 > 0.30, s"dup lines must cut: ${out(3L)}")
   }
 
+  test("top-gram count ties break in UTF-8 byte order, not UTF-16 code units") {
+    // U+10000 (surrogate pair, UTF-8 f0 90 80 80) vs U+E000 (UTF-8 ee 80 80):
+    // UTF-16 compares the high surrogate 0xD800 < 0xE000 → supplementary
+    // first; UTF-8 bytes compare 0xF0 > 0xEE → U+E000 first. The oracle's
+    // ORDER BY gram compares UTF-8 in DuckDB, so the kernel must agree.
+    val supp = new String(Character.toChars(0x10000))
+    val pua = "\uE000"
+    assert(RepetitionProfile.utf8Less(pua, supp))
+    assert(!RepetitionProfile.utf8Less(supp, pua))
+    // tied single-occurrence... make both grams appear twice, tied counts
+    val text = s"$supp $supp $pua $pua"
+    val out = RepetitionProfile.compute(UTF8String.fromString(text), 1)
+    // top gram must be the UTF-8-smaller U+E000: top_gram_chars = 2 occ × 1 char
+    assert(out(4) === 2L)
+  }
+
   test("null text yields null profile (nullSafeEval contract)") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a a a"))).toDF("id", "text")
     val rows = df.select(TextStats.ngramCount(col("text"), 2).as("g"))

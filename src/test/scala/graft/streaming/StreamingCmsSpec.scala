@@ -47,4 +47,26 @@ class StreamingCmsSpec extends SparkSpec {
     val est = CmSketch.freqEstimates(all, "text", 4, 32, k = 10).collect()
     assert(est.forall(r => r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n")))
   }
+
+  test("vacuum bounds the version count without losing the folded totals") {
+    val dir = java.nio.file.Files.createTempDirectory("cms_vac").toString
+    val store = s"$dir/store"
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = (0L until 5L).map(i =>
+      i -> Seq(CmsDoc(i, s"tok$i alpha")).toDF())
+    batches.foreach { case (id, df) =>
+      StreamingCms.foldBatch(df, id, "text", store, 4, 32, keepVersions = 2)
+    }
+    // a long-running stream must not accumulate one file per micro-batch
+    assert(StreamingCms.versions(fs, store) === Seq(3L, 4L))
+    // the surviving head still carries every batch's counts
+    val all = batches.map(_._2).reduce(_ unionByName _)
+    assert(grid(StreamingCms.read(spark, store)) ===
+      grid(CmSketch.sketch(all, "text", 4, 32)))
+    // replaying the LAST committed id is still idempotent after vacuum
+    StreamingCms.foldBatch(batches.last._2, 4L, "text", store, 4, 32, keepVersions = 2)
+    assert(grid(StreamingCms.read(spark, store)) ===
+      grid(CmSketch.sketch(all, "text", 4, 32)))
+  }
 }

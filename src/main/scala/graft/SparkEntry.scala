@@ -16,7 +16,8 @@ object SparkEntry {
     (EtlQueries.defs, EtlQueries.oracles),
     (TextQueries.defs, TextQueries.oracles),
     (MetaQueries.defs, MetaQueries.oracles),
-    (PipelineQueries.defs, PipelineQueries.oracles))
+    (PipelineQueries.defs, PipelineQueries.oracles),
+    (ImageQueries.defs, ImageQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

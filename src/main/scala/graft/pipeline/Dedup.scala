@@ -202,7 +202,7 @@ object Dedup {
   /** Deterministic per-bucket cap: keep the `maxBucket` smallest ids in
     * each bucket. The window shuffles by the same key the candidate
     * self-join uses, so the exchange is computed once and reused. */
-  private def capBuckets(banded: DataFrame, bucketKeys: Seq[String], idCol: String,
+  private[pipeline] def capBuckets(banded: DataFrame, bucketKeys: Seq[String], idCol: String,
       maxBucket: Int): DataFrame =
     banded.withColumn("_rn", row_number().over(
         Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(idCol))))
@@ -215,7 +215,7 @@ object Dedup {
     * turns that into a loud, named failure at mining time instead. The
     * audit is one map-side-partial groupBy count (no window shuffle of
     * the banded rows into per-bucket hot partitions). */
-  private def checkDrops(name: String, banded: DataFrame, bucketKeys: Seq[String],
+  private[pipeline] def checkDrops(name: String, banded: DataFrame, bucketKeys: Seq[String],
       maxBucket: Int, logEnabled: Boolean, failEnabled: Boolean): Unit =
     if (logEnabled || failEnabled) {
       val dropped = banded.groupBy(bucketKeys.map(col): _*)

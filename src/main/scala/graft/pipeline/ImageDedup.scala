@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DHashExpr
+
+/** Image near-duplicate detection (build-brief multimodal × dedup
+  * extension; r11 verdict item 3): perceptual dHash per image
+  * ([[graft.functions.ImageHash]]) + the SimHash banding machinery —
+  * bucket by the hash's 16-bit words, exact packed-Hamming verify,
+  * capped buckets with drop telemetry. A real 100 TB multimodal corpus
+  * dedups images as surely as text: re-encoded, resized and
+  * mildly-noised copies of one picture land within a few Hamming bits
+  * of each other while unrelated images sit near the 32-bit expectation.
+  *
+  * Scale shape: hashing is ONE narrow pass (decode riding the scan);
+  * banding explodes 4 rows per image; the candidate join is equi-join
+  * only (16-bit word buckets — a pair within Hamming ≤ 3 shares a word
+  * by pigeonhole; beyond that banding is recall-lossy, which the
+  * `image_recall` gate measures). No all-pairs product at any scale.
+  * Exact-duplicate media should be collapsed by the exact-dedup pass
+  * first (identical bytes → identical hash → Hamming 0 survives here
+  * too, but pays the banding join for rows a groupBy would collapse).
+  */
+object ImageDedup {
+
+  /** `(id, dhash)` for every decodable image — the persistable artifact
+    * (build once, mine many). Undecodable payloads drop here. */
+  def hashFrame(images: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    images.select(col(idCol), DHashExpr(col(mediaCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+
+  /** Near-duplicate image pairs `(id_a, id_b, hamming)` with
+    * `hamming <= maxHamming`, mined by 16-bit-word banding over the
+    * dHash. `failOnCappedBuckets = true` is for callers whose output is
+    * held to an oracle that replays no cap (the strict-audit pattern —
+    * a binding cap fails loudly at mining time, never as a mystery
+    * hash-mismatch in a new regime). `hashed0` accepts the memoized
+    * [[hashFrame]] artifact. */
+  def imageNearDuplicates(images: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 8, maxBucket: Int = 4096,
+      logDroppedBuckets: Boolean = false,
+      failOnCappedBuckets: Boolean = false,
+      hashed0: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    // eager localCheckpoint: one decode+hash pass feeds both join sides
+    val hashed = hashed0.getOrElse(
+      hashFrame(images, idCol, mediaCol).localCheckpoint(true))
+    val words = array((0 until 4).map(w =>
+      shiftrightunsigned(col("dhash"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val banded = hashed.select(col(idCol), col("dhash"), posexplode(words))
+      .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
+    Dedup.checkDrops("image", banded, Seq("word", "bucket"), maxBucket,
+      logDroppedBuckets, failOnCappedBuckets)
+    val capped = Dedup.capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
+    val left = capped.select(col("word"), col("bucket"),
+      col(idCol).as("id_a"), col("dhash").as("ha"))
+    val right = capped.select(col("word"), col("bucket"),
+      col(idCol).as("id_b"), col("dhash").as("hb"))
+    left.join(right, Seq("word", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------- fixture
+
+  /** First md5 byte of `s` as 0..255 — the deterministic value source a
+    * DuckDB oracle regenerates with
+    * `CAST(('0x' || substring(md5(s), 1, 2)) AS BIGINT)`. */
+  def md5Byte(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d(0) & 0xFF
+  }
+
+  /** Grayscale value of pixel `(x, y)` of image `id` in the
+    * deterministic fixture: ids with `id % plantEvery == 1` are PLANTED
+    * near-duplicates of `id − 1` — same md5-derived base pixels, plus a
+    * ±1 perturbation on ~20% of pixels (md5-derived too), the re-encode/
+    * noise regime a perceptual hash exists for. Everything here is
+    * exactly replayable in SQL. */
+  def pixel(id: Long, plantEvery: Int, x: Int, y: Int): Int = {
+    val planted = plantEvery > 0 && id % plantEvery == 1
+    val seed = if (planted) id - 1 else id
+    val v = md5Byte(s"img:$seed:$x:$y")
+    if (!planted) v
+    else {
+      val d = md5Byte(s"pert:$id:$x:$y") % 10 match {
+        case 0 => 1
+        case 1 => -1
+        case _ => 0
+      }
+      math.max(0, math.min(255, v + d))
+    }
+  }
+
+  /** One REAL PNG (lossless — decoded pixels equal authored pixels) of
+    * the fixture image for `id`. */
+  def makePng(id: Long, plantEvery: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(id, plantEvery, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic image table derived from a document frame: one
+    * 27×16 grayscale PNG per id (27 = 9 grid columns × 3 px, 16 = 8 rows
+    * × 2 px — exact 3×2 blocks, so the oracle's block means are plain
+    * 6-pixel integer averages). Narrow map, no shuffle. */
+  def imageTable(docs: DataFrame, idCol: String = "doc_id",
+      plantEvery: Int = 50, w: Int = 27, h: Int = 16): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions(_.map(id => (id, makePng(id, plantEvery, w, h))))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "media")
+  }
+}

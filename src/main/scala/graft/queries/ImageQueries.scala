@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ImageDedup
+
+/** Image perceptual-hash + near-dup keys (build-brief multimodal × dedup
+  * extension). The fixture is a deterministic REAL-PNG table derived from
+  * `documents` ([[ImageDedup.imageTable]]): every pixel is md5-derived,
+  * PNG is lossless, so the DuckDB oracle regenerates the exact pixel
+  * matrix from `generate_series` and replays grayscale → 9×8 block means
+  * → dHash bits → 16-bit-word banding → packed Hamming WITHOUT decoding
+  * anything — the Spark side's ImageIO decode is covered end-to-end by
+  * the hash-match (a decode bug changes the hash). Ids with
+  * `doc_id % 50 == 1` are planted near-duplicates of `doc_id − 1`
+  * (±1 noise on ~20% of pixels — the re-encode/noise regime); the
+  * `image_recall` key gates measured banding recall on those plants.
+  */
+object ImageQueries {
+
+  private val hashFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  /** Memoized per-corpus `(doc_id, dhash)` artifact — the PNG encode +
+    * decode + hash pass runs once per dataset, shared by all three keys. */
+  private def imageHashFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    hashFrames.computeIfAbsent(sessionKey(s, dir),
+      _ => ImageDedup.hashFrame(
+        ImageDedup.imageTable(table(s, dir, "documents")), "doc_id", "media")
+        .localCheckpoint(true))
+
+  /** Planted ground-truth pairs `(id−1, id)` for `id % 50 == 1`. */
+  private def plantedPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = table(s, dir, "documents").select(col("doc_id"))
+    d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(col("b.doc_id") % 50 === 1)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Perceptual dHash per image: real PNG decode → grayscale → 9×8
+    // block means → 64 comparison bits. Full hash-match (oracle
+    // regenerates the lossless pixels and replays the arithmetic).
+    "image_phash" -> ((s, dir) =>
+      imageHashFor(s, dir).select(col("doc_id"), col("dhash"))),
+
+    // Near-duplicate image pairs by 16-bit-word banding + exact packed
+    // Hamming ≤ 8. The oracle replays the banding itself (md5-derived
+    // hashes are engine-independent), so candidate generation AND verify
+    // are both checked; the bucket cap runs the STRICT audit because the
+    // oracle replays no cap.
+    "image_neardup" -> ((s, dir) =>
+      ImageDedup.imageNearDuplicates(table(s, dir, "documents"), "doc_id", "media",
+        maxHamming = 8, failOnCappedBuckets = true,
+        hashed0 = Some(imageHashFor(s, dir)))),
+
+    // Measured banding recall on the planted near-dup pairs (driver-gated:
+    // recall_ok hash-matches TRUE only while the miner keeps finding
+    // ≥ 90% of the plants; expected misses need ≥ 4 bit flips scattered
+    // across all 4 words — P ≈ 0.5% per plant at the ±1/20% noise).
+    "image_recall" -> ((s, dir) => PipelineQueries.recallFrame(
+      plantedPairs(s, dir),
+      ImageDedup.imageNearDuplicates(table(s, dir, "documents"), "doc_id", "media",
+        maxHamming = 8, hashed0 = Some(imageHashFor(s, dir))),
+      Seq("id_a", "id_b"), floor = 0.9)))
+
+  /** Shared oracle CTE chain: pixels → block means → bits → dhash. */
+  private val dhashCtes =
+    """ipx AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1 ELSE d.doc_id END AS seed,
+      |    xs.x, ys.y
+      |  FROM documents d,
+      |       (SELECT unnest(generate_series(0, 26)) AS x) xs,
+      |       (SELECT unnest(generate_series(0, 15)) AS y) ys),
+      |ipv AS (
+      |  SELECT doc_id, x, y,
+      |    CASE WHEN doc_id % 50 = 1 THEN
+      |      greatest(0, least(255,
+      |        CAST(('0x' || substring(md5('img:' || CAST(seed AS VARCHAR) || ':' ||
+      |          CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2)) AS BIGINT)
+      |        + (CASE (CAST(('0x' || substring(md5('pert:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |             CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2)) AS BIGINT) % 10)
+      |           WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)))
+      |    ELSE
+      |      CAST(('0x' || substring(md5('img:' || CAST(seed AS VARCHAR) || ':' ||
+      |        CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2)) AS BIGINT)
+      |    END AS v
+      |  FROM ipx),
+      |ibm AS (
+      |  SELECT doc_id, y // 2 AS by, x // 3 AS bx, sum(v) // 6 AS m
+      |  FROM ipv GROUP BY doc_id, y // 2, x // 3),
+      |ibits AS (
+      |  SELECT a.doc_id, (a.by * 8 + a.bx) AS b
+      |  FROM ibm a JOIN ibm c ON c.doc_id = a.doc_id AND c.by = a.by AND c.bx = a.bx + 1
+      |  WHERE a.bx < 8 AND a.m > c.m),
+      |ihash AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN i.b = 63 THEN -9223372036854775807 - 1
+      |      ELSE (CAST(1 AS BIGINT) << CAST(i.b AS INTEGER)) END), 0) AS BIGINT) AS dhash
+      |  FROM documents d LEFT JOIN ibits i ON i.doc_id = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "image_phash" ->
+      s"""WITH $dhashCtes
+         |SELECT doc_id, dhash FROM ihash""".stripMargin,
+
+    "image_neardup" ->
+      s"""WITH $dhashCtes,
+         |iw AS (
+         |  SELECT doc_id, dhash,
+         |    ((CAST(dhash AS HUGEINT) + 18446744073709551616) % 18446744073709551616) AS hu
+         |  FROM ihash),
+         |iww AS (
+         |  SELECT doc_id, dhash, w.w,
+         |    CAST((hu // (CASE w.w WHEN 0 THEN 1 WHEN 1 THEN 65536
+         |      WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS BIGINT) AS word
+         |  FROM iw, (SELECT unnest(generate_series(0, 3)) AS w) w),
+         |icand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.dhash AS ha, b.dhash AS hb
+         |  FROM iww a JOIN iww b ON b.w = a.w AND b.word = a.word AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM icand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin,
+
+    "image_recall" ->
+      """SELECT count(*) AS true_pairs, CAST(0.9 AS DOUBLE) AS recall_floor,
+        |       TRUE AS recall_ok
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE b.doc_id % 50 = 1""".stripMargin)
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.ImageHash
+import org.apache.spark.sql.functions._
+
+class ImageDedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  /** Deterministic "photo": smooth gradient + md5 texture (smoothness is
+    * what makes perceptual hashing meaningful — block means survive
+    * re-encode/resize). */
+  private def photo(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // gradient direction depends on the seed (different PICTURES, not
+      // just different noise on the same picture — dHash is supposed to
+      // treat the latter as near-duplicates)
+      val gx = if (seed % 2 == 0) x else w - 1 - x
+      val base = (gx * 255 / w + y * 255 / h) / 2
+      val tex = ImageDedup.md5Byte(s"t:$seed:${x / 4}:${y / 4}") / 8
+      val v = math.min(255, base + tex)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def resized(img: java.awt.image.BufferedImage, w: Int, h: Int) = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash survives re-encode (JPEG) and resize; distinct photos stay far") {
+    val base = photo(1, 64, 48)
+    val h0 = ImageHash.dHash(png(base)).longValue()
+    // JPEG re-encode: lossy pixels, same picture
+    assert(hamming(h0, ImageHash.dHash(jpeg(base)).longValue()) <= 8)
+    // 2x upscale and asymmetric downscale: same picture
+    assert(hamming(h0, ImageHash.dHash(png(resized(base, 128, 96))).longValue()) <= 8)
+    assert(hamming(h0, ImageHash.dHash(png(resized(base, 45, 30))).longValue()) <= 8)
+    // a different photo is near the random expectation (32), far past 8
+    val other = photo(2, 64, 48)
+    assert(hamming(h0, ImageHash.dHash(png(other)).longValue()) > 12)
+  }
+
+  test("dHash kernel matches a naive driver replay on the oracle fixture geometry") {
+    // 27x16 grayscale: block means are exact 6-pixel integer averages —
+    // replay the documented arithmetic directly
+    val id = 7L
+    val gray = Array.tabulate(16, 27)((y, x) => ImageDedup.pixel(id, 50, x, y))
+    val flat = gray.flatten
+    val kernel = ImageHash.dHashFromGray(flat, 27, 16)
+    var expect = 0L
+    val m = Array.tabulate(8, 9)((by, bx) => {
+      var s = 0L
+      for (y <- by * 2 until by * 2 + 2; x <- bx * 3 until bx * 3 + 3) s += gray(y)(x)
+      s / 6
+    })
+    for (b <- 0 until 64) {
+      if (m(b / 8)(b % 8) > m(b / 8)(b % 8 + 1)) expect |= (1L << b)
+    }
+    assert(kernel === expect)
+    // and the PNG round trip reproduces the same hash (lossless)
+    val viaPng = ImageHash.dHash(ImageDedup.makePng(id, 50, 27, 16))
+    assert(viaPng.longValue() === kernel)
+  }
+
+  test("md5Byte matches the SQL idiom value (engine-shared hash source)") {
+    // DuckDB: SELECT CAST(('0x' || substring(md5('img:3:1:2'),1,2)) AS BIGINT) = 147
+    assert(ImageDedup.md5Byte("img:3:1:2") === 147)
+  }
+
+  test("undecodable media hashes to null and is dropped by the miner") {
+    val df = Seq(
+      (1L, ImageDedup.makePng(1L, 0, 27, 16)),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("id", "media")
+    val hashed = ImageDedup.hashFrame(df, "id", "media")
+    assert(hashed.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("miner finds planted near-dups, no false positives among distinct images") {
+    val n = 120
+    val rows = (0L until n.toLong).map(id =>
+      (id, ImageDedup.makePng(id, 50, 27, 16)))
+    val df = rows.toDF("doc_id", "media")
+    val pairs = ImageDedup.imageNearDuplicates(df, "doc_id", "media",
+        maxHamming = 8, failOnCappedBuckets = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until n.toLong).filter(_ % 50 == 1).map(i => (i - 1, i)).toSet
+    assert(planted.subsetOf(pairs), s"missed ${planted -- pairs}")
+    assert((pairs -- planted).isEmpty, s"false positives: ${pairs -- planted}")
+  }
+
+  test("hamming column is the exact packed distance") {
+    val df = Seq(
+      (0L, ImageDedup.makePng(0L, 0, 27, 16)),
+      (1L, ImageDedup.makePng(1L, 50, 27, 16))).toDF("doc_id", "media")
+    val row = ImageDedup.imageNearDuplicates(df, "doc_id", "media", maxHamming = 64)
+      .head()
+    val h0 = ImageHash.dHash(ImageDedup.makePng(0L, 0, 27, 16)).longValue()
+    val h1 = ImageHash.dHash(ImageDedup.makePng(1L, 50, 27, 16)).longValue()
+    assert(row.getAs[Long]("hamming") === hamming(h0, h1).toLong)
+  }
+}

@@ -17,7 +17,8 @@ object SparkEntry {
     (TextQueries.defs, TextQueries.oracles),
     (MetaQueries.defs, MetaQueries.oracles),
     (PipelineQueries.defs, PipelineQueries.oracles),
-    (ImageQueries.defs, ImageQueries.oracles))
+    (ImageQueries.defs, ImageQueries.oracles),
+    (UnigramQueries.defs, UnigramQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -203,6 +203,20 @@ object PipelineQueries {
       SequencePacking.packRows(d, "source", "doc_id", "n_tokens", seqLen = 128)
     }),
 
+    // Token-EXACT packing (r11 verdict item 6): the same shard-local
+    // concat-and-chunk layout, but spans measured in REAL BPE subword
+    // tokens — BpeEncodeExpr composed into the packer, so the packed
+    // windows partition the encoded token stream exactly (what a
+    // training loader actually consumes). Rules are the memoized build
+    // artifact; the count is one narrow codegen pass.
+    "sequence_pack_bpe" -> ((s, dir) => {
+      val enc = Bpe.encodeColumn(col("text"), bpeRulesFor(s, dir))
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Bpe.tokenCountColumn(enc).as("n_tokens"))
+      SequencePacking.packRows(d, "source", "doc_id", "n_tokens", seqLen = 128)
+    }),
+
     // Corpus-wide top-k n-grams (boilerplate/stopword-list builder):
     // partial-aggregated gram counts + doc frequency into a bounded,
     // deterministically tie-broken top-k.
@@ -1243,6 +1257,36 @@ object PipelineQueries {
     (0 until rounds).map(i =>
       s"""SELECT $i AS rank, l AS "left", r AS "right", c AS pair_count FROM bb$i""")
       .mkString("\nUNION ALL\n")
+
+  /** Full BPE encode replay, shared by bpe_encode and sequence_pack_bpe:
+    * training (base + merge rounds), per-doc pipe-framed symbolization,
+    * the learned merges applied in rank order — ends in
+    * `be<bpeMergeRounds>(doc_id, e)`. */
+  private lazy val bpeEncodeReplayCtes: String = {
+    val enc0 =
+      """be0 AS MATERIALIZED (
+        |  SELECT doc_id, coalesce(list_aggregate(list_transform(
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |                x -> x != '' AND x NOT LIKE '%|%'),
+        |    w -> '|' || list_aggregate(
+        |        list_append(list_transform(generate_series(1, length(w)),
+        |          i -> substr(w, i, 1)), '</w>'),
+        |        'string_agg', '||') || '|'),
+        |    'string_agg', ' '), '') AS e
+        |  FROM documents)""".stripMargin
+    val encRounds = (0 until bpeMergeRounds).map { i =>
+      val b = s"(SELECT l FROM bb$i)"
+      val r = s"(SELECT r FROM bb$i)"
+      s"""be${i + 1} AS MATERIALIZED (
+         |  SELECT doc_id, replace(e, '|' || $b || '||' || $r || '|',
+         |                            '|' || $b || $r || '|') AS e
+         |  FROM be$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$bpeBaseCtes,
+       |${bpeTrainCtes(bpeMergeRounds)},
+       |$enc0,
+       |$encRounds""".stripMargin
+  }
 
   private def shSql(textExpr: String): String =
     s"""list_distinct(list_filter(
@@ -2335,38 +2379,39 @@ object PipelineQueries {
          |${bpeTrainCtes(bpeMergeRounds)}
          |${bpeMergesSelect(bpeMergeRounds)}""".stripMargin,
 
-    "bpe_encode" -> {
-      // per-doc pipe-framed symbolization, then the 8 learned merges
-      // applied in rank order by the same replace framing; count + md5
-      // derive from the final string exactly as the Spark side does
-      val enc0 =
-        """be0 AS MATERIALIZED (
-          |  SELECT doc_id, coalesce(list_aggregate(list_transform(
-          |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
-          |                x -> x != '' AND x NOT LIKE '%|%'),
-          |    w -> '|' || list_aggregate(
-          |        list_append(list_transform(generate_series(1, length(w)),
-          |          i -> substr(w, i, 1)), '</w>'),
-          |        'string_agg', '||') || '|'),
-          |    'string_agg', ' '), '') AS e
-          |  FROM documents)""".stripMargin
-      val encRounds = (0 until bpeMergeRounds).map { i =>
-        val b = s"(SELECT l FROM bb$i)"
-        val r = s"(SELECT r FROM bb$i)"
-        s"""be${i + 1} AS MATERIALIZED (
-           |  SELECT doc_id, replace(e, '|' || $b || '||' || $r || '|',
-           |                            '|' || $b || $r || '|') AS e
-           |  FROM be$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $bpeBaseCtes,
-         |${bpeTrainCtes(bpeMergeRounds)},
-         |$enc0,
-         |$encRounds
+    "bpe_encode" ->
+      s"""WITH $bpeEncodeReplayCtes
          |SELECT doc_id,
          |       ((length(e) - length(replace(e, '|', ''))) // 2)::BIGINT AS n_bpe_tokens,
          |       md5(e) AS enc_md5
-         |FROM be$bpeMergeRounds""".stripMargin
-    },
+         |FROM be$bpeMergeRounds""".stripMargin,
+
+    // BPE-exact packing replay: the encode chain above yields the real
+    // subword count per doc, then the identical shard-local running-sum
+    // + window-intersection arithmetic as sequence_pack_rows.
+    "sequence_pack_bpe" ->
+      s"""WITH $bpeEncodeReplayCtes,
+         |spt AS (SELECT d.doc_id, d.source,
+         |          ((length(b.e) - length(replace(b.e, '|', ''))) // 2)::BIGINT AS n_tokens
+         |        FROM documents d JOIN be$bpeMergeRounds b USING (doc_id)),
+         |spc AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         |          AS BIGINT) AS start_tok
+         |      FROM spt WHERE n_tokens > 0),
+         |spe AS (SELECT doc_id, source, n_tokens, start_tok,
+         |        unnest(generate_series(
+         |          CAST(floor(start_tok / CAST(128 AS DOUBLE)) AS BIGINT),
+         |          CAST(floor((start_tok + n_tokens - 1) / CAST(128 AS DOUBLE)) AS BIGINT)
+         |        )) AS seq_id
+         |      FROM spc)
+         |SELECT source, seq_id,
+         |  greatest(start_tok, seq_id * 128) - seq_id * 128 AS seq_off,
+         |  doc_id,
+         |  greatest(start_tok, seq_id * 128) - start_tok AS doc_off,
+         |  least(start_tok + n_tokens, (seq_id + 1) * 128)
+         |    - greatest(start_tok, seq_id * 128) AS span_len
+         |FROM spe""".stripMargin,
 
     "corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class SequencePackingSpec extends SparkSpec {
   import sqlImplicits._
@@ -98,5 +99,32 @@ class SequencePackingSpec extends SparkSpec {
           s"($shard,$seq) window spans must tile without gaps")
         assert(end.last <= 64L)
       }
+  }
+
+  test("BPE-token composition: spans partition the ENCODED token stream exactly") {
+    // train a tiny BPE, count real subword tokens, pack on those counts —
+    // the sequence_pack_bpe composition (spans in encoded-token space)
+    val docs = Seq(
+      (1L, "s", "aa aa bb"), (2L, "s", "aa bb bb aa"), (3L, "s", ""),
+      (4L, "t", "bb aa")).toDF("doc_id", "shard", "text")
+    val rules = Bpe.train(docs, "text", merges = 2)
+    val enc = Bpe.encodeColumn(col("text"), rules)
+    val counted = docs.select(col("doc_id"), col("shard"),
+      Bpe.tokenCountColumn(enc).as("n_tokens"))
+    val nTok = counted.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = SequencePacking.packRows(counted, "shard", "doc_id", "n_tokens", 4)
+      .collect()
+    // per doc, spans cover [0, n_bpe_tokens) exactly; empty doc emits none
+    assert(!rows.exists(_.getAs[Long]("doc_id") == 3L))
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, spans) =>
+      assert(spans.map(_.getAs[Long]("span_len")).sum === nTok(doc),
+        s"doc $doc spans must sum to its ENCODED token count")
+    }
+    // and per shard, total packed tokens equal total encoded tokens
+    val byShard = rows.groupBy(_.getAs[String]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("span_len")).sum).toMap
+    val wantShard = counted.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byShard === wantShard.filter(_._2 > 0))
   }
 }

@@ -53,6 +53,22 @@ object ImageQueries {
         maxHamming = 8, failOnCappedBuckets = true,
         hashed0 = Some(imageHashFor(s, dir)))),
 
+    // The composed IMAGE dedup end product: near-dup pair mining →
+    // connected components → keep one representative (min id) per
+    // duplicate cluster plus everything unclustered — the text_dedup_keep
+    // shape over the image modality.
+    "image_dedup_keep" -> ((s, dir) => {
+      val pairs = ImageDedup.imageNearDuplicates(
+        table(s, dir, "documents"), "doc_id", "media",
+        maxHamming = 8, failOnCappedBuckets = true,
+        hashed0 = Some(imageHashFor(s, dir)))
+      val comps = graft.pipeline.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      imageHashFor(s, dir).join(
+        comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("dhash"))
+    }),
+
     // Measured banding recall on the planted near-dup pairs (driver-gated:
     // recall_ok hash-matches TRUE only while the miner keeps finding
     // ≥ 90% of the plants; expected misses need ≥ 4 bit flips scattered
@@ -100,27 +116,49 @@ object ImageQueries {
       |  FROM documents d LEFT JOIN ibits i ON i.doc_id = d.doc_id
       |  GROUP BY d.doc_id)""".stripMargin
 
+  /** Banding + Hamming-verify replay over `ihash`, ending in
+    * `ipairs(id_a, id_b, hamming)`. */
+  private val neardupCtes =
+    s"""$dhashCtes,
+       |iw AS (
+       |  SELECT doc_id, dhash,
+       |    ((CAST(dhash AS HUGEINT) + 18446744073709551616) % 18446744073709551616) AS hu
+       |  FROM ihash),
+       |iww AS (
+       |  SELECT doc_id, dhash, w.w,
+       |    CAST((hu // (CASE w.w WHEN 0 THEN 1 WHEN 1 THEN 65536
+       |      WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS BIGINT) AS word
+       |  FROM iw, (SELECT unnest(generate_series(0, 3)) AS w) w),
+       |icand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.dhash AS ha, b.dhash AS hb
+       |  FROM iww a JOIN iww b ON b.w = a.w AND b.word = a.word AND a.doc_id < b.doc_id),
+       |ipairs AS (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |  FROM icand WHERE bit_count(xor(ha, hb)) <= 8)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "image_phash" ->
       s"""WITH $dhashCtes
          |SELECT doc_id, dhash FROM ihash""".stripMargin,
 
     "image_neardup" ->
-      s"""WITH $dhashCtes,
-         |iw AS (
-         |  SELECT doc_id, dhash,
-         |    ((CAST(dhash AS HUGEINT) + 18446744073709551616) % 18446744073709551616) AS hu
-         |  FROM ihash),
-         |iww AS (
-         |  SELECT doc_id, dhash, w.w,
-         |    CAST((hu // (CASE w.w WHEN 0 THEN 1 WHEN 1 THEN 65536
-         |      WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS BIGINT) AS word
-         |  FROM iw, (SELECT unnest(generate_series(0, 3)) AS w) w),
-         |icand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.dhash AS ha, b.dhash AS hb
-         |  FROM iww a JOIN iww b ON b.w = a.w AND b.word = a.word AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM icand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin,
+      s"""WITH $neardupCtes
+         |SELECT id_a, id_b, hamming FROM ipairs""".stripMargin,
+
+    // keep replay: pairs → recursive closure → min-reachable-id labels →
+    // drop non-representative members (image components are planted
+    // 2-node pairs, so the recursive closure is trivially bounded here)
+    "image_dedup_keep" ->
+      s"""WITH RECURSIVE $neardupCtes,
+         |iedges AS (SELECT id_a AS s, id_b AS d FROM ipairs
+         |           UNION SELECT id_b, id_a FROM ipairs),
+         |ireach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM iedges
+         |  UNION
+         |  SELECT e.s, ireach.r FROM iedges e JOIN ireach ON ireach.id = e.d),
+         |icomp AS (SELECT id, min(r) AS comp FROM ireach GROUP BY id)
+         |SELECT h.doc_id, h.dhash FROM ihash h
+         |WHERE h.doc_id NOT IN (SELECT id FROM icomp WHERE id != comp)""".stripMargin,
 
     "image_recall" ->
       """SELECT count(*) AS true_pairs, CAST(0.9 AS DOUBLE) AS recall_floor,

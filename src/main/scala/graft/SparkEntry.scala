@@ -18,7 +18,8 @@ object SparkEntry {
     (MetaQueries.defs, MetaQueries.oracles),
     (PipelineQueries.defs, PipelineQueries.oracles),
     (ImageQueries.defs, ImageQueries.oracles),
-    (UnigramQueries.defs, UnigramQueries.oracles))
+    (UnigramQueries.defs, UnigramQueries.oracles),
+    (AudioQueries.defs, AudioQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

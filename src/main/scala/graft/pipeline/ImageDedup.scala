@@ -31,39 +31,51 @@ object ImageDedup {
     images.select(col(idCol), DHashExpr(col(mediaCol)).as("dhash"))
       .filter(col("dhash").isNotNull)
 
-  /** Near-duplicate image pairs `(id_a, id_b, hamming)` with
-    * `hamming <= maxHamming`, mined by 16-bit-word banding over the
-    * dHash. `failOnCappedBuckets = true` is for callers whose output is
-    * held to an oracle that replays no cap (the strict-audit pattern —
-    * a binding cap fails loudly at mining time, never as a mystery
-    * hash-mismatch in a new regime). `hashed0` accepts the memoized
-    * [[hashFrame]] artifact. */
-  def imageNearDuplicates(images: DataFrame, idCol: String, mediaCol: String,
-      maxHamming: Int = 8, maxBucket: Int = 4096,
-      logDroppedBuckets: Boolean = false,
-      failOnCappedBuckets: Boolean = false,
-      hashed0: Option[DataFrame] = None): DataFrame = {
+  /** 16-bit-word Hamming banding over ANY 64-bit perceptual hash column
+    * — shared by the image (dHash) and audio (envelope hash) miners:
+    * candidates share ≥ 1 of the 4 words (pigeonhole-complete for
+    * Hamming ≤ 3, measured-recall-gated beyond), verified by exact
+    * packed Hamming ≤ `maxHamming`. `failOnCappedBuckets = true` is for
+    * callers whose output is held to an oracle that replays no cap (the
+    * strict-audit pattern — a binding cap fails loudly at mining time,
+    * never as a mystery hash-mismatch in a new regime). */
+  def hamming64NearDuplicates(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int,
+      logDroppedBuckets: Boolean, failOnCappedBuckets: Boolean,
+      auditName: String): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    // eager localCheckpoint: one decode+hash pass feeds both join sides
-    val hashed = hashed0.getOrElse(
-      hashFrame(images, idCol, mediaCol).localCheckpoint(true))
     val words = array((0 until 4).map(w =>
-      shiftrightunsigned(col("dhash"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val banded = hashed.select(col(idCol), col("dhash"), posexplode(words))
+      shiftrightunsigned(col(hashCol), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val banded = hashed.select(col(idCol), col(hashCol), posexplode(words))
       .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
-    Dedup.checkDrops("image", banded, Seq("word", "bucket"), maxBucket,
+    Dedup.checkDrops(auditName, banded, Seq("word", "bucket"), maxBucket,
       logDroppedBuckets, failOnCappedBuckets)
     val capped = Dedup.capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
     val left = capped.select(col("word"), col("bucket"),
-      col(idCol).as("id_a"), col("dhash").as("ha"))
+      col(idCol).as("id_a"), col(hashCol).as("ha"))
     val right = capped.select(col("word"), col("bucket"),
-      col(idCol).as("id_b"), col("dhash").as("hb"))
+      col(idCol).as("id_b"), col(hashCol).as("hb"))
     left.join(right, Seq("word", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate image pairs `(id_a, id_b, hamming)` with
+    * `hamming <= maxHamming`, mined by [[hamming64NearDuplicates]] over
+    * the dHash. `hashed0` accepts the memoized [[hashFrame]] artifact. */
+  def imageNearDuplicates(images: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 8, maxBucket: Int = 4096,
+      logDroppedBuckets: Boolean = false,
+      failOnCappedBuckets: Boolean = false,
+      hashed0: Option[DataFrame] = None): DataFrame = {
+    // eager localCheckpoint: one decode+hash pass feeds both join sides
+    val hashed = hashed0.getOrElse(
+      hashFrame(images, idCol, mediaCol).localCheckpoint(true))
+    hamming64NearDuplicates(hashed, idCol, "dhash", maxHamming, maxBucket,
+      logDroppedBuckets, failOnCappedBuckets, auditName = "image")
   }
 
   // ---------------------------------------------------------- fixture

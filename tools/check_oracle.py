@@ -16,6 +16,9 @@ budget expired mid-batch; verdicts now persist per key, immediately):
   --budget-mins N  stop gracefully after N minutes: finish the current
                    key, print the summary, exit 2 (journal keeps all
                    completed verdicts; rerun with --resume to continue).
+  --skip a,b,c     never run these keys (e.g. the 3 closure keys at sf1,
+                   whose stock recursive-CTE replay is O(sum comp^2) —
+                   tools/check_closure_sf.py covers them instead).
 """
 import sys, json, glob, os, time
 import duckdb
@@ -56,7 +59,7 @@ def load_journal(path):
 
 def parse_args(argv):
     args = {"journal": None, "resume": False, "cost_from": None,
-            "budget_mins": None, "pos": []}
+            "budget_mins": None, "skip": set(), "pos": []}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -68,6 +71,8 @@ def parse_args(argv):
             args["cost_from"] = argv[i + 1]; i += 2
         elif a == "--budget-mins":
             args["budget_mins"] = float(argv[i + 1]); i += 2
+        elif a == "--skip":
+            args["skip"] = set(argv[i + 1].split(",")); i += 2
         else:
             args["pos"].append(a); i += 1
     return args
@@ -105,7 +110,7 @@ def main():
     # cheapest-first: unknown keys (cost 0) run first, then ascending cost
     ordered = sorted(oracles.items(), key=lambda kv: (costs.get(kv[0], 0.0), kv[0]))
     for name in rows_only:
-        if only and name not in only:
+        if (only and name not in only) or name in args["skip"]:
             continue
         if args["resume"] and prior.get(name, {}).get("status") == "pass":
             n_skip += 1; continue
@@ -122,7 +127,7 @@ def main():
                    secs=round(time.time() - t1, 2), mode="rows_only")
     stranded = []
     for idx, (name, sql) in enumerate(ordered):
-        if only and name not in only:
+        if (only and name not in only) or name in args["skip"]:
             continue
         if args["resume"] and prior.get(name, {}).get("status") == "pass":
             n_skip += 1; continue

@@ -53,12 +53,12 @@ object UnigramQueries {
        |  FROM $name p
        |  JOIN (SELECT unnest(generate_series(1, $L)) AS l) ls ON p.pos + ls.l <= length(p.word)
        |  LEFT JOIN $costCte c ON c.piece = substring(p.word, CAST(p.pos + 1 AS INT), CAST(ls.l AS INT))),
-       |${name}_win AS (
+       |${name}_win AS MATERIALIZED (
        |  SELECT word, freq, starts FROM (
        |    SELECT word, freq, starts, row_number() OVER (PARTITION BY word ORDER BY cost,
        |      array_to_string(list_transform(list_reverse(starts), x -> lpad(CAST(x AS VARCHAR), 2, '0')), '')) AS rn
        |    FROM $name WHERE pos = length(word)) WHERE rn = 1),
-       |${name}_u AS (
+       |${name}_u AS MATERIALIZED (
        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
        |    SELECT word, freq, unnest(list_transform(generate_series(1, len(starts)),
        |      i -> substring(word, CAST(starts[i] + 1 AS INT),
@@ -68,41 +68,41 @@ object UnigramQueries {
 
   /** Frozen micro-nat costs of a `(piece, cnt)` vocabulary CTE. */
   private def costBlock(name: String, vocabCte: String): String =
-    s"""$name AS (SELECT piece,
+    s"""$name AS MATERIALIZED (SELECT piece,
        |  CAST(floor(ln(CAST(t.t AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
        |    - CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cost
        |  FROM $vocabCte, (SELECT sum(cnt) AS t FROM $vocabCte) t)""".stripMargin
 
   /** Shared training replay: words → seed → round 1 → round 2 → prune. */
   private val trainCtes: String =
-    s"""uw AS (
+    s"""uw AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '$ws'), x -> x != '')) AS word
        |    FROM documents)
        |  WHERE length(word) <= $W AND word NOT LIKE '%|%' GROUP BY word),
-       |usub AS (
+       |usub AS MATERIALIZED (
        |  SELECT substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
        |         CAST(sum(freq) AS BIGINT) AS cnt
        |  FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM uw) wi,
        |       (SELECT unnest(generate_series(1, $L)) AS l) ls
        |  WHERE i + l - 1 <= length(wi.word) GROUP BY 1),
-       |usingles AS (SELECT piece, cnt FROM usub WHERE length(piece) = 1),
-       |useed AS (
+       |usingles AS MATERIALIZED (SELECT piece, cnt FROM usub WHERE length(piece) = 1),
+       |useed AS MATERIALIZED (
        |  SELECT piece, cnt FROM (
        |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
        |    FROM usub WHERE length(piece) >= 2) WHERE rn <= $S
        |  UNION ALL SELECT piece, cnt FROM usingles),
        |${costBlock("uc0", "useed")},
        |${segBlock("useg1", "uc0")},
-       |uv1 AS (SELECT piece, cnt FROM useg1_u
+       |uv1 AS MATERIALIZED (SELECT piece, cnt FROM useg1_u
        |        UNION ALL SELECT s.piece, CAST(1 AS BIGINT) FROM usingles s
        |        WHERE s.piece NOT IN (SELECT piece FROM useg1_u)),
        |${costBlock("uc1", "uv1")},
        |${segBlock("useg2", "uc1")},
-       |uv2raw AS (SELECT piece, cnt FROM useg2_u
+       |uv2raw AS MATERIALIZED (SELECT piece, cnt FROM useg2_u
        |           UNION ALL SELECT s.piece, CAST(1 AS BIGINT) FROM usingles s
        |           WHERE s.piece NOT IN (SELECT piece FROM useg2_u)),
-       |uv2 AS (
+       |uv2 AS MATERIALIZED (
        |  SELECT piece, cnt FROM (
        |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
        |    FROM uv2raw WHERE length(piece) >= 2) WHERE rn <= $V
@@ -118,12 +118,12 @@ object UnigramQueries {
     "unigram_encode" ->
       s"""WITH RECURSIVE $trainCtes,
          |${segBlock("useg3", "uc2")},
-         |uren AS (
+         |uren AS MATERIALIZED (
          |  SELECT word, '|' || array_to_string(list_transform(generate_series(1, len(starts)),
          |    i -> substring(word, CAST(starts[i] + 1 AS INT),
          |      CAST((CASE WHEN i = len(starts) THEN length(word) ELSE starts[i + 1] END) - starts[i] AS INT))), '||') || '|' AS ren
          |  FROM useg3_win),
-         |udtok AS (
+         |udtok AS MATERIALIZED (
          |  SELECT doc_id, ti, toks[ti] AS tok FROM (
          |    SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS ti FROM (
          |      SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '$ws'), x -> x != '') AS toks

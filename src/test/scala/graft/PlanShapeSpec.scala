@@ -120,4 +120,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("centroid_dist2"), p.take(800))
     assert(!p.contains("aggregate(zip_with"), "HOF fallback crept back in")
   }
+
+  test("html_extract / unigram_encode are single narrow codegen passes") {
+    // the JlProject lesson: a kernel can silently fall out of
+    // whole-stage codegen (Janino limits, nullable-path mistakes) and
+    // nothing but this pin would notice
+    for (name <- Seq("html_extract", "unigram_encode")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name grew a shuffle:\n${p.take(800)}")
+      assert(p.contains("*("), s"$name fell out of whole-stage codegen:\n${p.take(800)}")
+    }
+  }
+
+  test("image/audio perceptual hashing stays narrow; near-dup mining is equi-join-only") {
+    // hash frames: fixture build (mapPartitions) + kernel, no shuffle
+    for (name <- Seq("image_phash", "audio_phash")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name grew a shuffle:\n${p.take(800)}")
+    }
+    // the banded candidate join must never degrade to a cross product
+    for (name <- Seq("image_neardup", "audio_neardup")) {
+      val p = plan(name)
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"$name must stay equi-join-only:\n${p.take(1200)}")
+    }
+  }
 }

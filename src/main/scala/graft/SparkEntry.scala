@@ -19,7 +19,8 @@ object SparkEntry {
     (PipelineQueries.defs, PipelineQueries.oracles),
     (ImageQueries.defs, ImageQueries.oracles),
     (UnigramQueries.defs, UnigramQueries.oracles),
-    (AudioQueries.defs, AudioQueries.oracles))
+    (AudioQueries.defs, AudioQueries.oracles),
+    (UrlQueries.defs, UrlQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

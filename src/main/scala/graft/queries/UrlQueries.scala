@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.UrlOps
+
+/** URL canonicalization + URL-keyed dedup keys — see
+  * [[graft.pipeline.UrlOps]]. Both FULL hash-match: the fixture URLs and
+  * every normalization rule are plain string expressions both engines
+  * rebuild 1:1. Ids with `id % 10 == 1` carry the same logical page as
+  * `id − 1` under crawl noise; url_dedup must collapse each pair. */
+object UrlQueries {
+
+  val defs: Map[String, Q] = Map(
+    "url_canonicalize" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.fixtureUrl(col("doc_id")).as("url"))
+        .withColumn("canonical_url", UrlOps.canonicalize(col("url")))),
+
+    "url_dedup" -> ((s, dir) =>
+      UrlOps.urlDedupGroups(
+        table(s, dir, "documents")
+          .select(col("doc_id"), UrlOps.fixtureUrl(col("doc_id")).as("url")),
+        "doc_id", "url")))
+
+  /** Fixture + rule replay ending in `ucanon(doc_id, url, canonical_url)`. */
+  private val canonCtes =
+    """ufx AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base
+      |  FROM documents),
+      |uurl AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN base % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+      |          ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) END) ||
+      |    '://' ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END) ||
+      |    CAST(base % 50 AS VARCHAR) || '.example.com' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN base % 3 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+      |    '/p/' || CAST(base AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |        THEN '?b=' || CAST(base % 3 AS VARCHAR) || '&utm_source=c' || CAST(doc_id AS VARCHAR) || '&a=' || CAST(base % 7 AS VARCHAR)
+      |        ELSE '?a=' || CAST(base % 7 AS VARCHAR) || '&b=' || CAST(base % 3 AS VARCHAR) END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+      |  FROM ufx),
+      |up1 AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+      |  FROM uurl),
+      |up2 AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
+      |    regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query0
+      |  FROM up1),
+      |up3 AS (
+      |  SELECT doc_id, url, scheme,
+      |    host || (CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
+      |                   AND NOT (scheme = 'https' AND port = '443')
+      |             THEN ':' || port ELSE '' END) AS hostout,
+      |    (CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$', '\1') END) AS path,
+      |    array_to_string(list_sort(list_filter(string_split(query0, '&'),
+      |      p -> p != '' AND NOT starts_with(p, 'utm_')
+      |           AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid='))), '&') AS q
+      |  FROM up2),
+      |ucanon AS (
+      |  SELECT doc_id, url,
+      |    (CASE WHEN scheme = '' THEN url
+      |     ELSE scheme || '://' || hostout || path ||
+      |          (CASE WHEN q = '' THEN '' ELSE '?' || q END) END) AS canonical_url
+      |  FROM up3)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "url_canonicalize" ->
+      s"""WITH $canonCtes
+         |SELECT doc_id, url, canonical_url FROM ucanon""".stripMargin,
+
+    "url_dedup" ->
+      s"""WITH $canonCtes
+         |SELECT canonical_url, count(*) AS copies, min(doc_id) AS doc_id
+         |FROM ucanon GROUP BY canonical_url""".stripMargin)
+}

@@ -272,6 +272,15 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
         streamedRestListRecords.incrementAndGet()
       }
       os.write(']')
+    } catch {
+      // headers are already on the wire: the only honest exit for a
+      // mid-stream failure is to END the chunked body unterminated — the
+      // client sees invalid JSON / a transport error, never a clean 200
+      // over partial data (escaping would hit handle()'s respond(500)
+      // and a second sendResponseHeaders). Same contract as the streamed
+      // gRPC GetVectors paths.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] GET /vectors stream aborted: $e")
     } finally os.close()
   }
 

@@ -125,7 +125,7 @@ class PlanShapeSpec extends SparkSpec {
     // the JlProject lesson: a kernel can silently fall out of
     // whole-stage codegen (Janino limits, nullable-path mistakes) and
     // nothing but this pin would notice
-    for (name <- Seq("html_extract", "unigram_encode")) {
+    for (name <- Seq("html_extract", "unigram_encode", "url_canonicalize")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name grew a shuffle:\n${p.take(800)}")
       assert(p.contains("*("), s"$name fell out of whole-stage codegen:\n${p.take(800)}")

@@ -107,11 +107,15 @@ object Unigram {
       if (r == rounds) {
         // (usage DESC, piece ASC) with pieces in UTF-8 BYTE order — the
         // engine-shared tie the SQL replay's ORDER BY piece compares
-        val multi = v.filter(_._1.length >= 2)
+        // code-point length, not UTF-16 units: a supplementary char
+        // (String.length == 2) is a SINGLE character and must be kept
+        // unconditionally, matching DuckDB length() = code points
+        def cpLen(s: String): Int = s.codePointCount(0, s.length)
+        val multi = v.filter(p => cpLen(p._1) >= 2)
           .sortWith((a, b) => a._2 > b._2 ||
             (a._2 == b._2 && graft.functions.RepetitionProfile.utf8Less(a._1, b._1)))
           .take(vocabSize)
-        v = multi ++ v.filter(_._1.length == 1)
+        v = multi ++ v.filter(p => cpLen(p._1) == 1)
       }
       vocab = v
       costs = toCosts(v)

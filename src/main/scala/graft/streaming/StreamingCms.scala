@@ -78,9 +78,12 @@ object StreamingCms {
     // (the current commit + predecessors) — enough for an at-least-once
     // replay of any in-flight batch id, which always reads a version
     // strictly BELOW its own id and replayed ids are never older than
-    // the last committed few.
+    // the last committed few. Floor of 2, not 1: under at-least-once
+    // replay the failure mode is "sink committed vN, checkpoint didn't" —
+    // the replay of batch N reads versions strictly BELOW N, so vN-1 must
+    // survive vacuum or the replay silently refolds from an EMPTY sketch.
     val vs = versions(fs, storePath)
-    vs.dropRight(math.max(keepVersions, 1)).foreach { v =>
+    vs.dropRight(math.max(keepVersions, 2)).foreach { v =>
       fs.delete(new Path(s"$storePath/v$v.parquet"), true)
     }
   }

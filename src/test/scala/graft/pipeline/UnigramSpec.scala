@@ -99,6 +99,22 @@ class UnigramSpec extends SparkSpec {
     assert(rebuilt === "window window window value value")
   }
 
+  test("supplementary (non-BMP) single chars survive the final prune as kept singles") {
+    // U+1D11E MUSICAL SYMBOL G CLEF: String.length == 2, code points == 1.
+    // The keep-all-single-characters invariant must classify it as a
+    // single (DuckDB length() counts code points), never prune it.
+    val clef = new String(Character.toChars(0x1D11E))
+    val docs = (1 to 40).map(i => (i.toLong,
+      s"alpha alpha beta beta gamma delta $clef")).toDF("doc_id", "text")
+    val vocab = Unigram.fit(docs, "text", vocabSize = 2, rounds = 2)
+    val pieces = vocab.map(_._1).toSet
+    assert(pieces.contains(clef), s"supplementary single char pruned: $pieces")
+    // and it was NOT one of the take(vocabSize) multi slots: all true
+    // multi-code-point pieces still compete for those
+    val multis = vocab.map(_._1).filter(p => p.codePointCount(0, p.length) >= 2)
+    assert(multis.size <= 2, s"vocabSize=2 multi budget exceeded: $multis")
+  }
+
   test("usage counts are exact integer frequencies (hard-EM invariant)") {
     val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
     val words = Unigram.wordFreqs(docs, "text")

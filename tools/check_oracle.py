@@ -109,11 +109,19 @@ def main():
                  if os.path.isdir(f"{out}/{d}") and d not in oracles]
     # cheapest-first: unknown keys (cost 0) run first, then ascending cost
     ordered = sorted(oracles.items(), key=lambda kv: (costs.get(kv[0], 0.0), kv[0]))
-    for name in rows_only:
+    stranded = []
+    for ri, name in enumerate(rows_only):
         if (only and name not in only) or name in args["skip"]:
             continue
         if args["resume"] and prior.get(name, {}).get("status") == "pass":
             n_skip += 1; continue
+        if deadline and time.time() > deadline:
+            # deadline applies here too: large rows-only outputs must not
+            # silently eat the whole budget before any oracle key journals
+            stranded += [n for n in rows_only[ri:]
+                         if (not only or n in only) and n not in args["skip"]
+                         and not (args["resume"] and prior.get(n, {}).get("status") == "pass")]
+            break
         t1 = time.time()
         files = glob.glob(f"{out}/{name}/*.parquet")
         n = (con.execute(f"SELECT count(*) FROM read_parquet('{out}/{name}/*.parquet')")
@@ -125,16 +133,15 @@ def main():
             print(f"FAIL {name}: rows-only query produced no output", flush=True); n_fail += 1
             record(name, "fail", err="rows-only query produced no output",
                    secs=round(time.time() - t1, 2), mode="rows_only")
-    stranded = []
     for idx, (name, sql) in enumerate(ordered):
         if (only and name not in only) or name in args["skip"]:
             continue
         if args["resume"] and prior.get(name, {}).get("status") == "pass":
             n_skip += 1; continue
         if deadline and time.time() > deadline:
-            stranded = [n for n, _ in ordered[idx:]
-                        if (not only or n in only)
-                        and not (args["resume"] and prior.get(n, {}).get("status") == "pass")]
+            stranded += [n for n, _ in ordered[idx:]
+                         if (not only or n in only) and n not in args["skip"]
+                         and not (args["resume"] and prior.get(n, {}).get("status") == "pass")]
             break
         t1 = time.time()
         spark_dir = f"{out}/{name}"

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * comparison. Re-encoded or mildly-noised copies of the same clip land
   * within a few Hamming bits; unrelated clips sit near the 32-bit
   * expectation — so audio near-dup mining reuses the image pipeline's
-  * 16-bit-word banding ([[graft.pipeline.ImageDedup.hamming64NearDuplicates]]).
+  * 8-bit-word banding ([[graft.pipeline.ImageDedup.hamming64NearDuplicates]]).
   *
   * Determinism contract (what the DuckDB oracle replays): |amplitude| of
   * sample `s` is `|s|` with −32768 → 32768; block `b ∈ [0, 65)` covers

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * grid, emit one bit per horizontally-adjacent cell comparison. Two
   * encodings of the SAME picture (re-encode, resize, mild noise) land
   * within a few Hamming bits, so image near-dup mining reduces to the
-  * SimHash machinery: 16-bit-word banding + packed Hamming verify
+  * SimHash-family machinery: 8-bit-word banding + packed Hamming verify
   * ([[graft.pipeline.ImageDedup]]).
   *
   * Determinism contract (what the DuckDB oracle replays): grayscale is

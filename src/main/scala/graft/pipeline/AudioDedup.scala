@@ -7,7 +7,7 @@ import graft.functions.AudioHashExpr
 
 /** Audio near-duplicate detection — the audio leg of the multimodal ×
   * dedup matrix: perceptual envelope hash per clip
-  * ([[graft.functions.AudioHash]]) + the SAME 16-bit-word Hamming
+  * ([[graft.functions.AudioHash]]) + the SAME 8-bit-word Hamming
   * banding the image miner uses
   * ([[ImageDedup.hamming64NearDuplicates]] — one machinery, two
   * modalities). Re-encoded/noised copies of one recording land within a

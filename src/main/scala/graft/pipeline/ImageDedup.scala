@@ -8,17 +8,19 @@ import graft.functions.DHashExpr
 /** Image near-duplicate detection (build-brief multimodal × dedup
   * extension; r11 verdict item 3): perceptual dHash per image
   * ([[graft.functions.ImageHash]]) + the SimHash banding machinery —
-  * bucket by the hash's 16-bit words, exact packed-Hamming verify,
+  * bucket by the hash's 8-bit words, exact packed-Hamming verify,
   * capped buckets with drop telemetry. A real 100 TB multimodal corpus
   * dedups images as surely as text: re-encoded, resized and
   * mildly-noised copies of one picture land within a few Hamming bits
   * of each other while unrelated images sit near the 32-bit expectation.
   *
   * Scale shape: hashing is ONE narrow pass (decode riding the scan);
-  * banding explodes 4 rows per image; the candidate join is equi-join
-  * only (16-bit word buckets — a pair within Hamming ≤ 3 shares a word
-  * by pigeonhole; beyond that banding is recall-lossy, which the
-  * `image_recall` gate measures). No all-pairs product at any scale.
+  * banding explodes 8 rows per image; the candidate join is equi-join
+  * only (8-bit word buckets — a pair within Hamming ≤ 7 shares a word
+  * by pigeonhole, covering the default `maxHamming = 8` to within one
+  * bit; at exactly 8 a pair is missed only when every word carries a
+  * flip, which the `band_recall` gate's adversarial distinct-word
+  * plants measure). No all-pairs product at any scale.
   * Exact-duplicate media should be collapsed by the exact-dedup pass
   * first (identical bytes → identical hash → Hamming 0 survives here
   * too, but pays the banding join for rows a groupBy would collapse).
@@ -31,21 +33,36 @@ object ImageDedup {
     images.select(col(idCol), DHashExpr(col(mediaCol)).as("dhash"))
       .filter(col("dhash").isNotNull)
 
-  /** 16-bit-word Hamming banding over ANY 64-bit perceptual hash column
-    * — shared by the image (dHash) and audio (envelope hash) miners:
-    * candidates share ≥ 1 of the 4 words (pigeonhole-complete for
-    * Hamming ≤ 3, measured-recall-gated beyond), verified by exact
-    * packed Hamming ≤ `maxHamming`. `failOnCappedBuckets = true` is for
-    * callers whose output is held to an oracle that replays no cap (the
-    * strict-audit pattern — a binding cap fails loudly at mining time,
-    * never as a mystery hash-mismatch in a new regime). */
+  /** Word-banded Hamming mining over ANY 64-bit perceptual hash column
+    * — shared by the image (dHash), audio (envelope hash) and video
+    * (clip hash) miners: candidates share ≥ 1 of the `64/bandBits`
+    * words, verified by exact packed Hamming ≤ `maxHamming`.
+    *
+    * Pigeonhole: a pair at Hamming h is GUARANTEED found when
+    * h < 64/bandBits. The default `bandBits = 8` (8 words) is therefore
+    * complete for Hamming ≤ 7 — covering the default `maxHamming = 8`
+    * to within one bit; at exactly 8 a pair escapes only when all 8
+    * words carry a flip (adversarially measured by the `band_recall`
+    * gate's distinct-word plants). `bandBits = 16` (4 words, complete
+    * ≤ 3) is the very-large-corpus setting: bucket population scales
+    * as N/2^bandBits, so at billions of rows the wider word keeps
+    * buckets bounded at the price of recall in the 4..maxHamming band —
+    * the Manku WWW'07 block-permutation trade, with the recall gate and
+    * the strict cap audit as the two honest guards.
+    * `failOnCappedBuckets = true` is for callers whose output is held
+    * to an oracle that replays no cap (the strict-audit pattern — a
+    * binding cap fails loudly at mining time, never as a mystery
+    * hash-mismatch in a new regime). */
   def hamming64NearDuplicates(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, maxBucket: Int,
       logDroppedBuckets: Boolean, failOnCappedBuckets: Boolean,
-      auditName: String): DataFrame = {
+      auditName: String, bandBits: Int = 8): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val words = array((0 until 4).map(w =>
-      shiftrightunsigned(col(hashCol), w * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    require(bandBits == 8 || bandBits == 16, s"bandBits must be 8 or 16, got $bandBits")
+    val nWords = 64 / bandBits
+    val mask = (1L << bandBits) - 1L
+    val words = array((0 until nWords).map(w =>
+      shiftrightunsigned(col(hashCol), w * bandBits).bitwiseAND(lit(mask))): _*)
     val banded = hashed.select(col(idCol), col(hashCol), posexplode(words))
       .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
     Dedup.checkDrops(auditName, banded, Seq("word", "bucket"), maxBucket,
@@ -79,6 +96,54 @@ object ImageDedup {
   }
 
   // ---------------------------------------------------------- fixture
+
+  /** First md5 byte of `s` (column form) as 0..255 — the same value the
+    * DuckDB oracle computes with
+    * `CAST(('0x' || substring(md5(s), 1, 2)) AS BIGINT)`. */
+  private def md5ByteCol(s: Column): Column =
+    conv(substring(md5(s), 1, 2), 16, 10).cast("long")
+
+  /** 2^p for p in 0..7 as an exact integer CASE (both engines). */
+  private def pow2Small(p: Column): Column =
+    when(p === 0, 1L).when(p === 1, 2L).when(p === 2, 4L).when(p === 3, 8L)
+      .when(p === 4, 16L).when(p === 5, 32L).when(p === 6, 64L).otherwise(128L)
+
+  /** md5-derived synthetic 64-bit hash: 8 independent bytes packed into
+    * a signed long (top byte sign-adjusted so the arithmetic stays in
+    * BIGINT range in both engines). Pure column expressions — the
+    * oracle replays it verbatim. */
+  def syntheticHash(tag: String, seed: Column): Column =
+    (0 until 8).map { k =>
+      val b = md5ByteCol(concat(lit(tag + ":"), seed.cast("string"), lit(":" + k)))
+      if (k < 7) b * lit(1L << (8 * k))
+      else when(b >= 128, (b - 256) * lit(1L << 56)).otherwise(b * lit(1L << 56))
+    }.reduce(_ + _)
+
+  /** Flip mask with exactly `flips` bits set, the j-th at bit
+    * `8*j + (md5Byte("bp:<id>:<j>") % 8)` — one flip per 8-bit band
+    * lane, so a `flips = k` plant dirties exactly k DISTINCT banding
+    * words: the adversarial worst case for word banding. `flips` must
+    * be ≤ 7 (lane 7 stays clean, so 8-bit banding is GUARANTEED to
+    * recover the pair — recall floor 1.0, not a probability). */
+  def flipMask(id: Column, flips: Column): Column =
+    (0 until 7).map { j =>
+      when(flips > j,
+        lit(1L << (8 * j)) * pow2Small(
+          md5ByteCol(concat(lit("bp:"), id.cast("string"), lit(":" + j))) % 8))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** `band_recall` fixture hash for a document id: ids with
+    * `id % 10 == 1` carry the hash of `id − 1` with `5 + id % 3`
+    * (∈ {5,6,7}) distinct-word bit flips — plants that land EXACTLY in
+    * the Hamming 5–7 band the default miner claims, spread across the
+    * maximum number of banding words. */
+  def bandFixtureHash(id: Column): Column = {
+    val planted = id % 10 === 1
+    when(planted, syntheticHash("bh", id - 1)
+        .bitwiseXOR(flipMask(id, lit(5L) + id % 3)))
+      .otherwise(syntheticHash("bh", id))
+  }
 
   /** First md5 byte of `s` as 0..255 — the deterministic value source a
     * DuckDB oracle regenerates with

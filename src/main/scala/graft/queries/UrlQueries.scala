@@ -7,8 +7,12 @@ import graft.pipeline.UrlOps
 /** URL canonicalization + URL-keyed dedup keys — see
   * [[graft.pipeline.UrlOps]]. Both FULL hash-match: the fixture URLs and
   * every normalization rule are plain string expressions both engines
-  * rebuild 1:1. Ids with `id % 10 == 1` carry the same logical page as
-  * `id − 1` under crawl noise; url_dedup must collapse each pair. */
+  * rebuild 1:1 — the percent-normalization kernel's SQL replay is a
+  * generated finite regexp_replace chain (66 case-insensitive
+  * unreserved decodes, then 12 hex-uppercase rewrites; staging is
+  * equivalent to the kernel's single scan because decoding never
+  * produces a `%`). Ids with `id % 10 == 1` carry the same logical page
+  * as `id − 1` under crawl noise; url_dedup must collapse each pair. */
 object UrlQueries {
 
   val defs: Map[String, Q] = Map(
@@ -23,9 +27,24 @@ object UrlQueries {
           .select(col("doc_id"), UrlOps.fixtureUrl(col("doc_id")).as("url")),
         "doc_id", "url")))
 
+  private val unreservedChars: Seq[Char] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) :+ '-' :+ '.' :+ '_' :+ '~'
+
+  /** SQL replay of [[graft.functions.PercentNorm.normalize]]: decode
+    * every unreserved triplet in any hex case, then uppercase the hex
+    * of whatever triplets remain (first digit, then second). */
+  private def pctNormSql(e: String): String = {
+    val decoded = unreservedChars.foldLeft(e)((acc, c) =>
+      f"regexp_replace($acc, '(?i)%%${c.toInt}%02x', '$c', 'g')")
+    val upFirst = "abcdef".foldLeft(decoded)((acc, x) =>
+      s"regexp_replace($acc, '%$x([0-9a-fA-F])', '%${x.toUpper}\\1', 'g')")
+    "abcdef".foldLeft(upFirst)((acc, x) =>
+      s"regexp_replace($acc, '%([0-9A-F])$x', '%\\1${x.toUpper}', 'g')")
+  }
+
   /** Fixture + rule replay ending in `ucanon(doc_id, url, canonical_url)`. */
   private val canonCtes =
-    """ufx AS (
+    s"""ufx AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base
       |  FROM documents),
@@ -38,35 +57,41 @@ object UrlQueries {
       |    (CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END) ||
       |    CAST(base % 50 AS VARCHAR) || '.example.com' ||
       |    (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN base % 3 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
-      |    '/p/' || CAST(base AS VARCHAR) ||
+      |    '/p/' || CAST(base AS VARCHAR) || '/x' ||
+      |    (CASE WHEN doc_id % 10 = 1 THEN '%61' ELSE 'a' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '%2F' ELSE '%2f' END) ||
       |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
       |    (CASE WHEN doc_id % 2 = 0
-      |        THEN '?b=' || CAST(base % 3 AS VARCHAR) || '&utm_source=c' || CAST(doc_id AS VARCHAR) || '&a=' || CAST(base % 7 AS VARCHAR)
-      |        ELSE '?a=' || CAST(base % 7 AS VARCHAR) || '&b=' || CAST(base % 3 AS VARCHAR) END) ||
+      |        THEN '?b=' || CAST(base % 3 AS VARCHAR) || '&' ||
+      |             (CASE WHEN doc_id % 4 = 0 THEN 'UTM_Source=c' ELSE 'utm_source=c' END) ||
+      |             CAST(doc_id AS VARCHAR) || '&a=' || CAST(base % 7 AS VARCHAR) || '&fbclid'
+      |        ELSE '?a=' || CAST(base % 7 AS VARCHAR) || '&b=' || CAST(base % 3 AS VARCHAR) ||
+      |             '&gclid=' || CAST(doc_id AS VARCHAR) END) ||
       |    (CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
       |  FROM ufx),
       |up1 AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+      |    ${pctNormSql("regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)")} AS rest
       |  FROM uurl),
       |up2 AS (
       |  SELECT doc_id, url, scheme,
-      |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
-      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
       |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
-      |    regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query0
+      |    regexp_extract(rest, '^[^?]*\\?(.*)$$', 1) AS query0
       |  FROM up1),
       |up3 AS (
       |  SELECT doc_id, url, scheme,
       |    host || (CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
       |                   AND NOT (scheme = 'https' AND port = '443')
       |             THEN ':' || port ELSE '' END) AS hostout,
-      |    (CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$', '\1') END) AS path,
+      |    (CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$$', '\\1') END) AS path,
       |    array_to_string(list_sort(list_filter(string_split(query0, '&'),
-      |      p -> p != '' AND NOT starts_with(p, 'utm_')
-      |           AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid='))), '&') AS q
+      |      p -> p != ''
+      |        AND NOT starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_')
+      |        AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN ('fbclid', 'gclid'))), '&') AS q
       |  FROM up2),
       |ucanon AS (
       |  SELECT doc_id, url,

@@ -113,6 +113,42 @@ class ImageDedupSpec extends SparkSpec {
     assert((pairs -- planted).isEmpty, s"false positives: ${pairs -- planted}")
   }
 
+  test("8-bit banding is pigeonhole-complete to Hamming 7 (property, adversarial spread)") {
+    // pairs at Hamming k <= 7 with each flip in a DISTINCT 8-bit word —
+    // the spread that defeats banding hardest — must ALWAYS be found
+    val rnd = new scala.util.Random(1234)
+    val rows = (0 until 40).flatMap { i =>
+      val base = rnd.nextLong()
+      val k = 5 + i % 3 // 5, 6, 7
+      val lanes = rnd.shuffle((0 until 8).toList).take(k)
+      val mask = lanes.map(l => 1L << (8 * l + rnd.nextInt(8))).reduce(_ | _)
+      Seq((i * 2L, base), (i * 2L + 1, base ^ mask))
+    }
+    val pairs = ImageDedup.hamming64NearDuplicates(
+        rows.toDF("id", "h"), "id", "h", maxHamming = 8, maxBucket = 4096,
+        logDroppedBuckets = false, failOnCappedBuckets = true, auditName = "spec")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 40).map(i => (i * 2L, i * 2L + 1)).toSet
+    assert(planted.subsetOf(pairs), s"pigeonhole violated: ${planted -- pairs}")
+  }
+
+  test("a Hamming-8 pair flipping ALL 8 words is the documented banding escape") {
+    val base = 0x123456789abcdefL
+    val mask = (0 until 8).map(l => 1L << (8 * l)).reduce(_ | _) // one flip per word
+    val pairs = ImageDedup.hamming64NearDuplicates(
+      Seq((1L, base), (2L, base ^ mask)).toDF("id", "h"), "id", "h",
+      maxHamming = 8, maxBucket = 4096, logDroppedBuckets = false,
+      failOnCappedBuckets = true, auditName = "spec")
+    assert(pairs.count() === 0L) // no shared word -> never a candidate
+    // ...but the same 8 flips bunched into 7 words (word 7 clean) IS found
+    val bunched = (0 until 7).map(l => 1L << (8 * l)).reduce(_ | _) | (1L << 1)
+    val found = ImageDedup.hamming64NearDuplicates(
+      Seq((1L, base), (2L, base ^ bunched)).toDF("id", "h"), "id", "h",
+      maxHamming = 8, maxBucket = 4096, logDroppedBuckets = false,
+      failOnCappedBuckets = true, auditName = "spec")
+    assert(found.count() === 1L)
+  }
+
   test("hamming column is the exact packed distance") {
     val df = Seq(
       (0L, ImageDedup.makePng(0L, 0, 27, 16)),

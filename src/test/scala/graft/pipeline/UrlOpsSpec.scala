@@ -37,6 +37,32 @@ class UrlOpsSpec extends SparkSpec {
       "not a url at all"))
   }
 
+  test("tracker strip is case-insensitive on the param NAME and catches bare params") {
+    assert(canon(
+      "http://example.com/a?UTM_Source=x&b=2",  // upper-case utm_ prefix
+      "http://example.com/a?fbclid&b=2",        // bare fbclid, no '='
+      "http://example.com/a?FBCLID=z&GCLID",    // case-folded names, bare gclid
+      "http://example.com/a?fbclident=1"        // NOT a tracker (name != fbclid)
+    ) === Seq(
+      "http://example.com/a?b=2",
+      "http://example.com/a?b=2",
+      "http://example.com/a",
+      "http://example.com/a?fbclident=1"))
+  }
+
+  test("percent-encoding normalizes: unreserved decodes, reserved uppercases hex") {
+    assert(canon(
+      "http://example.com/%7Euser/x%61",   // %7E → ~, %61 → a
+      "http://example.com/a%2fb",          // reserved / stays encoded, hex uppercased
+      "http://example.com/a?k=%4a%2c",     // query too: %4a → J, %2c → %2C
+      "http://example.com/100%"            // bare percent is not a triplet
+    ) === Seq(
+      "http://example.com/~user/xa",
+      "http://example.com/a%2Fb",
+      "http://example.com/a?k=J%2C",
+      "http://example.com/100%"))
+  }
+
   test("the planted fixture pairs collapse; nothing else does") {
     val n = 60
     val urls = (0L until n.toLong).toDF("doc_id")
@@ -51,8 +77,8 @@ class UrlOpsSpec extends SparkSpec {
   }
 
   test("canonicalization is idempotent") {
-    val once = canon("HTTPS://WWW.A.COM:443/x/?utm_source=t&z=1&y=2#f")
-    assert(once === Seq("https://a.com/x?y=2&z=1"))
+    val once = canon("HTTPS://WWW.A.COM:443/x%2f%61/?UTM_Source=t&z=1&y=2&fbclid#f")
+    assert(once === Seq("https://a.com/x%2Fa?y=2&z=1"))
     assert(canon(once.head) === once)
   }
 }

@@ -20,7 +20,8 @@ object SparkEntry {
     (ImageQueries.defs, ImageQueries.oracles),
     (UnigramQueries.defs, UnigramQueries.oracles),
     (AudioQueries.defs, AudioQueries.oracles),
-    (UrlQueries.defs, UrlQueries.oracles))
+    (UrlQueries.defs, UrlQueries.oracles),
+    (WarcQueries.defs, WarcQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

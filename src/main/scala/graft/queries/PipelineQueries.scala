@@ -1428,7 +1428,7 @@ object PipelineQueries {
     * parameterized by the training-corpus source CTE so the HTML-fronted
     * variant reuses one body. `pre` = extra leading CTEs (must end with
     * ",\n" when non-empty); `src` must expose (doc_id, source, text). */
-  private def e2eOracleSql(pre: String, src: String): String =
+  private[queries] def e2eOracleSql(pre: String, src: String): String =
     s"""WITH ${pre}q AS (
        |  SELECT doc_id, source, text,
        |    round(
@@ -1471,19 +1471,24 @@ object PipelineQueries {
     * (one block per line), each line's tag-stripped trimmed text and
     * anchor-char count drive the keep rule `len >= 20 AND 3·link < len`,
     * kept lines re-join in order. Yields `hx(doc_id, source, main_text)`. */
-  private val htmlExtractCtes: String = {
+  /** The page-wrap expression alone (SQL over `documents` columns) —
+    * shared with the WARC fixture oracle, whose response bodies are the
+    * same wrapped pages. */
+  private[queries] val htmlWrapSql: String = Seq(
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'",
+    """'<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact us</a></div>'""",
+    "'<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>'",
+    "array_to_string(list_transform(generate_series(0, CAST((len(string_split(text, ' ')) - 1) // 10 AS INT)), " +
+      "j -> '<p>' || array_to_string(list_slice(string_split(text, ' '), j*10+1, j*10+10), ' ') || '</p>'), chr(10))",
+    """'<div class="side"><a href="/r">related items</a> <a href="/m">more reading</a></div>'""",
+    """'<div class="footer">copyright 2026 <a href="/t">terms of service</a> <a href="/p">privacy policy</a></div>'""",
+    "'</body></html>'"
+  ).mkString(" || chr(10) || ")
+
+  private[queries] val htmlExtractCtes: String = {
     // joined on ONE line: the fragment is interpolated into an outer
     // stripMargin string, which would eat margin-looking '||' line heads
-    val htmlExpr = Seq(
-      "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'",
-      """'<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact us</a></div>'""",
-      "'<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>'",
-      "array_to_string(list_transform(generate_series(0, CAST((len(string_split(text, ' ')) - 1) // 10 AS INT)), " +
-        "j -> '<p>' || array_to_string(list_slice(string_split(text, ' '), j*10+1, j*10+10), ' ') || '</p>'), chr(10))",
-      """'<div class="side"><a href="/r">related items</a> <a href="/m">more reading</a></div>'""",
-      """'<div class="footer">copyright 2026 <a href="/t">terms of service</a> <a href="/p">privacy policy</a></div>'""",
-      "'</body></html>'"
-    ).mkString(" || chr(10) || ")
+    val htmlExpr = htmlWrapSql
     s"""hwrap AS (SELECT doc_id, source, $htmlExpr AS html FROM documents),
        |hls AS (SELECT doc_id, source, string_split(html, chr(10)) AS ls FROM hwrap),
        |hln AS (SELECT doc_id, source, ls,

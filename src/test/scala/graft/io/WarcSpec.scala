@@ -1,0 +1,83 @@
+package graft.io
+
+import java.io.ByteArrayInputStream
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def record(typ: String, url: String, payload: Array[Byte],
+      extraCrlf: String = "\r\n\r\n"): Array[Byte] = {
+    val h = new StringBuilder
+    h.append("WARC/1.0\r\n")
+    h.append(s"WARC-Type: $typ\r\n")
+    if (url.nonEmpty) h.append(s"WARC-Target-URI: $url\r\n")
+    h.append("WARC-Date: 2026-01-02T03:04:05Z\r\n")
+    h.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    h.toString.getBytes("UTF-8") ++ payload ++ extraCrlf.getBytes("UTF-8")
+  }
+
+  private def http(body: String): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body")
+      .getBytes("UTF-8")
+
+  test("parseStream walks records, skips extra CRLFs, drops a truncated tail") {
+    val bytes = record("warcinfo", "", "software: x\r\n".getBytes("UTF-8")) ++
+      "\r\n\r\n".getBytes("UTF-8") ++ // extra inter-record noise
+      record("response", "http://a/1", http("<p>hello</p>")) ++
+      // truncated: claims 100 bytes, delivers 3
+      ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 100\r\n\r\nabc")
+        .getBytes("UTF-8")
+    val recs = Warc.parseStream(new ByteArrayInputStream(bytes)).toSeq
+    assert(recs.map(_.headers("warc-type")) === Seq("warcinfo", "response"))
+    assert(new String(recs(1).payload, "UTF-8").endsWith("<p>hello</p>"))
+  }
+
+  test("write/read round-trip: responses only, HTTP stripped, date parsed, members framed") {
+    val dir = Files.createTempDirectory("warcspec").toString
+    val df = Seq(
+      ("http://s1.example.com/doc/1", java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), "<html><body>one &amp; more</body></html>"),
+      ("http://s2.example.com/doc/2", java.sql.Timestamp.valueOf("2026-01-01 00:00:02"), "<html><body>two\nlines</body></html>"))
+      .toDF("url", "fetch_time", "html")
+    Warc.write(df.repartition(2, col("url")), dir)
+    // raw read sees 3 record types; responses strips to the 2 pages
+    val all = Warc.read(spark, s"$dir/*.warc.gz")
+    assert(all.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("warcinfo" -> 2L, "request" -> 2L, "response" -> 2L))
+    val resp = Warc.responses(spark, s"$dir/*.warc.gz")
+      .select("url", "fetch_time", "http_status", "mime", "html")
+      .as[(String, java.sql.Timestamp, Int, String, String)]
+      .collect().sortBy(_._1)
+    assert(resp.map(_._1).toSeq ===
+      Seq("http://s1.example.com/doc/1", "http://s2.example.com/doc/2"))
+    assert(resp.map(_._5).toSeq ===
+      Seq("<html><body>one &amp; more</body></html>", "<html><body>two\nlines</body></html>"))
+    assert(resp.forall(_._3 == 200) && resp.forall(_._4 == "text/html"))
+    assert(resp(0)._2 === java.sql.Timestamp.valueOf("2026-01-01 00:00:01"))
+  }
+
+  test("multi-byte UTF-8 bodies survive the byte-exact Content-Length framing") {
+    val dir = Files.createTempDirectory("warcspec8").toString
+    val page = "<p>naïve — €42 ✓</p>"
+    val df = Seq(("http://x/1", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), page))
+      .toDF("url", "fetch_time", "html")
+    Warc.write(df, dir)
+    val got = Warc.responses(spark, s"$dir/*.warc.gz")
+      .select("html").as[String].head()
+    assert(got === page)
+  }
+
+  test("a payload without an HTTP envelope passes through as the body") {
+    val bytes = record("response", "http://a/r", "raw bytes, no HTTP".getBytes("UTF-8"))
+    val dir = Files.createTempDirectory("warcraw").toString
+    Files.write(java.nio.file.Paths.get(dir, "f.warc"), bytes)
+    val got = Warc.responses(spark, s"$dir/*.warc")
+      .select("html", "http_status").as[(String, Int)].head()
+    assert(got === (("raw bytes, no HTTP", -1)))
+  }
+}

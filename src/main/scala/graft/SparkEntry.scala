@@ -21,7 +21,8 @@ object SparkEntry {
     (UnigramQueries.defs, UnigramQueries.oracles),
     (AudioQueries.defs, AudioQueries.oracles),
     (UrlQueries.defs, UrlQueries.oracles),
-    (WarcQueries.defs, WarcQueries.oracles))
+    (WarcQueries.defs, WarcQueries.oracles),
+    (VideoQueries.defs, VideoQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

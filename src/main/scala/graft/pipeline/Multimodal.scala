@@ -221,7 +221,11 @@ object Multimodal {
               val listType = fourcc(body)
               if (listType == "movi" || listType == "rec ") walk(body + 4, bodyEnd)
             } else if ((id.endsWith("dc") || id.endsWith("db")) && body + sz <= end) {
-              if (sz >= 2 && media(body) == 0xFF.toByte && media(body + 1) == 0xD8.toByte)
+              // JPEG SOI (MJPG) or PNG signature (the MPNG/"PNG " codec —
+              // lossless frames, which is what makes a clip-hash oracle
+              // pixel-exact); other codecs' bodies match neither
+              if (sz >= 2 && ((media(body) == 0xFF.toByte && media(body + 1) == 0xD8.toByte) ||
+                  (media(body) == 0x89.toByte && media(body + 1) == 'P'.toByte)))
                 frames += java.util.Arrays.copyOfRange(media, body, body + sz)
             }
             pos = body + sz + (sz & 1) // chunks are word-aligned

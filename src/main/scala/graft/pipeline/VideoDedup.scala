@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VideoHashExpr
+
+/** Video near-duplicate detection — the last leg of the multimodal ×
+  * dedup matrix (r12 verdict Next #2): per-frame dHash → temporal-
+  * majority 64-bit clip hash ([[graft.functions.VideoHash]]) → the SAME
+  * 8-bit-word Hamming banding machinery image and audio mine with
+  * ([[ImageDedup.hamming64NearDuplicates]] — one machinery, three
+  * modalities). Re-encoded / mildly-noised / few-frames-dropped copies
+  * of one clip land within a few Hamming bits; distinct clips sit near
+  * the 32-bit expectation.
+  *
+  * Scale shape: hashing is ONE narrow pass (container walk + per-frame
+  * decode riding the scan — no frame explode, no shuffle); candidates
+  * are an 8-row banding equi-join. No all-pairs product at any scale.
+  */
+object VideoDedup {
+
+  /** `(id, vhash)` for every decodable clip — the persistable artifact. */
+  def hashFrame(videos: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    videos.select(col(idCol), VideoHashExpr(col(mediaCol)).as("vhash"))
+      .filter(col("vhash").isNotNull)
+
+  /** Near-duplicate clip pairs `(id_a, id_b, hamming)` via the shared
+    * banding machinery. `hashed0` accepts the memoized artifact. */
+  def videoNearDuplicates(videos: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 8, maxBucket: Int = 4096,
+      logDroppedBuckets: Boolean = false,
+      failOnCappedBuckets: Boolean = false,
+      hashed0: Option[DataFrame] = None): DataFrame = {
+    val hashed = hashed0.getOrElse(
+      hashFrame(videos, idCol, mediaCol).localCheckpoint(true))
+    ImageDedup.hamming64NearDuplicates(hashed, idCol, "vhash", maxHamming,
+      maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName = "video")
+  }
+
+  // ---------------------------------------------------------- fixture
+
+  /** Frames per fixture clip (odd majority thresholds at 2·cnt > 4 ⇒
+    * a bit needs 3 of 4 frames). */
+  val FixtureFrames = 4
+
+  /** Grayscale value of pixel `(x, y)` of frame `f` of clip `id`: ids
+    * with `id % plantEvery == 1` are PLANTED near-duplicates of `id − 1`
+    * — same md5-derived base frames plus a ±1 perturbation on ~20% of
+    * pixels per frame (the re-encode/noise regime). Exactly replayable
+    * in SQL (the [[ImageDedup.pixel]] discipline, per frame). */
+  def vpixel(id: Long, plantEvery: Int, f: Int, x: Int, y: Int): Int = {
+    val planted = plantEvery > 0 && id % plantEvery == 1
+    val seed = if (planted) id - 1 else id
+    val v = ImageDedup.md5Byte(s"vid:$seed:$f:$x:$y")
+    if (!planted) v
+    else {
+      val d = ImageDedup.md5Byte(s"vpert:$id:$f:$x:$y") % 10 match {
+        case 0 => 1
+        case 1 => -1
+        case _ => 0
+      }
+      math.max(0, math.min(255, v + d))
+    }
+  }
+
+  /** One lossless PNG frame of the fixture clip. */
+  def makeFramePng(id: Long, plantEvery: Int, f: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = vpixel(id, plantEvery, f, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A REAL RIFF/AVI container around the fixture's PNG frames (the
+    * MPNG codec layout — lossless, so decoded pixels equal authored
+    * pixels and the oracle replays the hash without decoding):
+    * `RIFF(AVI ) { LIST(movi) { 00dc(frame)… } }`, chunks word-aligned. */
+  def makeAvi(id: Long, plantEvery: Int, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val frameBytes = (0 until frames).map(f => makeFramePng(id, plantEvery, f, w, h))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    def fourcc(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val moviBody = 4 + frameBytes.map(fb => 8 + fb.length + (fb.length & 1)).sum
+    val riffBody = 4 + 8 + moviBody // "AVI " + LIST header + movi list
+    fourcc("RIFF"); w32(riffBody); fourcc("AVI ")
+    fourcc("LIST"); w32(moviBody); fourcc("movi")
+    frameBytes.foreach { fb =>
+      fourcc("00dc"); w32(fb.length); bos.write(fb)
+      if ((fb.length & 1) == 1) bos.write(0) // word alignment pad
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic clip table derived from a document frame: one
+    * 4-frame 27×16 MPNG-AVI per id (the image fixture's exact-block
+    * geometry, per frame). Narrow map, no shuffle. */
+  def videoTable(docs: DataFrame, idCol: String = "doc_id",
+      plantEvery: Int = 50, frames: Int = FixtureFrames,
+      w: Int = 27, h: Int = 16): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions(_.map(id => (id, makeAvi(id, plantEvery, frames, w, h))))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "media")
+  }
+}

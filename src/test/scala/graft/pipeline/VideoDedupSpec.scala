@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.{ImageHash, VideoHash}
+import org.apache.spark.sql.functions._
+
+class VideoDedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("majority fold: strict majority per bit, exact half clears") {
+    // 4 "frames": bit 0 set in 3 (majority), bit 1 set in 2 (tie -> 0),
+    // bit 63 set in all 4
+    val h = VideoHash.majority(Seq(
+      1L | (1L << 1) | Long.MinValue,
+      1L | (1L << 1) | Long.MinValue,
+      1L | Long.MinValue,
+      Long.MinValue))
+    assert(h === (1L | Long.MinValue))
+  }
+
+  test("clip hash matches a per-frame dHash majority replay on the fixture") {
+    val id = 7L
+    val avi = VideoDedup.makeAvi(id, 50, 4, 27, 16)
+    val frames = Multimodal.decodeAviFrames(avi).get
+    assert(frames.size === 4)
+    val perFrame = frames.map(f => ImageHash.dHash(f).longValue())
+    // and per-frame hashes equal the authored-pixel arithmetic
+    val expect0 = {
+      val gray = Array.tabulate(16 * 27)(i => VideoDedup.vpixel(id, 50, 0, i % 27, i / 27))
+      ImageHash.dHashFromGray(gray, 27, 16)
+    }
+    assert(perFrame.head === expect0)
+    assert(VideoHash.clipHash(avi).longValue() === VideoHash.majority(perFrame))
+  }
+
+  test("planted noised clips stay near; distinct clips stay far") {
+    val h0 = VideoHash.clipHash(VideoDedup.makeAvi(0L, 0, 4, 27, 16)).longValue()
+    val h1 = VideoHash.clipHash(VideoDedup.makeAvi(1L, 0, 4, 27, 16)).longValue()
+    // planted copy of clip 50 (51 % 50 == 1)
+    val h50 = VideoHash.clipHash(VideoDedup.makeAvi(50L, 0, 4, 27, 16)).longValue()
+    val h51 = VideoHash.clipHash(VideoDedup.makeAvi(51L, 50, 4, 27, 16)).longValue()
+    assert(java.lang.Long.bitCount(h50 ^ h51) <= 8)
+    assert(java.lang.Long.bitCount(h0 ^ h1) > 12)
+  }
+
+  test("undecodable payloads hash to null and drop; truncated AVI still hashes") {
+    val avi = VideoDedup.makeAvi(3L, 0, 4, 27, 16)
+    val truncated = java.util.Arrays.copyOf(avi, avi.length - 40) // clips last frame
+    assert(VideoHash.clipHash(truncated) != null)
+    val df = Seq(
+      (1L, avi),
+      (2L, "not a video".getBytes("UTF-8"))).toDF("id", "media")
+    assert(VideoDedup.hashFrame(df, "id", "media")
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("miner finds planted clip pairs via the shared banding, no false positives") {
+    val n = 120
+    val rows = (0L until n.toLong).map(id =>
+      (id, VideoDedup.makeAvi(id, 50, 4, 27, 16)))
+    val df = rows.toDF("doc_id", "media")
+    val pairs = VideoDedup.videoNearDuplicates(df, "doc_id", "media",
+        maxHamming = 8, failOnCappedBuckets = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until n.toLong).filter(_ % 50 == 1).map(i => (i - 1, i)).toSet
+    assert(planted.subsetOf(pairs), s"missed ${planted -- pairs}")
+    assert((pairs -- planted).isEmpty, s"false positives: ${pairs -- planted}")
+  }
+}

@@ -22,7 +22,8 @@ object SparkEntry {
     (AudioQueries.defs, AudioQueries.oracles),
     (UrlQueries.defs, UrlQueries.oracles),
     (WarcQueries.defs, WarcQueries.oracles),
-    (VideoQueries.defs, VideoQueries.oracles))
+    (VideoQueries.defs, VideoQueries.oracles),
+    (LangQueries.defs, LangQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

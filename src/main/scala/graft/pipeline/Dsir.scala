@@ -45,7 +45,11 @@ object Dsir {
   def featureLogRatios(df: DataFrame, textCol: String, targetPred: Column,
       buckets: Int): Array[Long] = {
     val counts = df
-      .select(targetPred.as("is_target"), explode(Dedup.tokens(col(textCol))).as("tok"))
+      // two steps: a generator and a struct-field extraction in ONE
+      // projection trips ExtractGenerator's rebuild (field names degrade
+      // to col1..colN), so the predicate resolves before the explode
+      .select(targetPred.as("is_target"), col(textCol))
+      .select(col("is_target"), explode(Dedup.tokens(col(textCol))).as("tok"))
       .select(col("is_target"), bucket(col("tok"), buckets).as("b"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("raw"),
@@ -65,18 +69,25 @@ object Dsir {
     }
   }
 
+  /** Exact integer micro-nat importance score as a COLUMN — the narrow
+    * reusable form (gates should compare the integer, not the rounded
+    * double, so `micro >= 0` has no −0.0 edge). */
+  def microScore(textCol: Column, weightsMicro: Array[Long]): Column = {
+    val wlit = array(weightsMicro.map(lit(_)): _*)
+    aggregate(
+      Dedup.tokens(textCol), lit(0L),
+      (acc, t) => acc + element_at(wlit, (bucket(t, weightsMicro.length) + 1L).cast("int")))
+  }
+
   /** Per-document importance scores (in nats, micro-rounded) against a
     * frozen weight array: a pure narrow map — each token hashes into the
     * broadcast-literal weight table and the integer micro-nats sum
     * exactly. */
   def importanceScores(df: DataFrame, idCol: String, textCol: String,
-      weightsMicro: Array[Long]): DataFrame = {
-    val wlit = array(weightsMicro.map(lit(_)): _*)
-    val micro = aggregate(
-      Dedup.tokens(col(textCol)), lit(0L),
-      (acc, t) => acc + element_at(wlit, (bucket(t, weightsMicro.length) + 1L).cast("int")))
-    df.select(col(idCol), round(micro.cast("double") / 1e6, 6).as("dsir_score"))
-  }
+      weightsMicro: Array[Long]): DataFrame =
+    df.select(col(idCol),
+      round(microScore(col(textCol), weightsMicro).cast("double") / 1e6, 6)
+        .as("dsir_score"))
 
   /** The composed selector: estimate weights from `targetPred`, score
     * every document, keep the top `k` by (score desc, id asc) — the

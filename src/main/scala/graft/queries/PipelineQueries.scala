@@ -474,6 +474,41 @@ object PipelineQueries {
       Dsir.selectTopK(table(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", buckets = 64, k = 200)),
 
+    // Model-based quality classifier (r12 verdict Next #5, the CCNet
+    // shape, Wenzek et al. 1911.00359 §4.4): the "good" reference slice
+    // is the corpus' own Gopher-rule keepers, features are hashed
+    // unigrams, and the score is the Naive-Bayes log-odds
+    // target-vs-raw — exactly [[Dsir.featureLogRatios]] with the rule
+    // battery as the target predicate, micro-nat frozen. One bounded
+    // estimation pass + one narrow scoring map; the oracle replays the
+    // Gopher keep rule, the weight estimation AND the scoring.
+    "quality_score" -> ((s, dir) =>
+      Dsir.importanceScores(table(s, dir, "documents"), "doc_id", "text",
+        qualityWeightsFor(s, dir)).withColumnRenamed("dsir_score", "q_model")),
+
+    // The e2e chain with the MODEL-BASED quality gate in stage 1
+    // (micro >= 0 — integer compare, no rounded-double edge — beside
+    // the heuristic language gate), then the standard dedup →
+    // decontamination → per-source quota stages.
+    "pipeline_e2e_quality" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val w = qualityWeightsFor(s, dir)
+      val profiled = d
+        .withColumn("micro", Dsir.microScore(col("text"), w))
+        .withColumn("lang_id", TextStats.languageId(col("text")))
+        .localCheckpoint(true)
+      val gated = profiled.filter(col("micro") >= 0L && col("lang_id") === "en")
+      val deduped = Dedup.exact(gated, "doc_id", "text")
+      val decon = Decontamination.decontaminate(
+        deduped.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 3, minOverlap = 5)
+      CorpusSampling.quotaSample(decon, "source", "doc_id", quota = 10,
+          salt = "e2e", prefilterMargin = Some(4.0))
+        .select(col("doc_id"), col("source"),
+          round(col("micro").cast("double") / 1e6, 6).as("q_model"))
+    }),
+
     // Symmetric int8 embedding quantization: per-vector scale, codes,
     // and max round-trip error — the 4x storage-compression pass an
     // embedding corpus ships through before ANN indexing.
@@ -1067,8 +1102,56 @@ object PipelineQueries {
     bm25Stats.computeIfAbsent(sessionKey(s, dir),
       _ => Bm25.corpusStats(table(s, dir, "documents"), "text"))
 
+  /** Memoized quality-model weights (pure values — keyed by dir): the
+    * Dsir log-odds against the Gopher-keepers target slice. */
+  private val qualityWeights =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def qualityWeightsFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Long] =
+    qualityWeights.computeIfAbsent(dir, _ =>
+      Dsir.featureLogRatios(table(s, dir, "documents"), "text",
+        TextStats.gopherProfile(col("text")).getField("keep"), buckets = 64))
+
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')"
+
+  /** Quality-model replay CTEs: Gopher keep rule over raw text ->
+    * target slice -> dsir log-odds weights -> exact integer micro
+    * scores, ending in `qsc(doc_id, micro)`. */
+  private lazy val qualityModelCtes: String =
+    s"""qg0 AS (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS gtk,
+       |          text FROM documents),
+       |qg1 AS (SELECT doc_id, len(gtk) AS nw,
+       |          coalesce(CAST(list_sum(list_transform(gtk, w -> length(w))) AS DOUBLE), 0.0) AS chars,
+       |          length(text) - length(replace(text, '#', '')) AS hashes,
+       |          (length(text) - length(replace(text, '...', ''))) // 3 AS ell,
+       |          len(list_filter(gtk, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+       |          len(list_filter(gtk, w -> list_contains(['the','be','to','of','and','that','have','with'], lower(w)))) AS stops
+       |        FROM qg0),
+       |qg AS (SELECT doc_id,
+       |         (nw BETWEEN 50 AND 100000)
+       |           AND (CASE WHEN nw = 0 THEN 0.0 ELSE chars / nw END) BETWEEN 3.0 AND 10.0
+       |           AND (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(hashes + ell AS DOUBLE) / nw END) <= 0.1
+       |           AND (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nw END) >= 0.8
+       |           AND stops >= 2 AS keep
+       |       FROM qg1),
+       |qtk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |qbk AS (SELECT qtk.doc_id, CAST(('0x' || substring(md5(t),1,4)) AS BIGINT) % 64 AS b,
+       |          qg.keep AS keep
+       |        FROM qtk JOIN qg ON qg.doc_id = qtk.doc_id),
+       |qcnt AS (SELECT b, count(*) AS raw, count(CASE WHEN keep THEN 1 END) AS tgt
+       |         FROM qbk GROUP BY b),
+       |qtot AS (SELECT sum(raw) AS rt, sum(tgt) AS tt FROM qcnt),
+       |qw AS (SELECT b,
+       |         CAST(floor(1e6 * (ln((tgt + 1.0) / ((SELECT tt FROM qtot) + 64))
+       |                         - ln((raw + 1.0) / ((SELECT rt FROM qtot) + 64))) + 0.5) AS BIGINT) AS wm
+       |       FROM qcnt),
+       |qsc AS (SELECT d.doc_id AS doc_id, CAST(coalesce(sum(qw.wm), 0) AS BIGINT) AS micro
+       |        FROM documents d
+       |        LEFT JOIN qbk ON qbk.doc_id = d.doc_id
+       |        LEFT JOIN qw ON qw.b = qbk.b
+       |        GROUP BY d.doc_id)""".stripMargin
 
   /** The qualityScore replay expression (round 6dp), verbatim from the
     * pipeline_clean / gopher-family oracles — defined once for new
@@ -2035,6 +2118,42 @@ object PipelineQueries {
          |       GROUP BY d.doc_id)
          |SELECT doc_id, round(CAST(micro AS DOUBLE) / 1e6, 6) AS dsir_score
          |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin,
+
+    // quality-model replay: Gopher keep rule -> target slice, dsir-form
+    // log-odds weights (micro-nat frozen), exact integer scoring
+    "quality_score" ->
+      s"""WITH $qualityModelCtes
+         |SELECT doc_id, round(CAST(micro AS DOUBLE) / 1e6, 6) AS q_model
+         |FROM qsc""".stripMargin,
+
+    "pipeline_e2e_quality" ->
+      s"""WITH $qualityModelCtes,
+         |qq AS (SELECT d.doc_id, d.source, d.text, s.micro,
+         |        CASE WHEN len(list_filter($toksSql, t -> list_contains($stopList, t))) > 0
+         |             THEN 'en' ELSE 'und' END AS lang_id
+         |       FROM documents d JOIN qsc s ON s.doc_id = d.doc_id),
+         |qkept AS (SELECT doc_id, source, text, micro FROM qq
+         |          WHERE micro >= 0 AND lang_id = 'en'),
+         |qdd AS (SELECT k.doc_id, k.source, k.text, k.micro FROM qkept k
+         |        JOIN (SELECT min(doc_id) AS doc_id FROM qkept GROUP BY md5(text)) m
+         |          ON k.doc_id = m.doc_id),
+         |qtr AS (SELECT doc_id AS tid, unnest(${shSql("text")}) AS tok
+         |        FROM qdd WHERE doc_id % 10 != 0),
+         |qev AS (SELECT doc_id AS eid, unnest(${shSql("text")}) AS tok
+         |        FROM documents WHERE doc_id % 10 = 0),
+         |qov AS (SELECT tid, eid, count(*) AS ov FROM qtr JOIN qev USING (tok)
+         |        GROUP BY tid, eid),
+         |qbad AS (SELECT tid FROM qov GROUP BY tid HAVING max(ov) >= 5),
+         |qdecon AS (SELECT doc_id, source, micro FROM qdd
+         |           WHERE doc_id % 10 != 0
+         |             AND doc_id NOT IN (SELECT tid FROM qbad))
+         |SELECT doc_id, source, round(CAST(micro AS DOUBLE) / 1e6, 6) AS q_model
+         |FROM (SELECT doc_id, source, micro, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':e2e'),1,15)) AS BIGINT)
+         |      / CAST(1152921504606846976 AS DOUBLE), doc_id) AS rn
+         |  FROM qdecon)
+         |WHERE rn <= 10""".stripMargin,
 
     // Quantization replay: scale = max |x| as double (exact from
     // float32), codes via explicit floor(x/s*127 + 0.5) — identical

@@ -58,13 +58,7 @@ object ImageDedup {
       logDroppedBuckets: Boolean, failOnCappedBuckets: Boolean,
       auditName: String, bandBits: Int = 8): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    require(bandBits == 8 || bandBits == 16, s"bandBits must be 8 or 16, got $bandBits")
-    val nWords = 64 / bandBits
-    val mask = (1L << bandBits) - 1L
-    val words = array((0 until nWords).map(w =>
-      shiftrightunsigned(col(hashCol), w * bandBits).bitwiseAND(lit(mask))): _*)
-    val banded = hashed.select(col(idCol), col(hashCol), posexplode(words))
-      .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
+    val banded = bandRows(hashed, idCol, hashCol, bandBits)
     Dedup.checkDrops(auditName, banded, Seq("word", "bucket"), maxBucket,
       logDroppedBuckets, failOnCappedBuckets)
     val capped = Dedup.capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
@@ -78,6 +72,20 @@ object ImageDedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Banding explode shared by the batch miners and the streaming
+    * perceptual-hash store: `(word, bucket, <idCol>, <hashCol>)`, one
+    * row per `64/bandBits`-bit word. */
+  def bandRows(hashed: DataFrame, idCol: String, hashCol: String,
+      bandBits: Int = 8): DataFrame = {
+    require(bandBits == 8 || bandBits == 16, s"bandBits must be 8 or 16, got $bandBits")
+    val nWords = 64 / bandBits
+    val mask = (1L << bandBits) - 1L
+    val words = array((0 until nWords).map(w =>
+      shiftrightunsigned(col(hashCol), w * bandBits).bitwiseAND(lit(mask))): _*)
+    hashed.select(col(idCol), col(hashCol), posexplode(words))
+      .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
   }
 
   /** Near-duplicate image pairs `(id_a, id_b, hamming)` with

@@ -79,6 +79,26 @@ object ImageQueries {
         maxHamming = 8, hashed0 = Some(imageHashFor(s, dir))),
       Seq("id_a", "id_b"), floor = 0.9)),
 
+    // Streaming IMAGE near-dup drive (r12 verdict Next #8): two
+    // micro-batches (even ids, then odd) through the persisted
+    // perceptual-hash store — each planted pair spans the batches, so
+    // batch 1 must drop its plants against batch 0's stored hashes via
+    // the banding probe + one packed-Hamming verify on the stored hash
+    // (no payload fetch). Full hash-match: kept = all but the plants.
+    "streaming_image_dedup_keep" -> ((s, dir) => {
+      val imgs = ImageDedup.imageTable(table(s, dir, "documents"))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_simg_" +
+        Integer.toHexString(sessionKey(s, dir).hashCode)
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
+      graft.streaming.StreamingDedup.nearDupImageBatch(
+        imgs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "media", store, 8, 4096)
+      graft.streaming.StreamingDedup.nearDupImageBatch(
+        imgs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "media", store, 8, 4096)
+      graft.streaming.StreamingDedup.readKept(s, store)
+        .select(col("doc_id"), col("dhash"))
+    }),
+
     // Adversarial banding-completeness gate (r12 verdict note 1): plants
     // with EXACTLY 5–7 bit flips, each flip in a DISTINCT 8-bit banding
     // word — the spread that defeats banding hardest. 8-bit banding is
@@ -102,7 +122,7 @@ object ImageQueries {
     }))
 
   /** Shared oracle CTE chain: pixels → block means → bits → dhash. */
-  private val dhashCtes =
+  private[queries] val dhashCtes =
     """ipx AS (
       |  SELECT d.doc_id,
       |    CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1 ELSE d.doc_id END AS seed,
@@ -189,6 +209,11 @@ object ImageQueries {
         |       TRUE AS recall_ok
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE b.doc_id % 50 = 1""".stripMargin,
+
+    "streaming_image_dedup_keep" ->
+      s"""WITH $dhashCtes
+         |SELECT doc_id, dhash FROM ihash
+         |WHERE doc_id % 50 != 1""".stripMargin,
 
     // plants are pigeonhole-guaranteed found at 8-bit banding, so the
     // oracle pins recall_ok TRUE at floor 1.0 — deterministic, not noise

@@ -93,6 +93,20 @@ object PipelineQueries {
         "doc_id", iterations = 5)
     }),
 
+    // Bucketed-storage twin of pagerank_sim (r12 verdict Next #6):
+    // identical rows and oracle, but the node frame reads back from a
+    // doc_id-bucketed managed table, so each iteration's node-side
+    // co-partition exchange drops (plan pin: BucketedPathsSpec). The
+    // bench artifact turns the exchange elimination into seconds.
+    "pagerank_sim_bucketed" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      GraphRank.pageRank(
+        bucketedNodesFor(s, dir),
+        Dedup.jaccardJoin(d, "doc_id", "text", 0.8)
+          .select(col("id_a"), col("id_b")),
+        "doc_id", iterations = 5)
+    }),
+
     // Text profile: token counts, quality signals, language id, rolling
     // fingerprint — all pure codegen column expressions.
     "text_profile" -> ((s, dir) => {
@@ -1102,6 +1116,23 @@ object PipelineQueries {
     bm25Stats.computeIfAbsent(sessionKey(s, dir),
       _ => Bm25.corpusStats(table(s, dir, "documents"), "text"))
 
+  /** Bucketed node frame for `pagerank_sim_bucketed`, written once per
+    * session+dataset into the (gitignored) session warehouse as a
+    * doc_id-bucketed managed table and read back with its bucketing
+    * metadata. */
+  private val bucketedNodes =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def bucketedNodesFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    bucketedNodes.computeIfAbsent(sessionKey(s, dir), _ => {
+      val name = "graft_pr_nodes_" + Integer.toHexString(dir.hashCode)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      graft.io.BucketedTables.save(
+        table(s, dir, "documents").select(col("doc_id")), name, "doc_id",
+        buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      graft.io.BucketedTables.load(s, name)
+    })
+
   /** Memoized quality-model weights (pure values — keyed by dir): the
     * Dsir log-odds against the Gopher-keepers target slice. */
   private val qualityWeights =
@@ -1728,6 +1759,12 @@ object PipelineQueries {
     // PageRank replay: jpairs edges -> chained integer-exact iteration
     // CTEs generated from the SAME iteration count as the Spark query
     "pagerank_sim" ->
+      s"""WITH $jaccardJoinSqlCtes,
+         |${pageRankCtes(5)}
+         |SELECT doc_id, CAST(r AS BIGINT) AS rank_nano FROM pr5""".stripMargin,
+
+    // identical replay: bucketing is a storage property, not semantics
+    "pagerank_sim_bucketed" ->
       s"""WITH $jaccardJoinSqlCtes,
          |${pageRankCtes(5)}
          |SELECT doc_id, CAST(r AS BIGINT) AS rank_nano FROM pr5""".stripMargin,

@@ -25,7 +25,28 @@ object UrlQueries {
       UrlOps.urlDedupGroups(
         table(s, dir, "documents")
           .select(col("doc_id"), UrlOps.fixtureUrl(col("doc_id")).as("url")),
-        "doc_id", "url")))
+        "doc_id", "url")),
+
+    // Streaming canonical-URL dedup drive (r12 verdict Next #8): two
+    // micro-batches (even ids, then odd ids) through the persisted
+    // URL-index store — each planted pair spans the batches, so the
+    // second batch's rows must drop against the FIRST batch's stored
+    // keys, not within-batch state. Full hash-match: kept = every row
+    // whose canonical URL is novel, i.e. all but the planted ids.
+    "streaming_url_dedup_keep" -> ((s, dir) => {
+      val urls = table(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.fixtureUrl(col("doc_id")).as("url"))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_surl_" +
+        Integer.toHexString(sessionKey(s, dir).hashCode)
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
+      graft.streaming.StreamingDedup.urlDedupBatch(
+        urls.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "url", store)
+      graft.streaming.StreamingDedup.urlDedupBatch(
+        urls.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "url", store)
+      graft.streaming.StreamingDedup.readKept(s, store)
+        .select(col("doc_id"), col("url"), col("canonical_url"))
+    }))
 
   private val unreservedChars: Seq[Char] =
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) :+ '-' :+ '.' :+ '_' :+ '~'
@@ -43,7 +64,7 @@ object UrlQueries {
   }
 
   /** Fixture + rule replay ending in `ucanon(doc_id, url, canonical_url)`. */
-  private val canonCtes =
+  private[queries] val canonCtes =
     s"""ufx AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base
@@ -108,5 +129,12 @@ object UrlQueries {
     "url_dedup" ->
       s"""WITH $canonCtes
          |SELECT canonical_url, count(*) AS copies, min(doc_id) AS doc_id
-         |FROM ucanon GROUP BY canonical_url""".stripMargin)
+         |FROM ucanon GROUP BY canonical_url""".stripMargin,
+
+    // the two-batch drive keeps exactly the novel-canonical rows: every
+    // id except the planted (id % 10 = 1) re-crawls
+    "streaming_url_dedup_keep" ->
+      s"""WITH $canonCtes
+         |SELECT doc_id, url, canonical_url FROM ucanon
+         |WHERE doc_id % 10 != 1""".stripMargin)
 }

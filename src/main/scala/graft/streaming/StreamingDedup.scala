@@ -179,6 +179,113 @@ object StreamingDedup {
       .write.mode("overwrite").parquet(s"$storePath/buckets/batch$batchId")
   }
 
+  // ----------------------------------------- streaming URL / image legs
+
+  /** Streaming canonical-URL dedup (r12 verdict Next #8, first leg):
+    * the crawl-refresh shape — each micro-batch canonicalizes its URLs
+    * ([[graft.pipeline.UrlOps]]), collapses within-batch to the min-id
+    * row per canonical key, then drops every row whose canonical URL
+    * the kept corpus already holds, via ONE equi-anti-join against the
+    * persisted `(canonical_url, id)` index. Survivors append their rows
+    * under `kept/batch<id>` and their keys under `urls/batch<id>` —
+    * the SAME `_SUCCESS`-gated, replay-safe commit protocol as
+    * [[nearDupKeep]] (deterministic dirs, prior-batches-only probe). */
+  def urlDedupKeep(stream: DataFrame, idCol: String, urlCol: String,
+      storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        urlDedupBatch(batch, batchId, idCol, urlCol, storePath)
+      }
+      .start()
+
+  private[graft] def urlDedupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, urlCol: String, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val canon = batch.select(col(idCol), col(urlCol))
+      .withColumn("canonical_url", graft.pipeline.UrlOps.canonicalize(col(urlCol)))
+      .localCheckpoint(false)
+    // within-batch: min id per canonical key (the exact-dedup shape)
+    val reps = canon.groupBy(col("canonical_url")).agg(min(col(idCol)).as(idCol))
+    val batchKeep = canon.join(reps, Seq("canonical_url", idCol), "left_semi")
+    val urlDirs = priorCommittedDirs(spark, s"$storePath/urls", batchId)
+    val survivors =
+      if (urlDirs.isEmpty) batchKeep
+      else batchKeep.join(
+        spark.read.parquet(urlDirs: _*).select(col("canonical_url")).distinct(),
+        Seq("canonical_url"), "left_anti")
+    val survived = survivors.localCheckpoint(false)
+    survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
+    survived.select(col("canonical_url"), col(idCol))
+      .write.mode("overwrite").parquet(s"$storePath/urls/batch$batchId")
+  }
+
+  /** Streaming IMAGE near-dup keep (r12 verdict Next #8, second leg):
+    * each micro-batch hashes its images once (dHash kernel), collapses
+    * within-batch near-dup clusters (shared 8-bit-word banding +
+    * connected components, min-id representative), then probes the
+    * persisted `(word, bucket, dhash, id)` perceptual-hash index —
+    * candidates share a band word, verification is ONE packed-Hamming
+    * compare on the stored hash (no payload fetch). Survivors append
+    * `(id, dhash)` under `kept/batch<id>` and their band rows under
+    * `buckets/batch<id>`; same commit protocol as the text/vector legs.
+    * Because the index holds hashes, the store stays narrow no matter
+    * how large the media payloads are — the 100 TB crawl-refresh shape. */
+  def nearDupKeepImages(stream: DataFrame, idCol: String, mediaCol: String,
+      storePath: String, checkpoint: String,
+      maxHamming: Int = 8, maxBucket: Int = 4096,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupImageBatch(batch, batchId, idCol, mediaCol, storePath,
+          maxHamming, maxBucket)
+      }
+      .start()
+
+  private[graft] def nearDupImageBatch(batch: DataFrame, batchId: Long,
+      idCol: String, mediaCol: String, storePath: String,
+      maxHamming: Int, maxBucket: Int): Unit = {
+    import graft.pipeline.{Dedup, ImageDedup}
+    val spark = batch.sparkSession
+    // ONE decode+hash kernel pass per micro-batch, shared by mining,
+    // probe and store write (the repBands discipline)
+    val hashed = ImageDedup.hashFrame(
+      batch.select(col(idCol), col(mediaCol)), idCol, mediaCol)
+      .localCheckpoint(false)
+    val pairs = ImageDedup.hamming64NearDuplicates(hashed, idCol, "dhash",
+      maxHamming, maxBucket, logDroppedBuckets = false,
+      failOnCappedBuckets = false, auditName = "stream_image")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val batchKeep = hashed.join(
+        comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    val bucketDirs = priorCommittedDirs(spark, s"$storePath/buckets", batchId)
+    val survivors =
+      if (bucketDirs.isEmpty) batchKeep
+      else {
+        val idx = spark.read.parquet(bucketDirs: _*)
+          .select(col("word"), col("bucket"), col("dhash").as("_kept_hash"))
+        val dropIds = ImageDedup.bandRows(batchKeep, idCol, "dhash")
+          .join(idx, Seq("word", "bucket"))
+          .filter(bit_count(col("dhash").bitwiseXOR(col("_kept_hash")))
+            <= maxHamming)
+          .select(col(idCol)).distinct()
+        batchKeep.join(dropIds, Seq(idCol), "left_anti")
+      }
+    val survived = survivors.localCheckpoint(false)
+    survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
+    ImageDedup.bandRows(survived, idCol, "dhash")
+      .select(col("word"), col("bucket"), col("dhash"), col(idCol))
+      .write.mode("overwrite").parquet(s"$storePath/buckets/batch$batchId")
+  }
+
   /** Kept corpus so far: (idCol, textCol) of every committed batch. The
     * distinct() absorbs the full-row duplicates a crash mid-[[compact]]
     * can leave behind (idempotent-healing layout, not atomic). */

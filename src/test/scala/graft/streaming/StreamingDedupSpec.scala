@@ -212,6 +212,49 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L), s"got $kept")
   }
 
+  test("urlDedupBatch: canonical-key dedup across batches; replay keeps its own docs") {
+    import sqlImplicits._
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_surl_spec_${System.nanoTime()}"
+    def batch(bid: Long, rows: (Long, String)*): Unit =
+      StreamingDedup.urlDedupBatch(rows.toDF("doc_id", "url"), bid,
+        "doc_id", "url", store)
+    // batch 0: two noise spellings of ONE page + a distinct page
+    batch(0,
+      (1L, "HTTP://WWW.A.com:80/x?utm_source=z&b=2&a=1"),
+      (2L, "http://a.com/x?a=1&b=2#frag"),
+      (3L, "http://b.com/y"))
+    val kept0 = StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept0 === Seq(1L, 3L)) // min id wins within the batch
+    // batch 1: a re-crawl of page A (must drop vs the STORE) + novel
+    batch(1, (4L, "http://a.com/x/?b=2&a=1"), (5L, "http://c.com/z"))
+    // replay of batch 1 (at-least-once): must keep its own docs
+    batch(1, (4L, "http://a.com/x/?b=2&a=1"), (5L, "http://c.com/z"))
+    val kept = StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(1L, 3L, 5L), s"got $kept")
+  }
+
+  test("nearDupImageBatch: perceptual-hash dedup across batches via the stored hash index") {
+    import sqlImplicits._
+    import graft.pipeline.ImageDedup
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_simg_spec_${System.nanoTime()}"
+    def batch(bid: Long, rows: (Long, Array[Byte])*): Unit =
+      StreamingDedup.nearDupImageBatch(rows.toDF("doc_id", "media"), bid,
+        "doc_id", "media", store, 8, 4096)
+    // plantEvery = 50: id 51 is a noised copy of id 50; 0 and 7 distinct
+    batch(0, (0L, ImageDedup.makePng(0L, 0, 27, 16)),
+             (50L, ImageDedup.makePng(50L, 0, 27, 16)))
+    batch(1, (51L, ImageDedup.makePng(51L, 50, 27, 16)), // near-dup of 50
+             (7L, ImageDedup.makePng(7L, 0, 27, 16)))
+    // replay batch 1: must not collide with its own stored hashes
+    batch(1, (51L, ImageDedup.makePng(51L, 50, 27, 16)),
+             (7L, ImageDedup.makePng(7L, 0, 27, 16)))
+    val kept = StreamingDedup.readKept(spark, store)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(0L, 7L, 50L), s"got $kept")
+  }
+
   test("exactWithin evicts state past the watermark horizon (bounded state)") {
     implicit val sql = spark.sqlContext
     import sqlImplicits._

@@ -1127,6 +1127,12 @@ object PipelineQueries {
     bucketedNodes.computeIfAbsent(sessionKey(s, dir), _ => {
       val name = "graft_pr_nodes_" + Integer.toHexString(dir.hashCode)
       s.sql(s"DROP TABLE IF EXISTS $name")
+      // a FRESH session's in-memory catalog has no such table, but the
+      // previous session's warehouse LOCATION may survive on disk —
+      // saveAsTable refuses to adopt it, so clear the location too
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), name)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       graft.io.BucketedTables.save(
         table(s, dir, "documents").select(col("doc_id")), name, "doc_id",
         buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)

@@ -25,14 +25,27 @@ import graft.pipeline.{CorpusSampling, Decontamination, Dedup, HtmlExtract, Text
 object WarcQueries {
 
   /** Fixture response frame `(url, fetch_time, html)` derived from
-    * `documents` — every column replayable in SQL. */
-  private def fixtureFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    * `documents` — every column replayable in SQL. URLs carry CRAWL
+    * NOISE (scheme/host case, `www.`, a tracker param, a trailing
+    * slash) so the e2e chain MUST canonicalize before it can parse
+    * `(source, doc_id)` back out — the real crawl→corpus order of
+    * operations, and live coverage for `UrlOps` inside the chain. */
+  private def fixtureFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
+      when(id % 4 === 0, lit("WWW.")).otherwise(lit("")),
+      when(id % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example.com/doc/"), id.cast("string"),
+      when(id % 6 === 0, lit("/")).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("?utm_source=w"), id.cast("string")))
+        .otherwise(lit("")))
     table(s, dir, "documents").select(
-      concat(lit("http://"), col("source"), lit(".example.com/doc/"),
-        col("doc_id").cast("string")).as("url"),
+      url.as("url"),
       expr("timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP'2026-01-01 00:00:00')")
         .as("fetch_time"),
       HtmlExtract.wrapHtml(col("doc_id"), col("text")).as("html"))
+  }
 
   private val written =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -57,15 +70,18 @@ object WarcQueries {
         .select(col("url"), col("fetch_time"), col("http_status"),
           col("mime"), col("html"))),
 
-    // Crawl → corpus end-to-end: recover (doc_id, source) from the URL
-    // the crawler stored, extract main content, then the standard
-    // 4-stage chain (decontamination evals are external benchmarks —
-    // they come from the RAW documents table, not the crawl).
+    // Crawl → corpus end-to-end: CANONICALIZE the noisy crawl URL
+    // (UrlOps — case, www., tracker, trailing slash), recover
+    // (doc_id, source) from the canonical form, extract main content,
+    // then the standard 4-stage chain (decontamination evals are
+    // external benchmarks — they come from the RAW documents table,
+    // not the crawl).
     "pipeline_e2e_warc" -> ((s, dir) => {
       val d = table(s, dir, "documents")
+      val canon = graft.pipeline.UrlOps.canonicalize(col("url"))
       val extracted = Warc.responses(s, warcGlobFor(s, dir)).select(
-        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
-        regexp_extract(col("url"), "^http://([^.]+)\\.", 1).as("source"),
+        regexp_extract(canon, "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        regexp_extract(canon, "^http://([^.]+)\\.", 1).as("source"),
         HtmlExtract.mainContent(col("html")).as("text"))
       val profiled = extracted
         .withColumn("quality", TextStats.qualityScore(col("text")))
@@ -84,7 +100,13 @@ object WarcQueries {
 
   val oracles: Map[String, String] = Map(
     "warc_read" ->
-      s"""SELECT 'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      s"""SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+         |  '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+         |  (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=w' || CAST(doc_id AS VARCHAR)
+         |        ELSE '' END) AS url,
          |  TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id) SECOND AS fetch_time,
          |  200 AS http_status, 'text/html' AS mime,
          |  ${PipelineQueries.htmlWrapSql} AS html

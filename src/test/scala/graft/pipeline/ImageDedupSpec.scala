@@ -149,6 +149,55 @@ class ImageDedupSpec extends SparkSpec {
     assert(found.count() === 1L)
   }
 
+  test("combo(10,2) banding equals brute force for Hamming <= 8 (property)") {
+    val rnd = new scala.util.Random(77)
+    // random hashes + planted pairs across the whole 0..8 radius,
+    // including 8 flips spread over 8 distinct words (the single-word
+    // banding escape)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var id = 0L
+    (0 until 30).foreach { i =>
+      val base = rnd.nextLong()
+      val k = i % 9
+      val lanes = rnd.shuffle((0 until 8).toList).take(math.min(k, 8))
+      var mask = 0L
+      lanes.foreach(l => mask |= 1L << (8 * l + rnd.nextInt(8)))
+      while (java.lang.Long.bitCount(mask) < k) mask |= 1L << rnd.nextInt(64)
+      rows += ((id, base)); rows += ((id + 1, base ^ mask)); id += 2
+    }
+    val df = rows.toSeq.toDF("id", "h")
+    val combo = ImageDedup.hamming64NearDuplicatesCombo(df, "id", "h",
+        maxHamming = 8, failOnCappedBuckets = true)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    // brute force over all pairs
+    val all = rows.toSeq
+    val brute = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 8
+    } yield (a, b, d.toLong)).toSet
+    assert(combo === brute, s"missing ${brute -- combo}, extra ${combo -- brute}")
+  }
+
+  test("combo banding finds the 8-flips-in-8-words pairs single-word banding misses") {
+    val rnd = new scala.util.Random(5)
+    val base = rnd.nextLong()
+    val mask = (0 until 8).map(l => 1L << (8 * l + rnd.nextInt(8))).reduce(_ | _)
+    assert(java.lang.Long.bitCount(mask) === 8)
+    val df = Seq((1L, base), (2L, base ^ mask)).toDF("id", "h")
+    assert(ImageDedup.hamming64NearDuplicates(df, "id", "h", 8, 4096,
+      logDroppedBuckets = false, failOnCappedBuckets = true, "spec").count() === 0L)
+    assert(ImageDedup.hamming64NearDuplicatesCombo(df, "id", "h", 8).count() === 1L)
+  }
+
+  test("comboBandRows shape: C(10,2)=45 bands per row, keys within the concat width") {
+    val df = Seq((1L, 0x0123456789abcdefL)).toDF("id", "h")
+    val rows = ImageDedup.comboBandRows(df, "id", "h")
+      .select("band", "bkey").as[(Int, Long)].collect()
+    assert(rows.length === 45)
+    assert(rows.map(_._1).toSet === (0 until 45).toSet)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < (1L << 14))) // <= 7+7 bits
+  }
+
   test("hamming column is the exact packed distance") {
     val df = Seq(
       (0L, ImageDedup.makePng(0L, 0, 27, 16)),

@@ -5,7 +5,7 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** WARC (Web ARChive, ISO 28500 — the public container web crawls ship
   * in, Common-Crawl-style) reader and writer.
@@ -69,7 +69,10 @@ object Warc {
     * `(url, fetch_time, http_status, mime, html)`. `fetch_time` parses
     * the ISO-8601 `WARC-Date`; `html` decodes the HTTP body as UTF-8. */
   def responses(spark: SparkSession, path: String): DataFrame =
-    read(spark, path)
+    responseProjection(read(spark, path))
+
+  private def responseProjection(records: DataFrame): DataFrame =
+    records
       .filter(col("warc_type") === "response")
       .select(col("url"),
         to_timestamp(col("warc_date")).as("fetch_time"),
@@ -77,8 +80,56 @@ object Warc {
         HttpPayload.mimeCol(col("payload")).as("mime"),
         HttpPayload.bodyCol(col("payload")).as("html"))
 
+  /** Parse one whole in-memory WARC file (gzip sniffed by the member
+    * magic) — the per-row form the STREAMING reader uses, where Spark's
+    * `binaryFile` source hands each discovered file as a row. */
+  def recordsFromBytes(file: String, content: Array[Byte]): Iterator[Record] = {
+    val raw = new java.io.ByteArrayInputStream(content)
+    val in: InputStream =
+      if (content.length >= 2 && content(0) == 0x1f.toByte && content(1) == 0x8b.toByte)
+        new GZIPInputStream(raw, 1 << 16)
+      else raw
+    parseStream(in)
+  }
+
+  /** STREAMING WARC ingestion: watch `dir` with the `binaryFile` file
+    * stream source (each newly-landed `.warc.gz` arrives exactly once,
+    * offsets in the checkpoint), parse records per file, strip HTTP —
+    * the same `(url, fetch_time, http_status, mime, html)` frame as the
+    * batch [[responses]], as an unbounded stream. Compose with
+    * [[graft.streaming.StreamingDedup.urlDedupKeep]] (canonical-URL
+    * store) or the perceptual-hash legs for a full crawl-refresh ingest
+    * path. One file is one task's row: per-file memory is the file's
+    * bytes (crawl shards, not the corpus). */
+  def readStreamResponses(spark: SparkSession, dir: String,
+      pattern: String = "*.warc.gz"): DataFrame = {
+    val files = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", pattern)
+      .schema(new StructType()
+        .add("path", StringType).add("modificationTime", TimestampType)
+        .add("length", LongType).add("content", BinaryType))
+      .load(dir)
+    import org.apache.spark.sql.Encoders
+    val records = files.select(col("path"), col("content"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (path, content) =>
+        recordsFromBytes(path, content).map(r =>
+          StreamedRecord(path, r.headers.getOrElse("warc-type", ""),
+            r.headers.getOrElse("warc-target-uri", ""),
+            r.headers.getOrElse("warc-date", ""),
+            r.headers.getOrElse("content-type", ""), r.payload))
+      }(Encoders.product[StreamedRecord])
+      .toDF("warc_file", "warc_type", "url", "warc_date", "content_type", "payload")
+    responseProjection(records)
+  }
+
   /** One parsed record: lowercased header map + raw payload. */
   final case class Record(headers: Map[String, String], payload: Array[Byte])
+
+  /** Row shape of the streaming reader's record frame. */
+  final case class StreamedRecord(warc_file: String, warc_type: String,
+      url: String, warc_date: String, content_type: String,
+      payload: Array[Byte])
 
   /** Lazy record iterator over a (decompressed) WARC stream. Tolerant
     * of extra CR/LF between records; stops cleanly at EOF. */

@@ -72,6 +72,42 @@ class WarcSpec extends SparkSpec {
     assert(got === page)
   }
 
+  test("streaming crawl refresh: watched WARC dir -> responses -> canonical-URL store") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("warcstream").toString
+    val crawl = s"$root/crawl"; Files.createDirectories(java.nio.file.Paths.get(crawl))
+    val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    def drop(name: String, rows: Seq[(String, String)]): Unit = {
+      // author a real single-file .warc.gz shard into the watched dir
+      val tmp = s"$root/stage_$name"
+      val df = rows.toDF("url", "html")
+        .withColumn("fetch_time", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      Warc.write(df.coalesce(1), tmp)
+      val src = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".warc.gz")).head
+      Files.move(src.toPath, java.nio.file.Paths.get(crawl, name))
+    }
+    drop("shard0.warc.gz", Seq(
+      ("http://A.com/x?utm_source=s&k=1", "<p>one</p>"),
+      ("http://b.com/y", "<p>two</p>")))
+    val stream = Warc.readStreamResponses(spark, crawl)
+    val q = graft.streaming.StreamingDedup.urlDedupKeep(
+      stream.select(xxhash64(col("url")).as("rec_id"), col("url")),
+      "rec_id", "url", store, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable()
+      // a refresh shard: one re-crawl of page A (noise variant) + one novel
+      drop("shard1.warc.gz", Seq(
+        ("http://a.com/x/?k=1", "<p>one again</p>"),
+        ("http://c.com/z", "<p>three</p>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = graft.streaming.StreamingDedup.readKept(spark, store)
+      .select("canonical_url").as[String].collect().sorted.toSeq
+    assert(kept === Seq("http://a.com/x?k=1", "http://b.com/y", "http://c.com/z"),
+      s"got $kept")
+  }
+
   test("a payload without an HTTP envelope passes through as the body") {
     val bytes = record("response", "http://a/r", "raw bytes, no HTTP".getBytes("UTF-8"))
     val dir = Files.createTempDirectory("warcraw").toString

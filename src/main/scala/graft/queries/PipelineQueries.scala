@@ -234,6 +234,33 @@ object PipelineQueries {
     // Corpus-wide top-k n-grams (boilerplate/stopword-list builder):
     // partial-aggregated gram counts + doc frequency into a bounded,
     // deterministically tie-broken top-k.
+    // Corpus report / datasheet (r13): the per-source summary a corpus
+    // release ships with — doc and token counts, mean quality (exact:
+    // per-row 6dp scores freeze to integer micros BEFORE the sum, so
+    // the mean is order-free), English share, and the exact-duplicate
+    // rate (1 − distinct content hashes / docs). One narrow profile
+    // pass + one groupBy(source); the distinct-hash count shuffles
+    // (source, hash) pairs — bounded by distinct content, the honest
+    // dup measure (approx_count_distinct is the 100 TB knob).
+    "corpus_report" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val prof = d.select(col("source"),
+        TextStats.tokenCount(col("text")).as("toks"),
+        round(TextStats.qualityScore(col("text")) * 1e6).cast("long").as("qmicro"),
+        when(TextStats.languageId(col("text")) === "en", 1L).otherwise(0L).as("is_en"),
+        md5(col("text")).as("ch"))
+      prof.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("qmicro")).as("qsum"),
+          sum(col("is_en")).as("en"),
+          countDistinct(col("ch")).as("dch"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("qsum").cast("double") / col("n_docs") / 1e6, 6).as("mean_quality"),
+          round(col("en").cast("double") / col("n_docs"), 6).as("en_frac"),
+          round(lit(1.0) - col("dch").cast("double") / col("n_docs"), 6).as("dup_frac"))
+    }),
+
     "corpus_top_ngrams" -> ((s, dir) =>
       TextStats.topNgrams(table(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 50)),
@@ -1892,6 +1919,21 @@ object PipelineQueries {
     // corpus-frequency replay: same lowercased whitespace tokens as the
     // jaccard family; every occurrence counted (no list_distinct), the
     // (count desc, gram asc) total order pins the top-50 cut under ties
+    "corpus_report" ->
+      s"""WITH cr AS (SELECT source,
+         |    CAST(len($toksSql) AS BIGINT) AS toks,
+         |    CAST(round($qualitySql6 * 1e6) AS BIGINT) AS qmicro,
+         |    (CASE WHEN len(list_filter($toksSql, t -> list_contains($stopList, t))) > 0
+         |          THEN 1 ELSE 0 END) AS is_en,
+         |    md5(text) AS ch
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(qmicro) AS DOUBLE) / count(*) / 1e6, 6) AS mean_quality,
+         |  round(CAST(sum(is_en) AS DOUBLE) / count(*), 6) AS en_frac,
+         |  round(1.0 - CAST(count(DISTINCT ch) AS DOUBLE) / count(*), 6) AS dup_frac
+         |FROM cr GROUP BY source""".stripMargin,
+
     "corpus_top_ngrams" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram

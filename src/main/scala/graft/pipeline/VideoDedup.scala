@@ -38,6 +38,60 @@ object VideoDedup {
       maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName = "video")
   }
 
+  /** Per-frame hash frame `(id, frame_idx, fhash)` — one decode pass,
+    * one row per decodable frame (undecodable frames drop, undecodable
+    * clips contribute nothing). The input to PARTIAL-overlap mining:
+    * clip-level hashes collapse whole-clip dups, frame sets catch
+    * trimmed/edited copies. */
+  def frameHashFrame(videos: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = videos.sparkSession
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_fid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("frame_idx", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("fhash", org.apache.spark.sql.types.LongType)))
+    val rows = videos.select(col(idCol).cast("long"), col(mediaCol)).rdd.flatMap { r =>
+      val id = r.getLong(0)
+      Multimodal.decodeAviFrames(r.getAs[Array[Byte]](1)).toSeq.flatten
+        .zipWithIndex.flatMap { case (fb, i) =>
+          Option(graft.functions.ImageHash.dHash(fb)).map(h => Row(id, i, h.longValue()))
+        }
+    }
+    spark.createDataFrame(rows, schema).withColumnRenamed("_fid", idCol)
+  }
+
+  /** Trimmed/partial-overlap clip pairs by FRAME-SET Jaccard over exact
+    * per-frame hashes: `(id_a, id_b, shared, jaccard)` with
+    * `jaccard >= minJaccard`. Candidates are an equi-join on the frame
+    * hash itself (64-bit key — bucket population is the corpus's
+    * per-frame duplication rate, not a banding artifact); shared/union
+    * counts aggregate per pair. Distinct frame hashes per clip (a clip
+    * repeating one frame counts it once — set semantics). */
+  def frameOverlapPairs(videos: DataFrame, idCol: String, mediaCol: String,
+      minJaccard: Double = 0.5, maxBucket: Int = 4096,
+      logDroppedBuckets: Boolean = false,
+      failOnCappedBuckets: Boolean = false,
+      frames0: Option[DataFrame] = None): DataFrame = {
+    val fset = frames0.getOrElse(
+        frameHashFrame(videos, idCol, mediaCol).localCheckpoint(true))
+      .select(col(idCol), col("fhash")).dropDuplicates(idCol, "fhash")
+    Dedup.checkDrops("video_frames", fset, Seq("fhash"), maxBucket,
+      logDroppedBuckets, failOnCappedBuckets)
+    val capped = Dedup.capBuckets(fset, Seq("fhash"), idCol, maxBucket)
+    val counts = fset.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val shared = capped.select(col("fhash"), col(idCol).as("id_a"))
+      .join(capped.select(col("fhash"), col(idCol).as("id_b")), Seq("fhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col(idCol).as("id_a"), col("_n").as("_na")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("_n").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("_na") + col("_nb") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   // ---------------------------------------------------------- fixture
 
   /** Frames per fixture clip (odd majority thresholds at 2·cnt > 4 ⇒
@@ -47,11 +101,16 @@ object VideoDedup {
   /** Grayscale value of pixel `(x, y)` of frame `f` of clip `id`: ids
     * with `id % plantEvery == 1` are PLANTED near-duplicates of `id − 1`
     * — same md5-derived base frames plus a ±1 perturbation on ~20% of
-    * pixels per frame (the re-encode/noise regime). Exactly replayable
-    * in SQL (the [[ImageDedup.pixel]] discipline, per frame). */
+    * pixels per frame (the re-encode/noise regime); ids with
+    * `id % plantEvery == 26` are PLANTED TRIMMED COPIES of `id − 1` —
+    * frames 0..2 are that clip's frames BIT-EXACTLY (the edit/trim dup
+    * mode, where shared frames are identical but the clips differ),
+    * frame 3 is their own. Exactly replayable in SQL (the
+    * [[ImageDedup.pixel]] discipline, per frame). */
   def vpixel(id: Long, plantEvery: Int, f: Int, x: Int, y: Int): Int = {
     val planted = plantEvery > 0 && id % plantEvery == 1
-    val seed = if (planted) id - 1 else id
+    val trimmed = plantEvery > 0 && id % plantEvery == 26 && f < 3
+    val seed = if (planted || trimmed) id - 1 else id
     val v = ImageDedup.md5Byte(s"vid:$seed:$f:$x:$y")
     if (!planted) v
     else {

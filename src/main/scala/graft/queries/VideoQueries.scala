@@ -27,6 +27,15 @@ object VideoQueries {
         VideoDedup.videoTable(table(s, dir, "documents")), "doc_id", "media")
         .localCheckpoint(true))
 
+  private val frameHashes =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  /** Memoized per-frame hash frame `(doc_id, frame_idx, fhash)`. */
+  private def videoFramesFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    frameHashes.computeIfAbsent(sessionKey(s, dir),
+      _ => VideoDedup.frameHashFrame(
+        VideoDedup.videoTable(table(s, dir, "documents")), "doc_id", "media")
+        .localCheckpoint(true))
+
   private def plantedPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = table(s, dir, "documents").select(col("doc_id"))
     d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
@@ -61,6 +70,16 @@ object VideoQueries {
         .select(col("doc_id"), col("vhash"))
     }),
 
+    // Trimmed/partial-overlap clip pairs (the edit/trim dup mode clip
+    // hashing cannot catch): frame-set Jaccard over exact per-frame
+    // hashes — candidates equi-join on the frame hash, set semantics,
+    // strict cap audit. Plants: ids % 50 == 26 carry frames 0..2 of
+    // id − 1 BIT-EXACTLY plus one own frame (jaccard 3/5 = 0.6).
+    "video_frame_overlap" -> ((s, dir) =>
+      VideoDedup.frameOverlapPairs(table(s, dir, "documents"), "doc_id", "media",
+        minJaccard = 0.5, failOnCappedBuckets = true,
+        frames0 = Some(videoFramesFor(s, dir)))),
+
     // Measured banding recall on the planted clip pairs (floor 0.9;
     // with 8-bit bands any plant within Hamming ≤ 7 is guaranteed).
     "video_recall" -> ((s, dir) => PipelineQueries.recallFrame(
@@ -74,7 +93,9 @@ object VideoQueries {
   private val vhashCtes =
     """vpx AS (
       |  SELECT d.doc_id,
-      |    CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1 ELSE d.doc_id END AS seed,
+      |    CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1
+      |         WHEN d.doc_id % 50 = 26 AND fs.f < 3 THEN d.doc_id - 1
+      |         ELSE d.doc_id END AS seed,
       |    fs.f, xs.x, ys.y
       |  FROM documents d,
       |       (SELECT unnest(generate_series(0, 3)) AS f) fs,
@@ -156,6 +177,30 @@ object VideoQueries {
          |vcomp AS (SELECT id, min(r) AS comp FROM vreach GROUP BY id)
          |SELECT h.doc_id, h.vhash FROM vhash_t h
          |WHERE h.doc_id NOT IN (SELECT id FROM vcomp WHERE id != comp)""".stripMargin,
+
+    // per-frame hash pack + frame-set Jaccard replay; the vpx seed CASE
+    // above already carries the trim plants, so shared-frame counts are
+    // exact on both engines
+    "video_frame_overlap" ->
+      s"""WITH $vhashCtes,
+         |vfh AS (
+         |  SELECT p.doc_id, p.f,
+         |    CAST(coalesce(sum(CASE WHEN i.b = 63 THEN -9223372036854775807 - 1
+         |      ELSE (CAST(1 AS BIGINT) << CAST(i.b AS INTEGER)) END), 0) AS BIGINT) AS fhash
+         |  FROM (SELECT DISTINCT doc_id, f FROM vpx) p
+         |  LEFT JOIN vfbits i ON i.doc_id = p.doc_id AND i.f = p.f
+         |  GROUP BY p.doc_id, p.f),
+         |vset AS (SELECT DISTINCT doc_id, fhash FROM vfh),
+         |vn AS (SELECT doc_id, count(*) AS n FROM vset GROUP BY doc_id),
+         |vsh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |        FROM vset a JOIN vset b ON b.fhash = a.fhash AND a.doc_id < b.doc_id
+         |        GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+         |  round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+         |FROM vsh
+         |JOIN vn na ON na.doc_id = id_a
+         |JOIN vn nb ON nb.doc_id = id_b
+         |WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) >= 0.5""".stripMargin,
 
     "video_recall" ->
       """SELECT count(*) AS true_pairs, CAST(0.9 AS DOUBLE) AS recall_floor,

@@ -54,6 +54,23 @@ class VideoDedupSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("frame-set overlap finds trimmed copies (3 of 4 frames bit-exact, jaccard 0.6)") {
+    val n = 60
+    val df = (0L until n.toLong).map(id =>
+      (id, VideoDedup.makeAvi(id, 50, 4, 27, 16))).toDF("doc_id", "media")
+    val pairs = VideoDedup.frameOverlapPairs(df, "doc_id", "media",
+        minJaccard = 0.5, failOnCappedBuckets = true)
+      .select("id_a", "id_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    // id 26 is a trimmed copy of 25; id 1 is a NOISED copy of 0 whose
+    // frames may or may not hash identically — assert the trim plant
+    val trim = pairs.find(p => p._1 == 25L && p._2 == 26L)
+    assert(trim.isDefined, s"trimmed pair missing: ${pairs.toSeq}")
+    assert(trim.get._3 === 3L && trim.get._4 === 0.6)
+    // no overlap between unrelated clips
+    assert(pairs.forall(p => p._2 - p._1 == 1), s"unrelated overlap: ${pairs.toSeq}")
+  }
+
   test("miner finds planted clip pairs via the shared banding, no false positives") {
     val n = 120
     val rows = (0L until n.toLong).map(id =>
@@ -64,6 +81,10 @@ class VideoDedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val planted = (0L until n.toLong).filter(_ % 50 == 1).map(i => (i - 1, i)).toSet
     assert(planted.subsetOf(pairs), s"missed ${planted -- pairs}")
-    assert((pairs -- planted).isEmpty, s"false positives: ${pairs -- planted}")
+    // trim plants (id % 50 == 26) share 3 of 4 frames — whether their
+    // clip-hash distance clears maxHamming is data-dependent and fine
+    // either way; anything else is a false positive
+    val unexpected = (pairs -- planted).filterNot(p => p._2 % 50 == 26 && p._1 == p._2 - 1)
+    assert(unexpected.isEmpty, s"false positives: $unexpected")
   }
 }

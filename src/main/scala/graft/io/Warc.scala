@@ -37,6 +37,11 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField
   */
 object Warc {
 
+  /** Per-record payload ceiling (256 MiB): larger records are skipped
+    * on the stream, never materialized — a crawl outlier must not OOM
+    * a task. */
+  val MaxRecordBytes: Long = 256L << 20
+
   val readSchema: StructType = StructType(Seq(
     StructField("warc_file", StringType),
     StructField("warc_type", StringType),
@@ -144,10 +149,16 @@ object Warc {
       if (c < 0 && b.isEmpty) null else b.toString
     }
     private def advance(): Unit = {
+      // iterative, not recursive: a run of oversized records must not
+      // grow the stack
+      while (!advanceOnce()) {}
+    }
+    /** One record attempt; false = skipped an oversized record, retry. */
+    private def advanceOnce(): Boolean = {
       nextRec = null
       var line = readLine()
       while (line != null && line.isEmpty) line = readLine() // inter-record CRLFs
-      if (line == null || !line.startsWith("WARC/")) { done = true; return }
+      if (line == null || !line.startsWith("WARC/")) { done = true; return true }
       var headers = Map.empty[String, String]
       var h = readLine()
       while (h != null && h.nonEmpty) {
@@ -158,14 +169,29 @@ object Warc {
       }
       val len = headers.get("content-length").flatMap(s =>
         scala.util.Try(s.toLong).toOption).getOrElse(0L)
+      if (len > MaxRecordBytes) {
+        // oversized outlier (a real crawl carries the odd multi-GB
+        // record): SKIP its payload on the stream and keep walking —
+        // one pathological record must not OOM the task or end the file
+        var remaining = len
+        while (remaining > 0) {
+          val n = in.skip(remaining)
+          if (n <= 0) {
+            if (in.read() < 0) { done = true; return true } // truncated: stop
+            remaining -= 1
+          } else remaining -= n
+        }
+        return false // skipped — caller retries on the next record
+      }
       val payload = new Array[Byte](len.toInt)
       var off = 0
       while (off < payload.length) {
         val n = in.read(payload, off, payload.length - off)
-        if (n < 0) { done = true; return } // truncated record: drop it
+        if (n < 0) { done = true; return true } // truncated record: drop it
         off += n
       }
       nextRec = Record(headers, payload)
+      true
     }
     override def hasNext: Boolean = {
       if (nextRec == null && !done) advance()

@@ -209,7 +209,13 @@ object Warc {
     * one `.warc.gz` file per partition, one gzip member per record,
     * preceded by a `warcinfo` member and interleaved with `request`
     * members (the realistic Common-Crawl file shape — readers must
-    * skip both). Distributed via `foreachPartition`. */
+    * skip both). Distributed via `foreachPartition`.
+    *
+    * Timezone contract: `WARC-Date` renders `fetch_time` in the
+    * SESSION time zone with a literal `Z` suffix — standards-correct
+    * only under `spark.sql.session.timeZone=UTC` (every session in
+    * this repo sets it; callers elsewhere must too, the ISO 28500
+    * norm). */
   def write(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
     val fmt = date_format(col("fetch_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'")

@@ -100,10 +100,13 @@ object ImageQueries {
         Integer.toHexString(sessionKey(s, dir).hashCode)
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(store), true)
+      // strict cap audit: this drive feeds an oracle that replays no cap
       graft.streaming.StreamingDedup.nearDupImageBatch(
-        imgs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "media", store, 8, 4096)
+        imgs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "media", store, 8, 4096,
+        failOnCappedBuckets = true)
       graft.streaming.StreamingDedup.nearDupImageBatch(
-        imgs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "media", store, 8, 4096)
+        imgs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "media", store, 8, 4096,
+        failOnCappedBuckets = true)
       graft.streaming.StreamingDedup.readKept(s, store)
         .select(col("doc_id"), col("dhash"))
     }),

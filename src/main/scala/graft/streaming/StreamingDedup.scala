@@ -250,7 +250,8 @@ object StreamingDedup {
 
   private[graft] def nearDupImageBatch(batch: DataFrame, batchId: Long,
       idCol: String, mediaCol: String, storePath: String,
-      maxHamming: Int, maxBucket: Int): Unit = {
+      maxHamming: Int, maxBucket: Int,
+      failOnCappedBuckets: Boolean = false): Unit = {
     import graft.pipeline.{Dedup, ImageDedup}
     val spark = batch.sparkSession
     // ONE decode+hash kernel pass per micro-batch, shared by mining,
@@ -260,7 +261,7 @@ object StreamingDedup {
       .localCheckpoint(false)
     val pairs = ImageDedup.hamming64NearDuplicates(hashed, idCol, "dhash",
       maxHamming, maxBucket, logDroppedBuckets = false,
-      failOnCappedBuckets = false, auditName = "stream_image")
+      failOnCappedBuckets = failOnCappedBuckets, auditName = "stream_image")
     val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val batchKeep = hashed.join(
         comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),

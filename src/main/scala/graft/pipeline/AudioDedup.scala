@@ -7,9 +7,9 @@ import graft.functions.AudioHashExpr
 
 /** Audio near-duplicate detection — the audio leg of the multimodal ×
   * dedup matrix: perceptual envelope hash per clip
-  * ([[graft.functions.AudioHash]]) + the SAME 8-bit-word Hamming
+  * ([[graft.functions.AudioHash]]) + the SAME combination-banded Hamming
   * banding the image miner uses
-  * ([[ImageDedup.hamming64NearDuplicates]] — one machinery, two
+  * ([[ImageDedup.mine64]] — one machinery, two
   * modalities). Re-encoded/noised copies of one recording land within a
   * few Hamming bits; unrelated clips sit near the 32-bit expectation.
   *
@@ -37,7 +37,7 @@ object AudioDedup {
       hashed0: Option[DataFrame] = None): DataFrame = {
     val hashed = hashed0.getOrElse(
       hashFrame(clips, idCol, mediaCol).localCheckpoint(true))
-    ImageDedup.hamming64NearDuplicates(hashed, idCol, "ahash", maxHamming,
+    ImageDedup.mine64(hashed, idCol, "ahash", maxHamming,
       maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName = "audio")
   }
 

@@ -8,19 +8,21 @@ import graft.functions.DHashExpr
 /** Image near-duplicate detection (build-brief multimodal × dedup
   * extension; r11 verdict item 3): perceptual dHash per image
   * ([[graft.functions.ImageHash]]) + the SimHash banding machinery —
-  * bucket by the hash's 8-bit words, exact packed-Hamming verify,
+  * combination-banded candidates, exact packed-Hamming verify,
   * capped buckets with drop telemetry. A real 100 TB multimodal corpus
   * dedups images as surely as text: re-encoded, resized and
   * mildly-noised copies of one picture land within a few Hamming bits
   * of each other while unrelated images sit near the 32-bit expectation.
   *
   * Scale shape: hashing is ONE narrow pass (decode riding the scan);
-  * banding explodes 8 rows per image; the candidate join is equi-join
-  * only (8-bit word buckets — a pair within Hamming ≤ 7 shares a word
-  * by pigeonhole, covering the default `maxHamming = 8` to within one
-  * bit; at exactly 8 a pair is missed only when every word carries a
-  * flip, which the `band_recall` gate's adversarial distinct-word
-  * plants measure). No all-pairs product at any scale.
+  * the candidate join is equi-join only. The DEFAULT miner is
+  * combination banding ([[mine64]] → [[hamming64NearDuplicatesCombo]],
+  * Manku WWW'07): pigeonhole-COMPLETE at the default verify radius, so
+  * the mined pairs are the EXACT Hamming-≤-8 graph, with ~13-bit band
+  * keys (bucket population N/2^13). Single-word banding remains for
+  * wider radii and as the measured-recall alternative
+  * ([[hamming64NearDuplicates]], `band_recall` gate). No all-pairs
+  * product at any scale.
   * Exact-duplicate media should be collapsed by the exact-dedup pass
   * first (identical bytes → identical hash → Hamming 0 survives here
   * too, but pays the banding join for rows a groupBy would collapse).
@@ -126,7 +128,7 @@ object ImageDedup {
   /** Block boundaries for [[comboBandRows]]: 64 bits into `blocks`
     * contiguous runs, widths differing by at most one (e.g. 10 blocks =
     * four 7-bit + six 6-bit). */
-  private[pipeline] def blockBounds(blocks: Int): Seq[(Int, Int)] = {
+  private[graft] def blockBounds(blocks: Int): Seq[(Int, Int)] = {
     val base = 64 / blocks
     val extra = 64 % blocks
     val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(blocks - extra)(base)
@@ -154,9 +156,26 @@ object ImageDedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
   }
 
+  /** Shared miner dispatch (r13): COMBINATION banding whenever the
+    * verify radius sits inside its completeness guarantee (the default
+    * does — the mined pair set is then the EXACT Hamming graph), word
+    * banding for wider radii (no complete equi-join scheme exists
+    * there; the recall gates own that regime). */
+  private[graft] def mine64(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int, logDroppedBuckets: Boolean,
+      failOnCappedBuckets: Boolean, auditName: String): DataFrame =
+    if (maxHamming <= 10 - 2)
+      hamming64NearDuplicatesCombo(hashed, idCol, hashCol, maxHamming,
+        maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName)
+    else
+      hamming64NearDuplicates(hashed, idCol, hashCol, maxHamming, maxBucket,
+        logDroppedBuckets, failOnCappedBuckets, auditName)
+
   /** Near-duplicate image pairs `(id_a, id_b, hamming)` with
-    * `hamming <= maxHamming`, mined by [[hamming64NearDuplicates]] over
-    * the dHash. `hashed0` accepts the memoized [[hashFrame]] artifact. */
+    * `hamming <= maxHamming`, mined by [[mine64]] over the dHash —
+    * combination banding at the default radius, so the result is the
+    * exact Hamming-≤-8 pair graph. `hashed0` accepts the memoized
+    * [[hashFrame]] artifact. */
   def imageNearDuplicates(images: DataFrame, idCol: String, mediaCol: String,
       maxHamming: Int = 8, maxBucket: Int = 4096,
       logDroppedBuckets: Boolean = false,
@@ -165,7 +184,7 @@ object ImageDedup {
     // eager localCheckpoint: one decode+hash pass feeds both join sides
     val hashed = hashed0.getOrElse(
       hashFrame(images, idCol, mediaCol).localCheckpoint(true))
-    hamming64NearDuplicates(hashed, idCol, "dhash", maxHamming, maxBucket,
+    mine64(hashed, idCol, "dhash", maxHamming, maxBucket,
       logDroppedBuckets, failOnCappedBuckets, auditName = "image")
   }
 

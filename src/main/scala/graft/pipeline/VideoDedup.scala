@@ -8,15 +8,15 @@ import graft.functions.VideoHashExpr
 /** Video near-duplicate detection — the last leg of the multimodal ×
   * dedup matrix (r12 verdict Next #2): per-frame dHash → temporal-
   * majority 64-bit clip hash ([[graft.functions.VideoHash]]) → the SAME
-  * 8-bit-word Hamming banding machinery image and audio mine with
-  * ([[ImageDedup.hamming64NearDuplicates]] — one machinery, three
+  * combination-banded Hamming mining machinery image and audio use
+  * ([[ImageDedup.mine64]] — one machinery, three
   * modalities). Re-encoded / mildly-noised / few-frames-dropped copies
   * of one clip land within a few Hamming bits; distinct clips sit near
   * the 32-bit expectation.
   *
   * Scale shape: hashing is ONE narrow pass (container walk + per-frame
   * decode riding the scan — no frame explode, no shuffle); candidates
-  * are an 8-row banding equi-join. No all-pairs product at any scale.
+  * are a combination-banding equi-join (exact at the default radius). No all-pairs product at any scale.
   */
 object VideoDedup {
 
@@ -34,7 +34,7 @@ object VideoDedup {
       hashed0: Option[DataFrame] = None): DataFrame = {
     val hashed = hashed0.getOrElse(
       hashFrame(videos, idCol, mediaCol).localCheckpoint(true))
-    ImageDedup.hamming64NearDuplicates(hashed, idCol, "vhash", maxHamming,
+    ImageDedup.mine64(hashed, idCol, "vhash", maxHamming,
       maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName = "video")
   }
 

@@ -143,16 +143,7 @@ object VideoQueries {
        |  SELECT doc_id, vhash,
        |    ((CAST(vhash AS HUGEINT) + 18446744073709551616) % 18446744073709551616) AS hu
        |  FROM vhash_t),
-       |vww AS (
-       |  SELECT doc_id, vhash, w.w,
-       |    CAST((hu // (CASE w.w WHEN 0 THEN 1 WHEN 1 THEN 256
-       |      WHEN 2 THEN 65536 WHEN 3 THEN 16777216 WHEN 4 THEN 4294967296
-       |      WHEN 5 THEN 1099511627776 WHEN 6 THEN 281474976710656
-       |      ELSE 72057594037927936 END)) % 256 AS BIGINT) AS word
-       |  FROM vw, (SELECT unnest(generate_series(0, 7)) AS w) w),
-       |vcand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.vhash AS ha, b.vhash AS hb
-       |  FROM vww a JOIN vww b ON b.w = a.w AND b.word = a.word AND a.doc_id < b.doc_id),
+       |${comboCandSql("vw", "vhash", "v")},
        |vpairs AS (
        |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |  FROM vcand WHERE bit_count(xor(ha, hb)) <= 8)""".stripMargin

@@ -71,4 +71,37 @@ package object queries {
 
   def sqlCosineSimRaw(a: String, b: String): String =
     s"(${sqlZipSum(a, b, s"$dElem1 * $dElem2")} / (${sqlMagnitude(a)} * ${sqlMagnitude(b)}))"
+
+  /** DuckDB replay of [[graft.pipeline.ImageDedup.comboBandRows]] +
+    * candidate join (Manku WWW'07 combination banding, blocks=10 /
+    * pick=2 — complete for Hamming ≤ 8): consumes a CTE `huCte` with
+    * columns `(doc_id, <hashCol>, hu)` where `hu` is the hash as
+    * unsigned HUGEINT, and emits `<p>cw` (45 band keys per row, the
+    * exact block/subset layout the Spark side uses) and `<p>cand`
+    * (DISTINCT colliding id pairs with both hashes). Because the
+    * scheme is pigeonhole-complete at the verify radius, the pair set
+    * downstream equals the exact Hamming graph — the banding is an
+    * efficiency device on BOTH engines, not a semantic. */
+  def comboCandSql(huCte: String, hashCol: String, p: String): String = {
+    val blocks = 10
+    val bounds = graft.pipeline.ImageDedup.blockBounds(blocks)
+    val subsets = (0 until blocks).combinations(2).toSeq
+    def blockSql(b: Int): String = {
+      val (off, w) = bounds(b)
+      s"CAST((hu // ${BigInt(2).pow(off)}) % ${1 << w} AS BIGINT)"
+    }
+    val cases = subsets.zipWithIndex.map { case (ss, i) =>
+      val a = ss(0); val b = ss(1)
+      s"WHEN $i THEN ${blockSql(a)} * ${1L << bounds(b)._2} + ${blockSql(b)}"
+    }.mkString(" ")
+    s"""${p}cw AS (
+       |  SELECT doc_id, $hashCol, u.band,
+       |    CASE u.band $cases END AS bkey
+       |  FROM $huCte, (SELECT unnest(generate_series(0, ${subsets.size - 1})) AS band) u),
+       |${p}cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.$hashCol AS ha, b.$hashCol AS hb
+       |  FROM ${p}cw a JOIN ${p}cw b
+       |    ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
 }

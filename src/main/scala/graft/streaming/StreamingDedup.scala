@@ -259,7 +259,7 @@ object StreamingDedup {
     val hashed = ImageDedup.hashFrame(
       batch.select(col(idCol), col(mediaCol)), idCol, mediaCol)
       .localCheckpoint(false)
-    val pairs = ImageDedup.hamming64NearDuplicates(hashed, idCol, "dhash",
+    val pairs = ImageDedup.mine64(hashed, idCol, "dhash",
       maxHamming, maxBucket, logDroppedBuckets = false,
       failOnCappedBuckets = failOnCappedBuckets, auditName = "stream_image")
     val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -271,10 +271,13 @@ object StreamingDedup {
     val survivors =
       if (bucketDirs.isEmpty) batchKeep
       else {
+        // combo-banded store: candidates share a (band, bkey), verify is
+        // one packed-Hamming compare on the stored hash — complete at
+        // the default radius, same as the batch miner
         val idx = spark.read.parquet(bucketDirs: _*)
-          .select(col("word"), col("bucket"), col("dhash").as("_kept_hash"))
-        val dropIds = ImageDedup.bandRows(batchKeep, idCol, "dhash")
-          .join(idx, Seq("word", "bucket"))
+          .select(col("band"), col("bkey"), col("dhash").as("_kept_hash"))
+        val dropIds = ImageDedup.comboBandRows(batchKeep, idCol, "dhash")
+          .join(idx, Seq("band", "bkey"))
           .filter(bit_count(col("dhash").bitwiseXOR(col("_kept_hash")))
             <= maxHamming)
           .select(col(idCol)).distinct()
@@ -282,8 +285,8 @@ object StreamingDedup {
       }
     val survived = survivors.localCheckpoint(false)
     survived.write.mode("overwrite").parquet(s"$storePath/kept/batch$batchId")
-    ImageDedup.bandRows(survived, idCol, "dhash")
-      .select(col("word"), col("bucket"), col("dhash"), col(idCol))
+    ImageDedup.comboBandRows(survived, idCol, "dhash")
+      .select(col("band"), col("bkey"), col("dhash"), col(idCol))
       .write.mode("overwrite").parquet(s"$storePath/buckets/batch$batchId")
   }
 

@@ -215,8 +215,12 @@ object Dedup {
     * turns that into a loud, named failure at mining time instead. The
     * audit is one map-side-partial groupBy count (no window shuffle of
     * the banded rows into per-bucket hot partitions). */
+  /** Returns TRUE when the cap may bind (some bucket over `maxBucket`,
+    * or the audit did not run) — callers that audited and got FALSE can
+    * skip [[capBuckets]]' row_number window entirely, which is the
+    * common case and saves one shuffle+window pass per mining call. */
   private[pipeline] def checkDrops(name: String, banded: DataFrame, bucketKeys: Seq[String],
-      maxBucket: Int, logEnabled: Boolean, failEnabled: Boolean): Unit =
+      maxBucket: Int, logEnabled: Boolean, failEnabled: Boolean): Boolean =
     if (logEnabled || failEnabled) {
       val dropped = banded.groupBy(bucketKeys.map(col): _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
@@ -228,7 +232,8 @@ object Dedup {
             "grow the blocking key space (nlist / LSH params) or raise maxBucket")
         log.warn(msg)
       }
-    }
+      dropped > 0
+    } else true // unaudited: assume the cap may bind
 
   /** Expand verified rep-level pairs to all member-level pairs (groups
     * are disjoint, so each unordered member pair appears exactly once).

@@ -61,9 +61,11 @@ object ImageDedup {
       auditName: String, bandBits: Int = 8): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val banded = bandRows(hashed, idCol, hashCol, bandBits)
-    Dedup.checkDrops(auditName, banded, Seq("word", "bucket"), maxBucket,
-      logDroppedBuckets, failOnCappedBuckets)
-    val capped = Dedup.capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
+    val mayBind = Dedup.checkDrops(auditName, banded, Seq("word", "bucket"),
+      maxBucket, logDroppedBuckets, failOnCappedBuckets)
+    // the audited no-overflow case skips the row_number window entirely
+    val capped = if (!mayBind) banded
+      else Dedup.capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
     val left = capped.select(col("word"), col("bucket"),
       col(idCol).as("id_a"), col(hashCol).as("ha"))
     val right = capped.select(col("word"), col("bucket"),
@@ -110,9 +112,11 @@ object ImageDedup {
       s"combo banding is complete only to blocks - pick = ${blocks - pick}; " +
         s"got maxHamming = $maxHamming (raise blocks or lower pick)")
     val banded = comboBandRows(hashed, idCol, hashCol, blocks, pick)
-    Dedup.checkDrops(auditName, banded, Seq("band", "bkey"), maxBucket,
-      logDroppedBuckets, failOnCappedBuckets)
-    val capped = Dedup.capBuckets(banded, Seq("band", "bkey"), idCol, maxBucket)
+    val mayBind = Dedup.checkDrops(auditName, banded, Seq("band", "bkey"),
+      maxBucket, logDroppedBuckets, failOnCappedBuckets)
+    // the audited no-overflow case skips the row_number window entirely
+    val capped = if (!mayBind) banded
+      else Dedup.capBuckets(banded, Seq("band", "bkey"), idCol, maxBucket)
     val left = capped.select(col("band"), col("bkey"),
       col(idCol).as("id_a"), col(hashCol).as("ha"))
     val right = capped.select(col("band"), col("bkey"),

@@ -75,9 +75,10 @@ object VideoDedup {
     val fset = frames0.getOrElse(
         frameHashFrame(videos, idCol, mediaCol).localCheckpoint(true))
       .select(col(idCol), col("fhash")).dropDuplicates(idCol, "fhash")
-    Dedup.checkDrops("video_frames", fset, Seq("fhash"), maxBucket,
-      logDroppedBuckets, failOnCappedBuckets)
-    val capped = Dedup.capBuckets(fset, Seq("fhash"), idCol, maxBucket)
+    val mayBind = Dedup.checkDrops("video_frames", fset, Seq("fhash"),
+      maxBucket, logDroppedBuckets, failOnCappedBuckets)
+    val capped = if (!mayBind) fset
+      else Dedup.capBuckets(fset, Seq("fhash"), idCol, maxBucket)
     val counts = fset.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val shared = capped.select(col("fhash"), col(idCol).as("id_a"))
       .join(capped.select(col("fhash"), col(idCol).as("id_b")), Seq("fhash"))

@@ -107,7 +107,8 @@ object ImageDedup {
   def hamming64NearDuplicatesCombo(hashed: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int, maxBucket: Int = 4096,
       logDroppedBuckets: Boolean = false, failOnCappedBuckets: Boolean = false,
-      auditName: String = "combo", blocks: Int = 10, pick: Int = 2): DataFrame = {
+      auditName: String = "combo", blocks: Int = ComboBlocks,
+      pick: Int = ComboPick): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= blocks - pick,
       s"combo banding is complete only to blocks - pick = ${blocks - pick}; " +
         s"got maxHamming = $maxHamming (raise blocks or lower pick)")
@@ -160,17 +161,30 @@ object ImageDedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
   }
 
+  /** Default combination-banding parameters: C(10,2) = 45 bands of
+    * ~13-bit keys, pigeonhole-complete for Hamming ≤ `ComboBlocks −
+    * ComboPick` = 8 — the full default verify radius. [[mine64]]'s
+    * dispatch DERIVES its radius from these (r13 verdict note 1), so
+    * changing them cannot silently desynchronize the dispatch from the
+    * completeness guarantee. */
+  private[graft] val ComboBlocks = 10
+  private[graft] val ComboPick = 2
+
   /** Shared miner dispatch (r13): COMBINATION banding whenever the
-    * verify radius sits inside its completeness guarantee (the default
-    * does — the mined pair set is then the EXACT Hamming graph), word
-    * banding for wider radii (no complete equi-join scheme exists
-    * there; the recall gates own that regime). */
+    * verify radius sits inside its completeness guarantee `blocks −
+    * pick` (the default does — the mined pair set is then the EXACT
+    * Hamming graph), word banding for wider radii (no complete
+    * equi-join scheme exists there; the recall gates own that regime).
+    * Caller-supplied `blocks`/`pick` thread through to the combo miner
+    * AND the dispatch radius together. */
   private[graft] def mine64(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, maxBucket: Int, logDroppedBuckets: Boolean,
-      failOnCappedBuckets: Boolean, auditName: String): DataFrame =
-    if (maxHamming <= 10 - 2)
+      failOnCappedBuckets: Boolean, auditName: String,
+      blocks: Int = ComboBlocks, pick: Int = ComboPick): DataFrame =
+    if (maxHamming <= blocks - pick)
       hamming64NearDuplicatesCombo(hashed, idCol, hashCol, maxHamming,
-        maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName)
+        maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName,
+        blocks, pick)
     else
       hamming64NearDuplicates(hashed, idCol, hashCol, maxHamming, maxBucket,
         logDroppedBuckets, failOnCappedBuckets, auditName)

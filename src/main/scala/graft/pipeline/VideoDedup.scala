@@ -66,10 +66,18 @@ object VideoDedup {
     * hash itself (64-bit key — bucket population is the corpus's
     * per-frame duplication rate, not a banding artifact); shared/union
     * counts aggregate per pair. Distinct frame hashes per clip (a clip
-    * repeating one frame counts it once — set semantics). */
+    * repeating one frame counts it once — set semantics).
+    *
+    * Cap semantics (r13 verdict note 2): both the shared counts AND the
+    * per-clip denominators come from the SAME capped frame set, so
+    * `jaccard` is a true Jaccard of the sets actually mined — a binding
+    * cap is pure candidate-frame recall loss, never a silently deflated
+    * jaccard against full-size denominators. When the audit proves no
+    * bucket overflows (or the cap never binds), capped == fset and the
+    * result is the exact frame-set Jaccard. */
   def frameOverlapPairs(videos: DataFrame, idCol: String, mediaCol: String,
       minJaccard: Double = 0.5, maxBucket: Int = 4096,
-      logDroppedBuckets: Boolean = false,
+      logDroppedBuckets: Boolean = true,
       failOnCappedBuckets: Boolean = false,
       frames0: Option[DataFrame] = None): DataFrame = {
     val fset = frames0.getOrElse(
@@ -79,7 +87,7 @@ object VideoDedup {
       maxBucket, logDroppedBuckets, failOnCappedBuckets)
     val capped = if (!mayBind) fset
       else Dedup.capBuckets(fset, Seq("fhash"), idCol, maxBucket)
-    val counts = fset.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val counts = capped.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val shared = capped.select(col("fhash"), col(idCol).as("id_a"))
       .join(capped.select(col("fhash"), col(idCol).as("id_b")), Seq("fhash"))
       .filter(col("id_a") < col("id_b"))

@@ -198,6 +198,30 @@ class ImageDedupSpec extends SparkSpec {
     assert(rows.forall(r => r._2 >= 0 && r._2 < (1L << 14))) // <= 7+7 bits
   }
 
+  test("mine64 dispatch radius IS the combo completeness bound blocks - pick (property)") {
+    // a Hamming-8 pair with one flip per 8-bit word: combo(blocks,pick)
+    // finds it iff 8 <= blocks - pick, word banding NEVER does. mine64
+    // must therefore find it exactly when its dispatch chose combo with
+    // a sufficient radius — proving dispatch === completeness check for
+    // caller-supplied blocks/pick, not just the defaults (r13 verdict
+    // note 1).
+    val base = 0x5a5a5a5a5a5a5a5aL
+    val mask = (0 until 8).map(l => 1L << (8 * l)).reduce(_ | _)
+    val df = Seq((1L, base), (2L, base ^ mask)).toDF("id", "h")
+    def mined(blocks: Int, pick: Int): Long =
+      ImageDedup.mine64(df, "id", "h", maxHamming = 8, maxBucket = 4096,
+        logDroppedBuckets = false, failOnCappedBuckets = true,
+        auditName = "spec", blocks = blocks, pick = pick).count()
+    assert(mined(ImageDedup.ComboBlocks, ImageDedup.ComboPick) === 1L)
+    assert(ImageDedup.ComboBlocks - ImageDedup.ComboPick >= 8) // default covers radius 8
+    assert(mined(12, 4) === 1L) // 12 - 4 = 8: combo, complete
+    assert(mined(10, 3) === 0L) // 10 - 3 = 7 < 8: dispatch falls to word banding
+    // and the combo miner itself refuses a radius beyond its guarantee
+    intercept[IllegalArgumentException] {
+      ImageDedup.hamming64NearDuplicatesCombo(df, "id", "h", maxHamming = 9)
+    }
+  }
+
   test("hamming column is the exact packed distance") {
     val df = Seq(
       (0L, ImageDedup.makePng(0L, 0, 27, 16)),

@@ -71,6 +71,36 @@ class VideoDedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._2 - p._1 == 1), s"unrelated overlap: ${pairs.toSeq}")
   }
 
+  test("a binding bucket cap keeps jaccard a TRUE Jaccard of the mined frame sets") {
+    // frame hash H is shared by clips 1,2,3 — at maxBucket=2 the cap
+    // keeps only clips 1,2 in H's bucket; X is shared by 2,3 (uncapped).
+    // The capped sets are 1:{H}, 2:{H,X}, 3:{X}; jaccard(2,3) over the
+    // MINED sets is 1/2. Denominators from the uncapped sets would give
+    // 1/3 and silently drop the pair below minJaccard=0.5 (r13 verdict
+    // note 2 — the skew this spec pins closed).
+    val frames = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), // H
+      (2L, 200L), (3L, 200L)              // X
+    ).toDF("doc_id", "fhash")
+    val pairs = VideoDedup.frameOverlapPairs(frames, "doc_id", "media",
+        minJaccard = 0.5, maxBucket = 2, logDroppedBuckets = false,
+        frames0 = Some(frames))
+      .select("id_a", "id_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(pairs.get((2L, 3L)).contains((1L, 0.5)),
+      s"capped jaccard(2,3) must be the true Jaccard of the mined sets: $pairs")
+    assert(pairs.get((1L, 2L)).contains((1L, 0.5)), s"jaccard(1,2): $pairs")
+    assert(!pairs.contains((1L, 3L)), s"clip 3's H row was capped away: $pairs")
+    // uncapped (audit passes, strict): the exact frame-set Jaccard
+    val exact = VideoDedup.frameOverlapPairs(frames, "doc_id", "media",
+        minJaccard = 0.3, maxBucket = 4096, failOnCappedBuckets = true,
+        frames0 = Some(frames))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(exact.map(r => ((r._1, r._2), r._3)).toMap ===
+      Map((1L, 2L) -> 0.5, (1L, 3L) -> 0.5, (2L, 3L) -> 1.0))
+  }
+
   test("miner finds planted clip pairs via the shared banding, no false positives") {
     val n = 120
     val rows = (0L until n.toLong).map(id =>

@@ -19,11 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - a `%` not followed by two hex digits is copied verbatim (not a
   *    triplet — real crawl noise contains bare percents).
   *
-  * Because decoding only ever produces unreserved ASCII, no pass can
-  * create a new `%` or a new triplet — one scan is a fixed point, and a
-  * DuckDB oracle replays it as a finite chain of regexp_replace calls
-  * (66 case-insensitive decodes + 12 hex-uppercase rewrites; see
-  * `UrlQueries`). ASCII-only byte logic, so the scan is UTF-8 safe.
+  * Decoding can CREATE a new triplet: `/x%e%61` decodes `%61` to `a`,
+  * and the output `%ea` is a triplet the single scan never saw (a bare
+  * `%` + hex char + decoded hex char). The scan therefore ITERATES to a
+  * fixed point — re-running whenever a pass decoded anything (each
+  * decode shrinks the string by 2, so at most len/2 passes; real URLs
+  * take 1). A pass with no decode is idempotent (it only uppercased
+  * kept triplets, and uppercasing cannot mint an unreserved decode), so
+  * stopping there IS the fixed point: canonical keys are stable under
+  * re-canonicalization. The DuckDB oracle replays the same fixed point
+  * as a recursive CTE over a finite regexp_replace chain (66
+  * case-insensitive decodes + 12 hex-uppercase rewrites; see
+  * `UrlQueries`) — both strategies exhaustively rewrite the same
+  * non-overlapping redexes, so they converge to the same normal form.
+  * ASCII-only byte logic, so the scan is UTF-8 safe.
   */
 object PercentNorm {
   private def hexVal(c: Char): Int =
@@ -38,17 +47,19 @@ object PercentNorm {
 
   private val HEX = "0123456789ABCDEF"
 
-  def normalize(in: UTF8String): UTF8String = {
-    val s = in.toString
+  /** One scan pass: `(output, decodedAnything)`. A pass that decoded
+    * nothing is idempotent — its output is the fixed point. */
+  private def scanOnce(s: String): (String, Boolean) = {
     val n = s.length
     val out = new java.lang.StringBuilder(n)
     var i = 0
+    var decoded = false
     while (i < n) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < n &&
           hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
         val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
-        if (isUnreserved(v)) out.append(v.toChar)
+        if (isUnreserved(v)) { out.append(v.toChar); decoded = true }
         else {
           out.append('%').append(HEX.charAt(v >> 4)).append(HEX.charAt(v & 15))
         }
@@ -58,7 +69,16 @@ object PercentNorm {
         i += 1
       }
     }
-    UTF8String.fromString(out.toString)
+    (out.toString, decoded)
+  }
+
+  def normalize(in: UTF8String): UTF8String = {
+    var (s, decoded) = scanOnce(in.toString)
+    while (decoded) { // re-scan only when a decode may have minted a new triplet
+      val r = scanOnce(s)
+      s = r._1; decoded = r._2
+    }
+    UTF8String.fromString(s)
   }
 }
 

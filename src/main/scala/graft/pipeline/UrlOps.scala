@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *     canonicalizes to `/`;
   *  7. percent-encoding normalizes over path+query (RFC 3986
   *     §6.2.2.1–2): unreserved triplets decode (`%61` → `a`), every
-  *     other triplet uppercases its hex (`%2f` → `%2F`) — one linear
-  *     codegen kernel ([[graft.functions.PercentNorm]]).
+  *     other triplet uppercases its hex (`%2f` → `%2F`) — a linear
+  *     codegen kernel iterated to a FIXED POINT (a decode can mint a
+  *     new triplet: `%e%61` → `%ea` → `%EA`), so canonical keys are
+  *     stable under re-canonicalization
+  *     ([[graft.functions.PercentNorm]]).
   *
   * Everything is plain column expressions (split / filter / array_sort /
   * regexp) plus the one narrow kernel, so Catalyst codegens the whole
@@ -107,9 +110,13 @@ object UrlOps {
       .otherwise(lit(""))
     // logical path tail is always "xa%2F": 'a' arrives encoded on the
     // planted side, the reserved %2F arrives in either hex case
+    // the %e%61 side needs TWO kernel passes: pass 1 decodes %61 to 'a'
+    // and mints the pseudo-triplet %ea, pass 2 uppercases it to %EA —
+    // the planted coverage for percent-norm's fixed-point iteration
     val path = concat(lit("/p/"), base.cast("string"), lit("/x"),
       when(id % 10 === 1, lit("%61")).otherwise(lit("a")),
       when(id % 2 === 0, lit("%2F")).otherwise(lit("%2f")),
+      when(id % 10 === 1, lit("%e%61")).otherwise(lit("%EA")),
       when(id % 6 === 0, lit("/")).otherwise(lit("")))
     val pa = concat(lit("a="), (base % 7).cast("string"))
     val pb = concat(lit("b="), (base % 3).cast("string"))

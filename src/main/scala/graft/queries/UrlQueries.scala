@@ -7,12 +7,15 @@ import graft.pipeline.UrlOps
 /** URL canonicalization + URL-keyed dedup keys — see
   * [[graft.pipeline.UrlOps]]. Both FULL hash-match: the fixture URLs and
   * every normalization rule are plain string expressions both engines
-  * rebuild 1:1 — the percent-normalization kernel's SQL replay is a
-  * generated finite regexp_replace chain (66 case-insensitive
-  * unreserved decodes, then 12 hex-uppercase rewrites; staging is
-  * equivalent to the kernel's single scan because decoding never
-  * produces a `%`). Ids with `id % 10 == 1` carry the same logical page
-  * as `id − 1` under crawl noise; url_dedup must collapse each pair. */
+  * rebuild 1:1 — the percent-normalization kernel's SQL replay iterates
+  * a generated regexp_replace chain (66 case-insensitive unreserved
+  * decodes, then 12 hex-uppercase rewrites) to a FIXED POINT via a
+  * recursive CTE, because a decode can mint a new triplet the single
+  * chain application misses (`%e%61` → `%ea` → `%EA`) — the same fixed
+  * point the kernel's iterated scan computes, and the fixture plants
+  * exactly that case so the gate exercises the second pass. Ids with
+  * `id % 10 == 1` carry the same logical page as `id − 1` under crawl
+  * noise; url_dedup must collapse each pair. */
 object UrlQueries {
 
   val defs: Map[String, Q] = Map(
@@ -51,9 +54,13 @@ object UrlQueries {
   private val unreservedChars: Seq[Char] =
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) :+ '-' :+ '.' :+ '_' :+ '~'
 
-  /** SQL replay of [[graft.functions.PercentNorm.normalize]]: decode
-    * every unreserved triplet in any hex case, then uppercase the hex
-    * of whatever triplets remain (first digit, then second). */
+  /** One pass of the [[graft.functions.PercentNorm]] rewrite system in
+    * SQL: decode every unreserved triplet in any hex case, then
+    * uppercase the hex of whatever triplets remain (first digit, then
+    * second). The FIXED POINT of this chain — iterated by the `upfx`
+    * recursive CTE below, because a decode can mint a new triplet
+    * (`%e%61` → `%ea`) — is what the kernel computes: both strategies
+    * exhaustively rewrite the same non-overlapping redexes. */
   private def pctNormSql(e: String): String = {
     val decoded = unreservedChars.foldLeft(e)((acc, c) =>
       f"regexp_replace($acc, '(?i)%%${c.toInt}%02x', '$c', 'g')")
@@ -81,6 +88,7 @@ object UrlQueries {
       |    '/p/' || CAST(base AS VARCHAR) || '/x' ||
       |    (CASE WHEN doc_id % 10 = 1 THEN '%61' ELSE 'a' END) ||
       |    (CASE WHEN doc_id % 2 = 0 THEN '%2F' ELSE '%2f' END) ||
+      |    (CASE WHEN doc_id % 10 = 1 THEN '%e%61' ELSE '%EA' END) ||
       |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
       |    (CASE WHEN doc_id % 2 = 0
       |        THEN '?b=' || CAST(base % 3 AS VARCHAR) || '&' ||
@@ -90,12 +98,22 @@ object UrlQueries {
       |             '&gclid=' || CAST(doc_id AS VARCHAR) END) ||
       |    (CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
       |  FROM ufx),
-      |up1 AS (
+      |up0 AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-      |    ${pctNormSql("regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)")} AS rest
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
       |  FROM uurl),
+      |upfx AS (
+      |  SELECT doc_id, rest0 AS s, 0 AS lvl FROM up0
+      |  UNION ALL
+      |  SELECT doc_id, s2, lvl + 1
+      |  FROM (SELECT doc_id, ${pctNormSql("s")} AS s2, s, lvl FROM upfx) z
+      |  WHERE s2 <> s),
+      |up1 AS (
+      |  SELECT doc_id, url, scheme, hostport, p.rest
+      |  FROM up0 JOIN (SELECT doc_id, arg_max(s, lvl) AS rest
+      |                 FROM upfx GROUP BY doc_id) p USING (doc_id)),
       |up2 AS (
       |  SELECT doc_id, url, scheme,
       |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '') AS host,
@@ -123,18 +141,18 @@ object UrlQueries {
 
   val oracles: Map[String, String] = Map(
     "url_canonicalize" ->
-      s"""WITH $canonCtes
+      s"""WITH RECURSIVE $canonCtes
          |SELECT doc_id, url, canonical_url FROM ucanon""".stripMargin,
 
     "url_dedup" ->
-      s"""WITH $canonCtes
+      s"""WITH RECURSIVE $canonCtes
          |SELECT canonical_url, count(*) AS copies, min(doc_id) AS doc_id
          |FROM ucanon GROUP BY canonical_url""".stripMargin,
 
     // the two-batch drive keeps exactly the novel-canonical rows: every
     // id except the planted (id % 10 = 1) re-crawls
     "streaming_url_dedup_keep" ->
-      s"""WITH $canonCtes
+      s"""WITH RECURSIVE $canonCtes
          |SELECT doc_id, url, canonical_url FROM ucanon
          |WHERE doc_id % 10 != 1""".stripMargin)
 }

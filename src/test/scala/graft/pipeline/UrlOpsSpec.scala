@@ -63,6 +63,76 @@ class UrlOpsSpec extends SparkSpec {
       "http://example.com/100%"))
   }
 
+  test("percent-norm is a fixed point even when a decode mints a new triplet") {
+    // /x%e%61: %61 decodes to 'a', forming the pseudo-triplet %ea that
+    // the FIRST scan never saw — the iterated kernel must uppercase it
+    // (r13 advice, medium): stored canonical keys must equal their own
+    // re-canonicalization.
+    assert(canon(
+      "http://example.com/x%e%61",     // decode mints %ea → %EA (2 passes)
+      "http://example.com/%%36%31",    // %36%31 → %61 → a (3 passes)
+      "http://example.com/%%661",      // %66 → f mints %f1 → %F1
+      "http://example.com/%6%36%31"    // chains to %661 → f1
+    ) === Seq(
+      "http://example.com/x%EA",
+      "http://example.com/a",
+      "http://example.com/%F1",
+      "http://example.com/f1"))
+  }
+
+  test("percent-norm fixed point property: normalize(normalize(x)) == normalize(x)") {
+    // randomized adversarial strings over the alphabet that forms
+    // triplets; also compare against a brute-force leftmost-single-redex
+    // rewriter (the confluence witness for the oracle's chain order)
+    import graft.functions.PercentNorm
+    import org.apache.spark.unsafe.types.UTF8String
+    def norm(s: String): String =
+      PercentNorm.normalize(UTF8String.fromString(s)).toString
+    def brute(s0: String): String = {
+      // rewrite ONE redex at a time (leftmost): decode unreserved
+      // triplet, else uppercase a kept triplet with lowercase hex
+      def hexV(c: Char): Int =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10 else -1
+      def unres(v: Int): Boolean =
+        (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+          (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+      var s = s0
+      var changed = true
+      while (changed) {
+        changed = false
+        var i = 0
+        while (i < s.length && !changed) {
+          if (s.charAt(i) == '%' && i + 2 < s.length &&
+              hexV(s.charAt(i + 1)) >= 0 && hexV(s.charAt(i + 2)) >= 0) {
+            val v = hexV(s.charAt(i + 1)) * 16 + hexV(s.charAt(i + 2))
+            if (unres(v)) {
+              s = s.substring(0, i) + v.toChar + s.substring(i + 3); changed = true
+            } else {
+              val up = "%" + "0123456789ABCDEF".charAt(v >> 4) +
+                "0123456789ABCDEF".charAt(v & 15)
+              if (s.substring(i, i + 3) != up) {
+                s = s.substring(0, i) + up + s.substring(i + 3); changed = true
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      s
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "%0123456789abcdefABCDEF/x"
+    (0 until 500).foreach { _ =>
+      val s = (0 until 1 + rnd.nextInt(12))
+        .map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      val n1 = norm(s)
+      assert(norm(n1) === n1, s"not a fixed point on '$s' -> '$n1'")
+      assert(n1 === brute(s), s"diverges from single-redex rewriting on '$s'")
+    }
+  }
+
   test("the planted fixture pairs collapse; nothing else does") {
     val n = 60
     val urls = (0L until n.toLong).toDF("doc_id")

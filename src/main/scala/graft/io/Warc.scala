@@ -26,9 +26,10 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField
   * header lines (`Name: value`), an empty line, `Content-Length`
   * payload octets, then two CRLFs. Response records carry an HTTP
   * message as payload; [[responses]] strips the HTTP header section
-  * and surfaces `(url, fetch_time, http_status, mime, html)` — the
-  * frame `UrlOps.canonicalize` → `HtmlExtract.mainContent` → the e2e
-  * pipeline chain starts from.
+  * and surfaces `(url, fetch_time, http_status, mime, html, body)` —
+  * the frame `UrlOps.canonicalize` → `HtmlExtract.mainContent` → the
+  * e2e pipeline chain starts from (`html` for text mimes, `body` the
+  * exact octets for binary media consumers).
   *
   * '''Write shape.''' [[write]] emits one `.warc.gz` per partition,
   * one gzip member per record (the Common Crawl layout — members can
@@ -59,6 +60,13 @@ object Warc {
     val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
       val raw = new BufferedInputStream(pds.open(), 1 << 16)
       val in = if (file.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+      // parseStream closes `in` at EOF, but a downstream limit/take can
+      // abandon the iterator mid-file — the task-completion listener
+      // guarantees the file handle (and gzip Inflater) is released then
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case _: java.io.IOException => }
+      }
       parseStream(in).map { r =>
         Row(file, r.headers.getOrElse("warc-type", ""),
           r.headers.getOrElse("warc-record-id", ""),
@@ -71,8 +79,12 @@ object Warc {
   }
 
   /** Response records with the HTTP envelope stripped:
-    * `(url, fetch_time, http_status, mime, html)`. `fetch_time` parses
-    * the ISO-8601 `WARC-Date`; `html` decodes the HTTP body as UTF-8. */
+    * `(url, fetch_time, http_status, mime, html, body)`. `fetch_time`
+    * parses the ISO-8601 `WARC-Date`; `html` decodes the HTTP body as
+    * UTF-8 for TEXT mimes only (NULL otherwise — a binary payload must
+    * not be garbled through a charset decode); `body` carries the exact
+    * HTTP body octets for every response, the column image/PDF
+    * consumers read. */
   def responses(spark: SparkSession, path: String): DataFrame =
     responseProjection(read(spark, path))
 
@@ -83,7 +95,8 @@ object Warc {
         to_timestamp(col("warc_date")).as("fetch_time"),
         HttpPayload.statusCol(col("payload")).as("http_status"),
         HttpPayload.mimeCol(col("payload")).as("mime"),
-        HttpPayload.bodyCol(col("payload")).as("html"))
+        HttpPayload.bodyCol(col("payload")).as("html"),
+        HttpPayload.bodyBytesCol(col("payload")).as("body"))
 
   /** Parse one whole in-memory WARC file (gzip sniffed by the member
     * magic) — the per-row form the STREAMING reader uses, where Spark's
@@ -137,10 +150,16 @@ object Warc {
       payload: Array[Byte])
 
   /** Lazy record iterator over a (decompressed) WARC stream. Tolerant
-    * of extra CR/LF between records; stops cleanly at EOF. */
+    * of extra CR/LF between records; stops cleanly at EOF and CLOSES
+    * the stream there (callers that stop early must close it
+    * themselves — [[read]] registers a task-completion listener). */
   def parseStream(in: InputStream): Iterator[Record] = new Iterator[Record] {
     private var nextRec: Record = _
     private var done = false
+    private def finish(): Unit = {
+      done = true
+      try in.close() catch { case _: java.io.IOException => }
+    }
     private def readLine(): String = {
       // header lines are ASCII; CRLF or bare LF terminated
       val b = new StringBuilder
@@ -158,7 +177,7 @@ object Warc {
       nextRec = null
       var line = readLine()
       while (line != null && line.isEmpty) line = readLine() // inter-record CRLFs
-      if (line == null || !line.startsWith("WARC/")) { done = true; return true }
+      if (line == null || !line.startsWith("WARC/")) { finish(); return true }
       var headers = Map.empty[String, String]
       var h = readLine()
       while (h != null && h.nonEmpty) {
@@ -177,7 +196,7 @@ object Warc {
         while (remaining > 0) {
           val n = in.skip(remaining)
           if (n <= 0) {
-            if (in.read() < 0) { done = true; return true } // truncated: stop
+            if (in.read() < 0) { finish(); return true } // truncated: stop
             remaining -= 1
           } else remaining -= n
         }
@@ -187,7 +206,7 @@ object Warc {
       var off = 0
       while (off < payload.length) {
         val n = in.read(payload, off, payload.length - off)
-        if (n < 0) { done = true; return true } // truncated record: drop it
+        if (n < 0) { finish(); return true } // truncated record: drop it
         off += n
       }
       nextRec = Record(headers, payload)
@@ -211,32 +230,56 @@ object Warc {
     * members (the realistic Common-Crawl file shape — readers must
     * skip both). Distributed via `foreachPartition`.
     *
-    * Timezone contract: `WARC-Date` renders `fetch_time` in the
-    * SESSION time zone with a literal `Z` suffix — standards-correct
-    * only under `spark.sql.session.timeZone=UTC` (every session in
-    * this repo sets it; callers elsewhere must too, the ISO 28500
-    * norm). */
+    * `WARC-Date` formats the `fetch_time` INSTANT in UTC on the JVM
+    * side (`DateTimeFormatter` at `ZoneOffset.UTC`), so the written
+    * record states the true instant under ANY session time zone and
+    * the write→[[responses]] round-trip is tz-independent.
+    *
+    * Commit protocol: each task writes to a tmp path outside the
+    * `*.warc.gz` glob, then renames into place — a retried or
+    * speculative duplicate attempt either loses the rename (and
+    * discards its tmp) or replaces nothing, so readers never observe a
+    * torn file. */
   def write(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
-    val fmt = date_format(col("fetch_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    val rows = df.select(col("url").cast("string"), fmt.as("wdate"),
-      col("html").cast("string"))
+    val rows = df.select(col("url").cast("string"),
+      col("fetch_time").cast("timestamp"), col("html").cast("string"))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     rows.rdd.foreachPartition { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
-      val fs = path.getFileSystem(conf.value)
-      val out = fs.create(path, true)
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .withZone(java.time.ZoneOffset.UTC)
+      val fin = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
+      val tmp = new org.apache.hadoop.fs.Path(
+        f"$dir/_tmp-part-$pid%05d-attempt-${tc.taskAttemptId()}")
+      val fs = fin.getFileSystem(conf.value)
+      var published = false
       try {
-        writeMember(out, warcinfoRecord(pid))
-        it.foreach { row =>
-          val (url, wdate, html) =
-            (row.getString(0), row.getString(1), row.getString(2))
-          writeMember(out, requestRecord(url, wdate))
-          writeMember(out, responseRecord(url, wdate, html))
+        val out = fs.create(tmp, true)
+        try {
+          writeMember(out, warcinfoRecord(pid))
+          var seq = 0L
+          it.foreach { row =>
+            val url = row.getString(0)
+            val wdate = fmt.format(row.getTimestamp(1).toInstant)
+            val html = row.getString(2)
+            writeMember(out, requestRecord(url, wdate, seq))
+            writeMember(out, responseRecord(url, wdate, html, seq))
+            seq += 1
+          }
+        } finally out.close()
+        // re-runs overwrite: drop a stale part before publishing (a
+        // racing duplicate attempt may delete the winner's fresh file,
+        // but then ITS complete rename lands — never a torn file)
+        if (fs.exists(fin)) fs.delete(fin, false)
+        published = fs.rename(tmp, fin) || {
+          if (fs.exists(fin)) false // a duplicate attempt won the rename
+          else throw new java.io.IOException(s"cannot publish $tmp -> $fin")
         }
-      } finally out.close()
+      } finally if (!published) fs.delete(tmp, false)
     }
   }
 
@@ -273,17 +316,28 @@ object Warc {
       "Content-Type" -> "application/warc-fields"), body)
   }
 
-  private def requestRecord(url: String, wdate: String): Array[Byte] = {
+  /** Per-record unique id: md5 over (type, url, date, in-partition seq)
+    * — ISO 28500 §5.2 requires GLOBAL uniqueness, which a 32-bit
+    * `url.hashCode` cannot provide (two distinct URLs per bucket at
+    * ~77k records by birthday bound). */
+  private def recordId(typ: String, url: String, wdate: String, seq: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$typ|$url|$wdate|$seq".getBytes("UTF-8"))
+    s"<urn:graft:$typ:${d.map(b => f"$b%02x").mkString}>"
+  }
+
+  private def requestRecord(url: String, wdate: String, seq: Long): Array[Byte] = {
     val body = ("GET / HTTP/1.1\r\nHost: example.com\r\n\r\n").getBytes("UTF-8")
     record(Seq(
       "WARC-Type" -> "request",
-      "WARC-Record-ID" -> s"<urn:graft:request:${url.hashCode}>",
+      "WARC-Record-ID" -> recordId("request", url, wdate, seq),
       "WARC-Date" -> wdate,
       "WARC-Target-URI" -> url,
       "Content-Type" -> "application/http;msgtype=request"), body)
   }
 
-  private def responseRecord(url: String, wdate: String, html: String): Array[Byte] = {
+  private def responseRecord(url: String, wdate: String, html: String,
+      seq: Long): Array[Byte] = {
     val htmlBytes = html.getBytes("UTF-8")
     val http = new ByteArrayOutputStream()
     http.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
@@ -291,7 +345,7 @@ object Warc {
     http.write(htmlBytes)
     record(Seq(
       "WARC-Type" -> "response",
-      "WARC-Record-ID" -> s"<urn:graft:response:${url.hashCode}>",
+      "WARC-Record-ID" -> recordId("response", url, wdate, seq),
       "WARC-Date" -> wdate,
       "WARC-Target-URI" -> url,
       "Content-Type" -> "application/http;msgtype=response"), http.toByteArray)
@@ -302,8 +356,12 @@ object Warc {
   * plain column expressions over the binary payload (decode, split at
   * the first blank line), codegen'd by Catalyst. */
 private[io] object HttpPayload {
+  // ISO-8859-1 decode NEVER fails (every byte is one char 0..255) and
+  // is ASCII-exact for the header section — a UTF-8 decode here would
+  // throw MALFORMED_CHARACTER_CODING on any binary payload (Spark 4 is
+  // strict), killing the whole scan on one image response.
   private def text(payload: org.apache.spark.sql.Column) =
-    decode(payload, "UTF-8")
+    decode(payload, "ISO-8859-1")
   def statusCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce( // no match -> '' -> NULL (ANSI cast of '' would throw)
       nullif(regexp_extract(text(payload), "^HTTP/[0-9.]+ ([0-9]{3})", 1), lit(""))
@@ -311,9 +369,36 @@ private[io] object HttpPayload {
       lit(-1))
   def mimeCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract(text(payload), "(?i)\r\nContent-Type:\\s*([^;\r\n]+)", 1)
-  def bodyCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val t = text(payload)
-    when(t.startsWith("HTTP/"),
-      regexp_replace(t, "(?s)^.*?\r\n\r\n", "")).otherwise(t)
+
+  /** Mimes whose body is text the `html` column may decode as UTF-8. */
+  private def isTextMime(mime: org.apache.spark.sql.Column) =
+    mime.startsWith("text/") || mime.isin(
+      "application/xhtml+xml", "application/json", "application/xml")
+
+  /** UTF-8 body for TEXT responses only (r13 verdict note 4): a binary
+    * payload (image/PDF) must not be garbled through a charset decode —
+    * non-text mimes yield NULL here and keep their exact bytes in
+    * [[bodyBytesCol]]. The text body reads via `cast(binary AS string)`
+    * — a byte-preserving wrap, so valid UTF-8 reads exactly and a
+    * stray malformed byte in a real crawl's text page degrades that one
+    * value instead of throwing. A payload without an HTTP envelope
+    * passes through whole (mime is unknowable — the legacy contract). */
+  def bodyCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(text(payload).startsWith("HTTP/"),
+      when(isTextMime(mimeCol(payload)), bodyBytesCol(payload).cast("string"))
+        .otherwise(lit(null)))
+      .otherwise(payload.cast("string"))
+
+  /** EXACT HTTP body bytes for every response, text or binary: the
+    * payload round-trips through ISO-8859-1 (a byte-preserving charset
+    * — each byte is one char 0..255), the header section strips with
+    * the same first-blank-line rule, and the remainder re-encodes to
+    * the original octets. Pure codegen column ops, no UDF. */
+  def bodyBytesCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = decode(payload, "ISO-8859-1")
+    encode(
+      when(t.startsWith("HTTP/"),
+        regexp_replace(t, "(?s)^.*?\r\n\r\n", "")).otherwise(t),
+      "ISO-8859-1")
   }
 }

@@ -108,6 +108,66 @@ class WarcSpec extends SparkSpec {
       s"got $kept")
   }
 
+  test("binary payloads survive byte-exactly in body; html is NULL for non-text mimes") {
+    // a PNG-ish body with bytes that are INVALID UTF-8 (0x89, 0xff...):
+    // the old UTF-8-everything decode garbled these irreversibly
+    val bin = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0xff.toByte, 0x00,
+      0xfe.toByte, '\r', '\n', '\r', '\n', 0x7f)
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n" +
+      s"Content-Length: ${bin.length}\r\n\r\n").getBytes("UTF-8")
+    val bytes = record("response", "http://a/img.png", head ++ bin) ++
+      record("response", "http://a/page", http("<p>text</p>"))
+    val dir = Files.createTempDirectory("warcbin").toString
+    Files.write(java.nio.file.Paths.get(dir, "f.warc"), bytes)
+    val got = Warc.responses(spark, s"$dir/*.warc")
+      .select("url", "mime", "html", "body")
+      .as[(String, String, Option[String], Array[Byte])]
+      .collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) === Seq("image/png", "text/html"))
+    assert(got(0)._3.isEmpty, "binary mime must not decode to html")
+    assert(got(0)._4.toSeq === bin.toSeq, "body must be the exact octets")
+    assert(got(1)._3.contains("<p>text</p>"))
+    assert(new String(got(1)._4, "UTF-8") === "<p>text</p>")
+  }
+
+  test("record ids are md5-unique even for URLs with colliding hashCode") {
+    // "Aa" and "BB" have equal String.hashCode — the old 32-bit id
+    // scheme gave these two distinct URLs identical "unique" record ids
+    val u1 = "http://x/Aa"; val u2 = "http://x/BB"
+    assert(u1.hashCode === u2.hashCode)
+    val dir = Files.createTempDirectory("warcids").toString
+    val df = Seq(
+      (u1, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), "<p>1</p>"),
+      (u2, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), "<p>2</p>"))
+      .toDF("url", "fetch_time", "html")
+    Warc.write(df.coalesce(1), dir)
+    val ids = Warc.read(spark, s"$dir/*.warc.gz")
+      .select("record_id").as[String].collect().toSeq
+    assert(ids.size === 5) // warcinfo + 2 requests + 2 responses
+    assert(ids.distinct.size === 5, s"duplicate record ids: $ids")
+  }
+
+  test("no tmp turds remain after write; WARC-Date is UTC under any session tz") {
+    val dir = Files.createTempDirectory("warctz").toString
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // 12:00 UTC instant, authored as a UTC wall-clock string
+      val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-03-01T12:00:00Z"))
+      Warc.write(Seq(("http://t/1", ts, "<p>t</p>"))
+        .toDF("url", "fetch_time", "html").coalesce(1), dir)
+      val wdate = Warc.read(spark, s"$dir/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select("warc_date").as[String].head()
+      assert(wdate === "2026-03-01T12:00:00Z", "must state the true UTC instant")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // Hadoop's local FS legitimately writes hidden .crc siblings; only
+    // an unpublished _tmp-* attempt file would be a torn-write leak
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("_tmp-"))
+    assert(leftovers.isEmpty, s"uncommitted tmp files: ${leftovers.toSeq}")
+  }
+
   test("a payload without an HTTP envelope passes through as the body") {
     val bytes = record("response", "http://a/r", "raw bytes, no HTTP".getBytes("UTF-8"))
     val dir = Files.createTempDirectory("warcraw").toString

@@ -36,6 +36,20 @@ object UrlQueries {
     // second batch's rows must drop against the FIRST batch's stored
     // keys, not within-batch state. Full hash-match: kept = every row
     // whose canonical URL is novel, i.e. all but the planted ids.
+    // URL/domain blocklist + safety filter (r13 verdict Next #1): the
+    // crawl gate between canonicalization and extraction. Full
+    // hash-match: the oracle replays BOTH rules (label-suffix host
+    // match, exact case-folded path-segment match) with list ops over
+    // the reconstructed fixture URLs — including the label-boundary
+    // trap (notads.example.com survives ads.example.com) and the
+    // hyphen trap (/casino-royale survives term 'casino').
+    "url_filter" -> ((s, dir) =>
+      graft.pipeline.UrlFilter.flags(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.pipeline.UrlFilter.fixtureUrl(col("doc_id")).as("url")),
+        "url", graft.pipeline.UrlFilter.fixtureRules(s))),
+
     "streaming_url_dedup_keep" -> ((s, dir) => {
       val urls = table(s, dir, "documents")
         .select(col("doc_id"), UrlOps.fixtureUrl(col("doc_id")).as("url"))
@@ -148,6 +162,44 @@ object UrlQueries {
       s"""WITH RECURSIVE $canonCtes
          |SELECT canonical_url, count(*) AS copies, min(doc_id) AS doc_id
          |FROM ucanon GROUP BY canonical_url""".stripMargin,
+
+    // blocklist replay: rebuild the fixture URL, derive the host's
+    // label-suffix chain and the path's segment list, and apply the
+    // same set-membership rules the kernel walks
+    "url_filter" ->
+      """WITH uf AS (
+        |  SELECT doc_id,
+        |    'http://' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'ads.example.com'
+        |          WHEN doc_id % 7 = 1 THEN 'x.ads.example.com'
+        |          WHEN doc_id % 7 = 2 THEN 'notads.example.com'
+        |          WHEN doc_id % 7 = 3 THEN 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+        |          WHEN doc_id % 7 = 4 THEN 'tracker.net'
+        |          WHEN doc_id % 7 = 5 THEN 'a.b.tracker.net'
+        |          ELSE 'shop.example.net' END) ||
+        |    '/p/' || CAST(doc_id AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/casino'
+        |          WHEN doc_id % 5 = 1 THEN '/casino-royale'
+        |          WHEN doc_id % 5 = 2 THEN '/XXX' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?q=' || CAST(doc_id % 3 AS VARCHAR)
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |up AS (
+        |  SELECT doc_id, url,
+        |    string_split(lower(regexp_extract(url, '^[a-z]+://([^/?#:@]*)', 1)), '.') AS labels,
+        |    string_split(regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1), '/') AS segs
+        |  FROM uf),
+        |fl AS (
+        |  SELECT doc_id, url,
+        |    len(list_filter(list_transform(generate_series(1, len(labels)),
+        |          i -> array_to_string(list_slice(labels, CAST(i AS INT), len(labels)), '.')),
+        |        s -> s IN ('ads.example.com', 'tracker.net'))) > 0 AS blocked_host,
+        |    len(list_filter(segs, s -> s != '' AND lower(s) IN ('casino', 'xxx'))) > 0
+        |      AS blocked_term
+        |  FROM up)
+        |SELECT doc_id, url, blocked_host, blocked_term,
+        |  (blocked_host OR blocked_term) AS blocked
+        |FROM fl""".stripMargin,
 
     // the two-batch drive keeps exactly the novel-canonical rows: every
     // id except the planted (id % 10 = 1) re-crawls

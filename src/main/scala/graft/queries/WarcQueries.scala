@@ -83,20 +83,51 @@ object WarcQueries {
         regexp_extract(canon, "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
         regexp_extract(canon, "^http://([^.]+)\\.", 1).as("source"),
         HtmlExtract.mainContent(col("html")).as("text"))
-      val profiled = extracted
-        .withColumn("quality", TextStats.qualityScore(col("text")))
-        .withColumn("lang_id", TextStats.languageId(col("text")))
-        .localCheckpoint(true)
-      val gated = profiled.filter(col("quality") >= 0.5 && col("lang_id") === "en")
-      val deduped = Dedup.exact(gated, "doc_id", "text")
-      val decon = Decontamination.decontaminate(
-        deduped.filter(col("doc_id") % 10 =!= 0),
-        d.filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", shingleSize = 3, minOverlap = 5)
-      CorpusSampling.quotaSample(decon, "source", "doc_id", quota = 10,
-          salt = "e2e", prefilterMargin = Some(4.0))
-        .select(col("doc_id"), col("source"), col("quality"))
+      e2eTail(s, d, extracted)
+    }),
+
+    // The crawl chain WITH the blocklist gate in its real position —
+    // between canonicalization and extraction (r13 verdict Next #1):
+    // one source's canonical host is blocklisted, so every document it
+    // crawled must vanish BEFORE extraction/profiling, while the
+    // decontamination eval slice (external benchmarks, raw documents)
+    // is untouched. Oracle = the same chained replay minus the blocked
+    // source.
+    "pipeline_e2e_warc_filtered" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val rules = graft.pipeline.UrlFilter.broadcastRules(s,
+        hosts = Seq("src3.example.com"), terms = Seq("casino"))
+      val canon = graft.pipeline.UrlOps.canonicalize(col("url"))
+      val canonical = Warc.responses(s, warcGlobFor(s, dir))
+        .select(canon.as("curl"), col("html"))
+      val kept = graft.pipeline.UrlFilter.keep(canonical, "curl", rules)
+      val extracted = kept.select(
+        regexp_extract(col("curl"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        regexp_extract(col("curl"), "^http://([^.]+)\\.", 1).as("source"),
+        HtmlExtract.mainContent(col("html")).as("text"))
+      e2eTail(s, d, extracted)
     }))
+
+  /** The shared 4-stage tail of the crawl e2e chains: profile → gate →
+    * exact dedup → decontaminate vs the RAW eval slice → per-source
+    * quota. */
+  private def e2eTail(s: org.apache.spark.sql.SparkSession,
+      d: org.apache.spark.sql.DataFrame,
+      extracted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val profiled = extracted
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("lang_id", TextStats.languageId(col("text")))
+      .localCheckpoint(true)
+    val gated = profiled.filter(col("quality") >= 0.5 && col("lang_id") === "en")
+    val deduped = Dedup.exact(gated, "doc_id", "text")
+    val decon = Decontamination.decontaminate(
+      deduped.filter(col("doc_id") % 10 =!= 0),
+      d.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", shingleSize = 3, minOverlap = 5)
+    CorpusSampling.quotaSample(decon, "source", "doc_id", quota = 10,
+        salt = "e2e", prefilterMargin = Some(4.0))
+      .select(col("doc_id"), col("source"), col("quality"))
+  }
 
   val oracles: Map[String, String] = Map(
     "warc_read" ->
@@ -117,5 +148,14 @@ object WarcQueries {
     "pipeline_e2e_warc" -> PipelineQueries.e2eOracleSql(
       PipelineQueries.htmlExtractCtes +
         ",\nhsrc AS (SELECT doc_id, source, main_text AS text FROM hx),\n",
+      "hsrc"),
+
+    // the blocklist gate drops src3's canonical host before extraction:
+    // same chained replay over every NON-blocked source (the decontam
+    // eval slice still reads the raw documents table, all sources)
+    "pipeline_e2e_warc_filtered" -> PipelineQueries.e2eOracleSql(
+      PipelineQueries.htmlExtractCtes +
+        ",\nhsrc AS (SELECT doc_id, source, main_text AS text FROM hx" +
+        " WHERE source != 'src3'),\n",
       "hsrc"))
 }

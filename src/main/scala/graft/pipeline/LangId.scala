@@ -85,13 +85,13 @@ object LangId {
     Model(classes, priors.toArray, weights.toArray)
   }
 
-  /** Per-class micro-nat scores + argmax prediction as ONE narrow map:
-    * `(…, lang_pred, best_micro)`. The trigram array is computed once
-    * (subexpression elimination shares it across the per-class
-    * aggregates). */
-  def classify(df: DataFrame, idCol: String, textCol: String,
-      model: Model): DataFrame = {
-    val grams = charGrams(col(textCol))
+  /** `(lang_pred, best_micro)` as INLINE column expressions over any
+    * text column — the no-join deploy form a composed pipeline gates
+    * on (`withColumn`, not a classify-then-join). The trigram array is
+    * computed once (subexpression elimination shares it across the
+    * per-class aggregates). */
+  def scoreCols(textCol: Column, model: Model): (Column, Column) = {
+    val grams = charGrams(textCol)
     val scores = model.classes.indices.map { ci =>
       val wlit = array(model.weightsMicro(ci).map(lit(_)): _*)
       (model.classes(ci),
@@ -99,10 +99,17 @@ object LangId {
           (acc, g) => acc + element_at(wlit, (bucket(g, model.buckets) + 1L).cast("int"))))
     }
     // argmax fold: score desc, class name asc on ties
-    val (best, bestMicro) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bn, bs), (n, s)) =>
         (when(s > bs, lit(n)).otherwise(bn), when(s > bs, s).otherwise(bs))
     }
+  }
+
+  /** Per-class micro-nat scores + argmax prediction as ONE narrow map:
+    * `(…, lang_pred, best_micro)`. */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val (best, bestMicro) = scoreCols(col(textCol), model)
     df.select(col(idCol), best.as("lang_pred"), bestMicro.as("best_micro"))
   }
 

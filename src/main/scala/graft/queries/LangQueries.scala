@@ -40,6 +40,35 @@ object LangQueries {
     "lang_id" -> ((s, dir) =>
       LangId.classify(fixtureFor(s, dir), "doc_id", "text", modelFor(s, dir))),
 
+    // The e2e chain with BOTH trained classifiers deployed (r13 verdict
+    // Next #2): stage 1 gates on the model-based quality score
+    // (micro >= 0, the CCNet shape) AND the TRAINED language-ID's
+    // prediction over the corpus frame (fixture-trained model, scored
+    // inline — no join), replacing the stopword heuristic in a composed
+    // key; then the standard dedup → decontamination → per-source quota
+    // stages. The oracle replays language-model training, corpus
+    // scoring, quality-weight estimation, quality scoring AND the
+    // 4-stage chain — the full trained path, end to end.
+    "pipeline_e2e_langid" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val w = PipelineQueries.qualityWeightsFor(s, dir)
+      val (pred, _) = LangId.scoreCols(col("text"), modelFor(s, dir))
+      val profiled = d
+        .withColumn("micro", graft.pipeline.Dsir.microScore(col("text"), w))
+        .withColumn("lang_pred", pred)
+        .localCheckpoint(true)
+      val gated = profiled.filter(col("micro") >= 0L && col("lang_pred") === "lng3")
+      val deduped = graft.pipeline.Dedup.exact(gated, "doc_id", "text")
+      val decon = graft.pipeline.Decontamination.decontaminate(
+        deduped.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 3, minOverlap = 5)
+      graft.pipeline.CorpusSampling.quotaSample(decon, "source", "doc_id",
+          quota = 10, salt = "e2e", prefilterMargin = Some(4.0))
+        .select(col("doc_id"), col("source"), col("lang_pred"),
+          round(col("micro").cast("double") / 1e6, 6).as("q_model"))
+    }),
+
     // Held-out accuracy gate (driver-checked recall_frame shape): the
     // model must actually discriminate the four planted languages on
     // rows it never trained on.
@@ -105,12 +134,69 @@ object LangQueries {
        |              ORDER BY micro DESC, pc ASC) AS rn
        |          FROM lsc)""".stripMargin
 
+  /** Corpus-frame scoring replay: trigrams of `documents.text` scored
+    * against the fixture-trained `lw`/`lpr` model CTEs, ending in
+    * `cpred(doc_id, lang_pred)`. */
+  private val corpusScoreCtes =
+    s"""cg AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, greatest(length(text) - 2, 0)),
+       |          i -> substring(text, CAST(i AS INT), 3))) AS g
+       |      FROM documents),
+       |cb AS (SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 4)) AS BIGINT) % $B AS b
+       |       FROM cg),
+       |cgs AS (SELECT cb.doc_id, w.c AS pc, w.wm FROM cb JOIN lw w ON w.b = cb.b),
+       |cds AS (SELECT doc_id, pc, sum(wm) AS s FROM cgs GROUP BY doc_id, pc),
+       |csc AS (SELECT f.doc_id, p2.c AS pc,
+       |          CAST(p2.pm + coalesce(d2.s, 0) AS BIGINT) AS micro
+       |        FROM (SELECT doc_id FROM documents) f
+       |        CROSS JOIN lpr p2
+       |        LEFT JOIN cds d2 ON d2.doc_id = f.doc_id AND d2.pc = p2.c),
+       |cpred AS (SELECT doc_id, 'lng' || CAST(c AS VARCHAR) AS lang_pred
+       |          FROM (SELECT doc_id, pc AS c, row_number() OVER (
+       |                  PARTITION BY doc_id ORDER BY micro DESC, pc ASC) AS rn
+       |                FROM csc) z
+       |          WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "lang_id" ->
       s"""WITH $langCtes
          |SELECT doc_id, 'lng' || CAST(c AS VARCHAR) AS lang_pred,
          |       micro AS best_micro
          |FROM lpick WHERE rn = 1""".stripMargin,
+
+    // the trained-classifier e2e: language model training (lw/lpr) +
+    // corpus scoring (cpred) + quality model (qsc) + the 4-stage chain
+    "pipeline_e2e_langid" ->
+      s"""WITH $langCtes,
+         |$corpusScoreCtes,
+         |${PipelineQueries.qualityModelCtes},
+         |eq AS (SELECT d.doc_id, d.source, d.text, s.micro, p.lang_pred
+         |       FROM documents d
+         |       JOIN qsc s ON s.doc_id = d.doc_id
+         |       JOIN cpred p ON p.doc_id = d.doc_id),
+         |ekept AS (SELECT doc_id, source, text, micro, lang_pred FROM eq
+         |          WHERE micro >= 0 AND lang_pred = 'lng3'),
+         |edd AS (SELECT k.doc_id, k.source, k.text, k.micro, k.lang_pred FROM ekept k
+         |        JOIN (SELECT min(doc_id) AS doc_id FROM ekept GROUP BY md5(text)) m
+         |          ON k.doc_id = m.doc_id),
+         |etr AS (SELECT doc_id AS tid, unnest(${PipelineQueries.shSql("text")}) AS tok
+         |        FROM edd WHERE doc_id % 10 != 0),
+         |eev AS (SELECT doc_id AS eid, unnest(${PipelineQueries.shSql("text")}) AS tok
+         |        FROM documents WHERE doc_id % 10 = 0),
+         |eov AS (SELECT tid, eid, count(*) AS ov FROM etr JOIN eev USING (tok)
+         |        GROUP BY tid, eid),
+         |ebad AS (SELECT tid FROM eov GROUP BY tid HAVING max(ov) >= 5),
+         |edecon AS (SELECT doc_id, source, micro, lang_pred FROM edd
+         |           WHERE doc_id % 10 != 0
+         |             AND doc_id NOT IN (SELECT tid FROM ebad))
+         |SELECT doc_id, source, lang_pred,
+         |  round(CAST(micro AS DOUBLE) / 1e6, 6) AS q_model
+         |FROM (SELECT doc_id, source, micro, lang_pred, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':e2e'),1,15)) AS BIGINT)
+         |      / CAST(1152921504606846976 AS DOUBLE), doc_id) AS rn
+         |  FROM edecon)
+         |WHERE rn <= 10""".stripMargin,
 
     "lang_id_accuracy" ->
       """SELECT count(*) AS n_docs, CAST(0.95 AS DOUBLE) AS acc_floor,

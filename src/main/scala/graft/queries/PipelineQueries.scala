@@ -1170,7 +1170,7 @@ object PipelineQueries {
     * Dsir log-odds against the Gopher-keepers target slice. */
   private val qualityWeights =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-  private def qualityWeightsFor(s: org.apache.spark.sql.SparkSession,
+  private[queries] def qualityWeightsFor(s: org.apache.spark.sql.SparkSession,
       dir: String): Array[Long] =
     qualityWeights.computeIfAbsent(dir, _ =>
       Dsir.featureLogRatios(table(s, dir, "documents"), "text",
@@ -1182,7 +1182,7 @@ object PipelineQueries {
   /** Quality-model replay CTEs: Gopher keep rule over raw text ->
     * target slice -> dsir log-odds weights -> exact integer micro
     * scores, ending in `qsc(doc_id, micro)`. */
-  private lazy val qualityModelCtes: String =
+  private[queries] lazy val qualityModelCtes: String =
     s"""qg0 AS (SELECT doc_id,
        |          list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS gtk,
        |          text FROM documents),
@@ -1435,7 +1435,7 @@ object PipelineQueries {
        |$encRounds""".stripMargin
   }
 
-  private def shSql(textExpr: String): String =
+  private[queries] def shSql(textExpr: String): String =
     s"""list_distinct(list_filter(
        | list_transform(generate_series(1, greatest(len(list_filter(regexp_split_to_array(lower(trim($textExpr)), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) - 2, 0)),
        |   i -> concat_ws(' ',

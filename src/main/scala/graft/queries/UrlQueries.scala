@@ -84,6 +84,59 @@ object UrlQueries {
       s"regexp_replace($acc, '%([0-9A-F])$x', '%\\1${x.toUpper}', 'g')")
   }
 
+  /** GENERIC replay of [[graft.pipeline.UrlOps.canonicalize]] over any
+    * CTE `src(cols…, url)`: generates the chain
+    * `<p>c0, <p>cfx, <p>c1, <p>c2, <p>c3, <p>canon`, ending in
+    * `<p>canon(cols…, url, canonical_url)`. `cols` must functionally
+    * determine the row (they key the fixed-point join). The `<p>cfx`
+    * member is RECURSIVE (the percent-norm fixed point) — every oracle
+    * splicing this must open with `WITH RECURSIVE`. */
+  private[queries] def canonRuleCtes(p: String, src: String,
+      cols: Seq[String]): String = {
+    val cs = cols.mkString(", ")
+    s"""${p}c0 AS (
+      |  SELECT $cs, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+      |  FROM $src),
+      |${p}cfx AS (
+      |  SELECT $cs, rest0 AS s, 0 AS lvl FROM ${p}c0
+      |  UNION ALL
+      |  SELECT $cs, s2, lvl + 1
+      |  FROM (SELECT $cs, ${pctNormSql("s")} AS s2, s, lvl FROM ${p}cfx) z
+      |  WHERE s2 <> s),
+      |${p}c1 AS (
+      |  SELECT $cs, url, scheme, hostport, fx.rest
+      |  FROM ${p}c0 JOIN (SELECT $cs, arg_max(s, lvl) AS rest
+      |                    FROM ${p}cfx GROUP BY $cs) fx USING ($cs)),
+      |${p}c2 AS (
+      |  SELECT $cs, url, scheme,
+      |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+      |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
+      |    regexp_extract(rest, '^[^?]*\\?(.*)$$', 1) AS query0
+      |  FROM ${p}c1),
+      |${p}c3 AS (
+      |  SELECT $cs, url, scheme,
+      |    host || (CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
+      |                   AND NOT (scheme = 'https' AND port = '443')
+      |             THEN ':' || port ELSE '' END) AS hostout,
+      |    (CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$$', '\\1') END) AS path,
+      |    coalesce(array_to_string(list_sort(list_filter(string_split(query0, '&'),
+      |      p -> p != ''
+      |        AND NOT starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_')
+      |        AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN ('fbclid', 'gclid'))), '&'),
+      |      '') AS q
+      |  FROM ${p}c2),
+      |${p}canon AS (
+      |  SELECT $cs, url,
+      |    (CASE WHEN scheme = '' THEN url
+      |     ELSE scheme || '://' || hostout || path ||
+      |          (CASE WHEN q = '' THEN '' ELSE '?' || q END) END) AS canonical_url
+      |  FROM ${p}c3)""".stripMargin
+  }
+
   /** Fixture + rule replay ending in `ucanon(doc_id, url, canonical_url)`. */
   private[queries] val canonCtes =
     s"""ufx AS (
@@ -112,46 +165,7 @@ object UrlQueries {
       |             '&gclid=' || CAST(doc_id AS VARCHAR) END) ||
       |    (CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
       |  FROM ufx),
-      |up0 AS (
-      |  SELECT doc_id, url,
-      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
-      |  FROM uurl),
-      |upfx AS (
-      |  SELECT doc_id, rest0 AS s, 0 AS lvl FROM up0
-      |  UNION ALL
-      |  SELECT doc_id, s2, lvl + 1
-      |  FROM (SELECT doc_id, ${pctNormSql("s")} AS s2, s, lvl FROM upfx) z
-      |  WHERE s2 <> s),
-      |up1 AS (
-      |  SELECT doc_id, url, scheme, hostport, p.rest
-      |  FROM up0 JOIN (SELECT doc_id, arg_max(s, lvl) AS rest
-      |                 FROM upfx GROUP BY doc_id) p USING (doc_id)),
-      |up2 AS (
-      |  SELECT doc_id, url, scheme,
-      |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '') AS host,
-      |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-      |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
-      |    regexp_extract(rest, '^[^?]*\\?(.*)$$', 1) AS query0
-      |  FROM up1),
-      |up3 AS (
-      |  SELECT doc_id, url, scheme,
-      |    host || (CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
-      |                   AND NOT (scheme = 'https' AND port = '443')
-      |             THEN ':' || port ELSE '' END) AS hostout,
-      |    (CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$$', '\\1') END) AS path,
-      |    array_to_string(list_sort(list_filter(string_split(query0, '&'),
-      |      p -> p != ''
-      |        AND NOT starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_')
-      |        AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN ('fbclid', 'gclid'))), '&') AS q
-      |  FROM up2),
-      |ucanon AS (
-      |  SELECT doc_id, url,
-      |    (CASE WHEN scheme = '' THEN url
-      |     ELSE scheme || '://' || hostout || path ||
-      |          (CASE WHEN q = '' THEN '' ELSE '?' || q END) END) AS canonical_url
-      |  FROM up3)""".stripMargin
+      |${canonRuleCtes("u", "uurl", Seq("doc_id"))}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "url_canonicalize" ->

@@ -61,6 +61,52 @@ object WarcQueries {
       s"$out/*.warc.gz"
     })
 
+  /** Image-page fixture `(url, fetch_time, html)`: pages whose blocks
+    * carry `<img>` chrome in the shapes pair extraction must handle —
+    * double-quoted src+alt with caption text in the img's block,
+    * single-quoted alt-BEFORE-src inside `<figure>` with no caption,
+    * src-only with neither. The img srcs carry crawl noise
+    * (scheme/host case, a tracker param, a trailing slash) so
+    * `UrlOps.canonicalize` has live coverage on the IMAGE url; page
+    * urls are born canonical. */
+  private def imgFixtureFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val id = col("doc_id").cast("string")
+    val img1 = concat(
+      lit("<div class=\"img\"><img src=\"HTTP://Media.Example.com/i/"), id,
+      lit(".jpg?utm_source=x&v=1\" alt=\"Alt "), id,
+      lit("\"> Photo caption number "), id, lit("</div>\n"))
+    val img2 = when(col("doc_id") % 3 === 0, concat(
+      lit("<figure><img alt='Second "), id,
+      lit("' src='http://cdn.example.com/c/"), id, lit("/'></figure>\n")))
+      .otherwise(lit(""))
+    val img3 = when(col("doc_id") % 4 === 0, concat(
+      lit("<div><img src=\"http://pix.example.com/p/"), id, lit("\"></div>\n")))
+      .otherwise(lit(""))
+    val html = concat(
+      lit("<html><head><title>Doc "), id, lit("</title></head><body>\n"),
+      lit("<h1>Document "), id, lit("</h1>\n"),
+      img1, img2, img3,
+      lit("<p>"), array_join(slice(split(col("text"), " "), 1, 10), " "),
+      lit("</p>\n</body></html>"))
+    table(s, dir, "documents").select(
+      concat(lit("http://"), col("source"), lit(".img.example.com/doc/"), id)
+        .as("url"),
+      expr("timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP'2026-02-01 00:00:00')")
+        .as("fetch_time"),
+      html.as("html"))
+  }
+
+  private def imgWarcGlobFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    written.computeIfAbsent(sessionKey(s, dir) + "#img", _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_warcimg_" +
+        Integer.toHexString(dir.hashCode)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Warc.write(imgFixtureFrame(s, dir).repartition(4, col("url")), out)
+      s"$out/*.warc.gz"
+    })
+
   val defs: Map[String, Q] = Map(
     // Container round-trip: the reader must skip warcinfo/request
     // members, consume gzip member-per-record framing, strip the HTTP
@@ -85,6 +131,17 @@ object WarcQueries {
         HtmlExtract.mainContent(col("html")).as("text"))
       e2eTail(s, d, extracted)
     }),
+
+    // Image-text pair extraction (r13 verdict Next #3): WARC responses
+    // → one codegen scan per page emitting (src, alt, caption) per
+    // <img> (caption = the img's block's tag-stripped text) →
+    // canonicalize the image URL. Full hash-match: the oracle
+    // reconstructs the pages, re-extracts src/alt/caption per img LINE
+    // with regexes (the rule, not the expected rows) and replays the
+    // full canonicalization chain on the noisy srcs.
+    "img_pairs" -> ((s, dir) =>
+      graft.pipeline.ImgText.pairs(
+        Warc.responses(s, imgWarcGlobFor(s, dir)), "url", "html")),
 
     // The crawl chain WITH the blocklist gate in its real position —
     // between canonicalization and extraction (r13 verdict Next #1):
@@ -142,6 +199,53 @@ object WarcQueries {
          |  200 AS http_status, 'text/html' AS mime,
          |  ${PipelineQueries.htmlWrapSql} AS html
          |FROM documents""".stripMargin,
+
+    // pair-extraction replay: reconstruct the img pages, re-extract
+    // src/alt/caption per img line with regexes (one img per block
+    // line — the fixture shape), then replay the FULL canonicalization
+    // rule chain (incl. the percent fixed point) on the noisy srcs
+    "img_pairs" -> {
+      val i = "CAST(doc_id AS VARCHAR)"
+      val htmlSql =
+        s"""'<html><head><title>Doc ' || $i || '</title></head><body>' || chr(10) ||
+           | '<h1>Document ' || $i || '</h1>' || chr(10) ||
+           | '<div class="img"><img src="HTTP://Media.Example.com/i/' || $i ||
+           |   '.jpg?utm_source=x&v=1" alt="Alt ' || $i ||
+           |   '"> Photo caption number ' || $i || '</div>' || chr(10) ||
+           | (CASE WHEN doc_id % 3 = 0 THEN '<figure><img alt=''Second ' || $i ||
+           |   ''' src=''http://cdn.example.com/c/' || $i || '/''></figure>' || chr(10)
+           |   ELSE '' END) ||
+           | (CASE WHEN doc_id % 4 = 0 THEN '<div><img src="http://pix.example.com/p/' ||
+           |   $i || '"></div>' || chr(10) ELSE '' END) ||
+           | '<p>' || array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') ||
+           | '</p>' || chr(10) || '</body></html>'""".stripMargin
+          .linesIterator.mkString(" ")
+      s"""WITH RECURSIVE ipg AS (
+         |  SELECT doc_id,
+         |    'http://' || source || '.img.example.com/doc/' || $i AS page_url,
+         |    $htmlSql AS html
+         |  FROM documents),
+         |ils AS (SELECT doc_id, page_url, ls, unnest(generate_series(1, len(ls))) AS ln
+         |        FROM (SELECT doc_id, page_url, string_split(html, chr(10)) AS ls
+         |              FROM ipg) z),
+         |iln AS (SELECT doc_id, page_url, ln, ls[ln] AS line FROM ils
+         |        WHERE contains(ls[ln], '<img')),
+         |iattr AS (SELECT doc_id, page_url, ln,
+         |    coalesce(nullif(regexp_extract(line, 'src="([^"]*)"', 1), ''),
+         |             regexp_extract(line, 'src=''([^'']*)''', 1)) AS url,
+         |    coalesce(nullif(regexp_extract(line, 'alt="([^"]*)"', 1), ''),
+         |             nullif(regexp_extract(line, 'alt=''([^'']*)''', 1), ''), '') AS alt,
+         |    trim(regexp_replace(line, '<[^>]*>', '', 'g')) AS caption
+         |  FROM iln),
+         |irows AS (SELECT doc_id, page_url, alt, caption, url,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ln) - 1 AS BIGINT)
+         |      AS img_idx
+         |  FROM iattr),
+         |${UrlQueries.canonRuleCtes("i", "irows",
+               Seq("doc_id", "img_idx", "page_url", "alt", "caption"))}
+         |SELECT page_url, img_idx, canonical_url AS image_url, alt, caption
+         |FROM icanon""".stripMargin
+    },
 
     // identical replay to pipeline_e2e_html: the WARC container
     // round-trip is identity on the page bytes, which is the claim

@@ -205,16 +205,26 @@ object TextStats {
       "\\s+", " "))
 
   /** PII redaction — the tag-preserving counterpart of [[scrub]] (which
-    * DELETES urls/emails): dotted-quad IPs and phone-shaped digit runs
-    * are replaced with `[IP]` / `[PHONE]` placeholders so downstream
-    * stats keep a token where the entity was (the convention C4-style
-    * cleaning pipelines use so sentence shape survives redaction).
-    * Patterns restricted to syntax with identical Java-regex/RE2
-    * semantics (explicit classes, no `\b`, no `\s`) so a SQL oracle
-    * replays byte-for-byte; codegen'd `regexp_replace` chain, narrow. */
+    * DELETES urls/emails): email addresses, IBAN-shaped account codes,
+    * dotted-quad IPs and phone-shaped digit runs are replaced with
+    * `[EMAIL]` / `[IBAN]` / `[IP]` / `[PHONE]` placeholders so
+    * downstream stats keep a token where the entity was (the convention
+    * C4-style cleaning pipelines use so sentence shape survives
+    * redaction). ORDER IS LOAD-BEARING: IBAN before phone (an IBAN's
+    * digit run is phone-shaped), IP before phone; tags carry no digits
+    * or `@`, so earlier replacements cannot re-match later patterns.
+    * Patterns restricted
+    * to syntax with identical Java-regex/RE2 semantics (explicit
+    * classes, no `\b`, no `\s`) so a SQL oracle replays byte-for-byte;
+    * codegen'd `regexp_replace` chain, narrow. */
   def redact(textCol: Column): Column =
     regexp_replace(
-      regexp_replace(textCol, "([0-9]{1,3}\\.){3}[0-9]{1,3}", "[IP]"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(textCol,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+          "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}", "[IBAN]"),
+        "([0-9]{1,3}\\.){3}[0-9]{1,3}", "[IP]"),
       "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "[PHONE]")
 
   /** All word-n-gram OCCURRENCES of the text (lowercased, [[graft.pipeline.Dedup.tokens]]'

@@ -477,14 +477,17 @@ object PipelineQueries {
     }),
 
     // PII redaction over a fixture that actually contains PII: every doc
-    // gets a synthetic phone + IP suffix (the corpus itself has none), so
-    // the oracle exercises both patterns on every row rather than
-    // replaying an identity transform.
+    // gets a synthetic phone + IP + email + IBAN suffix (the corpus
+    // itself has none), so the oracle exercises all four patterns on
+    // every row rather than replaying an identity transform. The IBAN
+    // plant doubles as the order gate: its digit run is phone-shaped,
+    // so [IBAN] must fire before [PHONE].
     "pipeline_redact" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       d.select(col("doc_id"),
-        TextStats.redact(concat(col("text"),
-          lit(" contact +1 (555) 123-4567 or 10.0.0.1 end"))).as("text_redacted"))
+        TextStats.redact(concat(col("text"), lit(
+          " contact +1 (555) 123-4567 or 10.0.0.1 mail Bob.Smith+x@Example.co.uk" +
+            " acct DE89370400440532013000 end"))).as("text_redacted"))
     }),
 
     // Gopher document-level quality rules over a symbol-augmented
@@ -2139,13 +2142,19 @@ object PipelineQueries {
     },
 
     // redact replay: same synthetic PII suffix, same pattern order
-    // (IP inner, phone outer — the [IP] tag has no digits so the phone
-    // pattern cannot re-match it); explicit classes only, no \b or \s,
-    // identical Java-regex/RE2 semantics
+    // (email, then IBAN, then IP, then phone — order is load-bearing:
+    // the IBAN's digit run is phone-shaped, and no tag carries digits
+    // so earlier replacements cannot re-match later patterns); explicit
+    // classes only, no \b or \s, identical Java-regex/RE2 semantics
     "pipeline_redact" ->
       """SELECT doc_id,
         |  regexp_replace(
-        |    regexp_replace(text || ' contact +1 (555) 123-4567 or 10.0.0.1 end',
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' contact +1 (555) 123-4567 or 10.0.0.1 mail Bob.Smith+x@Example.co.uk acct DE89370400440532013000 end',
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}', '[IBAN]', 'g'),
         |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS text_redacted
         |FROM documents""".stripMargin,

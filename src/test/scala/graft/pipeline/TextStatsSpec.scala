@@ -92,6 +92,26 @@ class TextStatsSpec extends SparkSpec {
       === "room 1234, call 911")
   }
 
+  test("redact handles email and IBAN classes, order-proof against the phone pattern") {
+    assert(one[String]("mail Bob.Smith+x@Example.co.uk today",
+      c => TextStats.redact(c)) === "mail [EMAIL] today")
+    // an IBAN's digit run is phone-shaped — [IBAN] must win the race
+    assert(one[String]("acct DE89370400440532013000 closed",
+      c => TextStats.redact(c)) === "acct [IBAN] closed")
+    // dotted-quad "domain" is not an email (TLD must be alphabetic) —
+    // the IP class still catches the address part
+    assert(one[String]("x root@10.0.0.1 y", c => TextStats.redact(c))
+      === "x root@[IP] y")
+    // all four classes in one string
+    assert(one[String](
+      "a@b.co DE89370400440532013000 10.0.0.1 +1 (555) 123-4567",
+      c => TextStats.redact(c)) === "[EMAIL] [IBAN] [IP] [PHONE]")
+    // near-misses survive: two-letter uppercase word + short digits,
+    // at-sign without a dotted TLD
+    assert(one[String]("ID 1234 sent to user@localhost",
+      c => TextStats.redact(c)) === "ID 1234 sent to user@localhost")
+  }
+
   test("ngrams keeps duplicates and guards short texts") {
     import sqlImplicits._
     val d = Seq(("a b a b", 0)).toDF("text", "i")

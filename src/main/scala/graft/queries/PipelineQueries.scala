@@ -22,6 +22,30 @@ object PipelineQueries {
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars"))),
 
+    // Bucketed-storage pricing twins for the dedup keep join (r13
+    // verdict Next #8). At 100 TB the keep-id side is corpus-sized —
+    // never broadcastable — so the REAL plan is a sort-merge join;
+    // both twins hint("merge") to price exactly that plan at bench SFs
+    // (where the tiny keep side would otherwise broadcast and hide the
+    // corpus-side exchange the bucketing exists to kill). The bucketed
+    // twin reads the corpus from a doc_id-bucketed managed table: its
+    // side of the join carries NO exchange, i.e. the corpus text bytes
+    // never shuffle (plan pin: BucketedPathsSpec).
+    "dedup_exact_keep_smj" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val keeps = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      docs.hint("merge").join(keeps, Seq("doc_id"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    "dedup_exact_keep_bucketed" -> ((s, dir) => {
+      val docs = bucketedDocsFor(s, dir)
+      val keeps = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      docs.hint("merge").join(keeps, Seq("doc_id"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // C4-style fuzzy-exact dedup groups: md5 of the NORMALIZED content
     // (lowercase, non-alphanumeric runs → one space, trim) — catches
     // case/punctuation/whitespace variants exact dedup misses, same
@@ -1169,6 +1193,26 @@ object PipelineQueries {
       graft.io.BucketedTables.load(s, name)
     })
 
+  /** Bucketed corpus frame for the dedup keep twin: `(doc_id, text,
+    * n_chars)` written once per session+dataset as a doc_id-bucketed
+    * managed table. */
+  private val bucketedDocs =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def bucketedDocsFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    bucketedDocs.computeIfAbsent(sessionKey(s, dir), _ => {
+      val name = "graft_docs_" + Integer.toHexString(dir.hashCode)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), name)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      graft.io.BucketedTables.save(
+        table(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars")),
+        name, "doc_id",
+        buckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      graft.io.BucketedTables.load(s, name)
+    })
+
   /** Memoized quality-model weights (pure values — keyed by dir): the
     * Dsir log-odds against the Gopher-keepers target slice. */
   private val qualityWeights =
@@ -1664,6 +1708,18 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_exact_keep" ->
+      """SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+        |FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        |  ON d.doc_id = k.doc_id""".stripMargin,
+
+    // the SMJ/bucketed twins compute the same keep set — identical replay
+    "dedup_exact_keep_smj" ->
+      """SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+        |FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        |  ON d.doc_id = k.doc_id""".stripMargin,
+    "dedup_exact_keep_bucketed" ->
       """SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
         |FROM documents d
         |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k

@@ -53,6 +53,31 @@ class BucketedPathsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS g_nodes_bucketed")
   }
 
+  test("dedup keep equi-join (merge-hinted): bucketed corpus side sheds its exchange") {
+    // the dedup_exact_keep_smj / _bucketed twin shape: keep ids derive
+    // from the corpus itself (min id per content hash), the corpus
+    // joins back on doc_id under a merge hint (the at-scale plan — a
+    // corpus-sized keep side never broadcasts)
+    val docs = (0L until 60L).map(i => (i, s"doc ${i % 40}", i)).toDF("doc_id", "text", "n_chars")
+    spark.sql("DROP TABLE IF EXISTS g_keep_bucketed")
+    io.BucketedTables.save(docs, "g_keep_bucketed", "doc_id", buckets = 4)
+    try {
+      def keep(corpus: org.apache.spark.sql.DataFrame) = {
+        val keeps = pipeline.Dedup.exactGroups(corpus, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        corpus.hint("merge").join(keeps, Seq("doc_id"))
+          .select(col("doc_id"), col("n_chars"))
+      }
+      val plain = keep(docs)
+      val bucketed = keep(io.BucketedTables.load(spark, "g_keep_bucketed"))
+      val eP = exchanges(plain.queryExecution.executedPlan.toString)
+      val eB = exchanges(bucketed.queryExecution.executedPlan.toString)
+      assert(eB < eP, s"bucketed corpus must shed its join exchange: $eB vs $eP")
+      assert(plain.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+        bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS g_keep_bucketed")
+  }
+
   test("dedup keep anti-join: bucketed corpus side reads buckets, no exchange") {
     val docs = (0L until 60L).map(i => (i, s"doc $i", i % 7)).toDF("doc_id", "text", "grp")
     val dupIds = Seq(3L, 9L, 12L).toDF("doc_id")

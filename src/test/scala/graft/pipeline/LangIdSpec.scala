@@ -60,6 +60,43 @@ class LangIdSpec extends SparkSpec {
     assert(e.getMessage.contains("classes"))
   }
 
+  test("kernel scoring matches the column-expression form bit-for-bit " +
+      "(incl. null, short, non-ASCII and tie inputs)") {
+    // the r14 optimization replaced scoreCols' per-class aggregate-HOF
+    // argmax fold with the one-pass LangScoreExpr kernel; this pins the
+    // old formulation as the reference on adversarial inputs
+    val m = LangId.fit(fixture(60), "text", "lang_label", buckets = 64)
+    val rows = Seq(
+      (1L, LangId.fixtureText(9L)), (2L, ""), (3L, "ab"),
+      (4L, null.asInstanceOf[String]),       // null → prior-only argmax
+      (5L, "café naïve über résumé"), // multi-byte code points
+      (6L, "😀ab😀cd"),  // supplementary (surrogate pairs)
+      (7L, LangId.fixtureText(12L) + " " + LangId.fixtureText(13L)))
+      .toDF("doc_id", "text")
+    // the pre-r14 column formulation, verbatim
+    val grams = when(length(col("text")) >= 3,
+      transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val scores = m.classes.indices.map { ci =>
+      val wlit = array(m.weightsMicro(ci).map(lit(_)): _*)
+      (m.classes(ci),
+        lit(m.priorsMicro(ci)) + aggregate(grams, lit(0L),
+          (acc, g) => acc + element_at(wlit,
+            (LangId.bucket(g, m.buckets) + 1L).cast("int"))))
+    }
+    val (oldPred, oldMicro) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) {
+      case ((bn, bs), (n, s)) =>
+        (when(s > bs, lit(n)).otherwise(bn), when(s > bs, s).otherwise(bs))
+    }
+    val expected = rows.select(col("doc_id"), oldPred.as("p"), oldMicro.as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val actual = LangId.classify(rows, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(actual.toSeq === expected.toSeq)
+  }
+
   test("short and empty texts survive (empty gram array, prior-only argmax)") {
     val train = fixture(40)
     val m = LangId.fit(train, "text", "lang_label", buckets = 64)

@@ -51,17 +51,33 @@ object CmSketch {
     * bounded candidate set against the bounded sketch. */
   def freqEstimates(df: DataFrame, textCol: String,
       depth: Int = 4, width: Int = 1024, k: Int = 50): DataFrame = {
-    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
-    val top = toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("exact_n"))
+    // ONE tokenize pass: the exact word-count aggregate this key already
+    // pays for its top-k referee also feeds the sketch — the sketch's
+    // (h, bucket) counters are Σ over the bucket's tokens of their total
+    // occurrence counts, so deriving them from the distinct-token counts
+    // is identity on the sketch while (a) the corpus is scanned/exploded
+    // once instead of twice and (b) the depth×md5 bucket hashing runs per
+    // DISTINCT token, not per occurrence (guide §1.2: remove whole
+    // passes first). Both consumers share the word-count exchange
+    // (ReusedExchange — no materialization needed). sketch() keeps the
+    // occurrence-streamed shape for standalone callers where the exact
+    // pass does not exist to piggyback on.
+    val tokCounts = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+    val top = tokCounts
       .orderBy(col("exact_n").desc, col("tok").asc)
       .limit(k)
+    val sk = tokCounts
+      .select(col("exact_n"), explode(array((0 until depth).map(h =>
+        struct(lit(h).as("h"), bucket(col("tok"), h, width).as("bucket"))): _*)).as("hb"))
+      .groupBy(col("hb")("h").as("h"), col("hb")("bucket").as("bucket"))
+      .agg(sum(col("exact_n")).as("cnt"))
     val probes = top.select(col("tok"), col("exact_n"),
       explode(array((0 until depth).map(h =>
         struct(lit(h).as("h"), bucket(col("tok"), h, width).as("bucket"))): _*)).as("hb"))
       .select(col("tok"), col("exact_n"),
         col("hb")("h").as("h"), col("hb")("bucket").as("bucket"))
-    probes.join(broadcast(sketch(df, textCol, depth, width)), Seq("h", "bucket"))
+    probes.join(broadcast(sk), Seq("h", "bucket"))
       .groupBy(col("tok").as("token"), col("exact_n"))
       .agg(min(col("cnt")).as("cms_n"))
       .select(col("token"), col("exact_n"), col("cms_n"))

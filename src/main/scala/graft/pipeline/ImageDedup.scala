@@ -70,12 +70,20 @@ object ImageDedup {
       col(idCol).as("id_a"), col(hashCol).as("ha"))
     val right = capped.select(col("word"), col("bucket"),
       col(idCol).as("id_b"), col(hashCol).as("hb"))
+    // Hamming-verify BEFORE the pair-dedup shuffle (guide §2.3 "shuffle
+    // fewer bytes"): hamming is a pure function of the pair's two hashes,
+    // so every banded copy of a pair carries the identical value and
+    // filtering first changes nothing — but the dropDuplicates exchange
+    // now moves only ≤-radius pairs instead of every band collision
+    // (the overwhelming majority at corpus scale is far outside the
+    // radius). Catalyst cannot push this itself: the filter sits above
+    // an aggregate-kept value, not a grouping key.
     left.join(right, Seq("word", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Banding explode shared by the batch miners and the streaming
@@ -122,12 +130,15 @@ object ImageDedup {
       col(idCol).as("id_a"), col(hashCol).as("ha"))
     val right = capped.select(col("band"), col("bkey"),
       col(idCol).as("id_b"), col(hashCol).as("hb"))
+    // verify before the pair-dedup shuffle — see hamming64NearDuplicates:
+    // identical rows out (hamming is pair-functional), far fewer rows
+    // through the dropDuplicates exchange
     left.join(right, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Block boundaries for [[comboBandRows]]: 64 bits into `blocks`

@@ -114,7 +114,8 @@ object PipelineQueries {
         d.select(col("doc_id")),
         Dedup.jaccardJoin(d, "doc_id", "text", 0.8)
           .select(col("id_a"), col("id_b")),
-        "doc_id", iterations = 5)
+        // similarity self-join: endpoints are doc_ids by construction
+        "doc_id", iterations = 5, edgesWithinNodes = true)
     }),
 
     // Bucketed-storage twin of pagerank_sim (r12 verdict Next #6):
@@ -128,7 +129,7 @@ object PipelineQueries {
         bucketedNodesFor(s, dir),
         Dedup.jaccardJoin(d, "doc_id", "text", 0.8)
           .select(col("id_a"), col("id_b")),
-        "doc_id", iterations = 5)
+        "doc_id", iterations = 5, edgesWithinNodes = true)
     }),
 
     // Text profile: token counts, quality signals, language id, rolling

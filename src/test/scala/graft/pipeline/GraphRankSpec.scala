@@ -47,4 +47,32 @@ class GraphRankSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(7L) === 75000000L && r(8L) === 75000000L) // 150000000/2
   }
+
+  test("edgesWithinNodes skips the defensive semi-join but computes identical ranks " +
+      "when the assertion holds") {
+    val a = GraphRank.pageRank(nodes, edges, "doc_id", iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = GraphRank.pageRank(nodes, edges, "doc_id", iterations = 3,
+        edgesWithinNodes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("edge endpoints outside the node frame never contribute or appear " +
+      "(the r14 active-set iteration keeps the old per-iteration-join semantics)") {
+    // node 9 exists only in an edge: it must not seed rank mass, not feed
+    // back into later iterations, and not appear in the output; node 2's
+    // degree still counts the foreign edge (dangling-mass drop).
+    // Hand-computed integer fixed point, old formulation, n=3, 2 iters:
+    //  r0 = 333333333, base = 50000000, deg(1)=1, deg(2)=2
+    //  i1: c(1)=166666666, c(2)=333333333       (src 9 has no rank row)
+    //  i2: c(1)=166666666, c(2)=191666666
+    //  r2(1)=50000000+17*166666666 div 20=191666666
+    //  r2(2)=50000000+17*191666666 div 20=212916666, r2(3)=base
+    val r = GraphRank.pageRank(Seq(1L, 2L, 3L).toDF("doc_id"),
+        Seq((1L, 2L), (2L, 9L)).toDF("id_a", "id_b"),
+        "doc_id", iterations = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 191666666L, 2L -> 212916666L, 3L -> 50000000L))
+  }
 }

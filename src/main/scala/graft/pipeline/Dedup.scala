@@ -419,7 +419,6 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    var sig = signature(edges)
     // integral id types only: Spark's least/greatest/min order and the
     // JVM's long order provably agree there (strings differ on
     // supplementary characters — binary UTF-8 vs UTF-16 code units)
@@ -430,8 +429,18 @@ object Dedup {
          | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    if (sig._1 > 0 && sig._1 <= localMaxEdges && integralIds)
-      return componentsLocal(edges, sig._1)
+    // r14: probe the local door with ONE bounded limit-collect instead of
+    // a count+hash signature action FOLLOWED by a collect — on the
+    // latency path (streaming micro-batches, toy-scale keys) the local
+    // door is the common case and the signature job was pure overhead;
+    // at corpus scale the limit short-circuits after the first partitions
+    // exceed the cap and the distributed loop proceeds exactly as before.
+    if (localMaxEdges > 0 && integralIds) {
+      val cap = math.min(localMaxEdges, Int.MaxValue - 2L).toInt
+      val probe = edges.limit(cap + 1).collect()
+      if (probe.length <= cap) return componentsLocal(edges, probe)
+    }
+    var sig = signature(edges)
     var counts = List(sig._1)
     var converged = sig._1 == 0L // an empty pair set is already a fixpoint
     var i = 0
@@ -478,10 +487,10 @@ object Dedup {
     * near-constant. Returns a LocalRelation — downstream joins broadcast
     * it without a job. Telemetry: `rounds = 0`, converged, edgeCounts =
     * the initial count (the only one there is). */
-  private def componentsLocal(edges: DataFrame, n0: Long): DataFrame = {
+  private def componentsLocal(edges: DataFrame,
+      collected: Array[org.apache.spark.sql.Row]): DataFrame = {
     val spark = edges.sparkSession
     val dt = edges.schema("src").dataType
-    val collected = edges.collect()
     org.apache.spark.sql.graft.bridge.freeCheckpoint(edges)
     val parent = new java.util.HashMap[Long, Long](collected.length * 2)
     def find(x: Long): Long = {
@@ -510,7 +519,8 @@ object Dedup {
       val node = it.next()
       out.add(org.apache.spark.sql.Row(box(node), box(find(node))))
     }
-    componentStats.set(ComponentStats(0, converged = true, List(n0)))
+    componentStats.set(ComponentStats(0, converged = true,
+      List(collected.length.toLong)))
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", dt, nullable = false),
       org.apache.spark.sql.types.StructField("comp", dt, nullable = false))))
@@ -865,7 +875,10 @@ object Dedup {
       minHashNearDuplicates(df, idCol, textCol, threshold,
         shingleSize, numHashes, bands, maxBucket, expandDuplicates = false))
     val repComps = connectedComponents(repPairs, "id_a", "id_b", maxIter)
-    val members = memberFrame(df, idCol, col(textCol)).localCheckpoint(true)
+    // lazy checkpoint (r14): the md5 member frame is cheap to compute and
+    // all three consumers sit in ONE final job — the eager form spent a
+    // dedicated driver action materializing it first
+    val members = memberFrame(df, idCol, col(textCol)).localCheckpoint(false)
     val groups = members.groupBy(col("_ch"))
       .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_n"))
     // "has shingles" ⟺ token count ≥ shingleSize (shingles() is empty
@@ -917,12 +930,16 @@ object Dedup {
       val capped = capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
       val left = capped.select(col("word"), col("bucket"), col(idCol).as("id_a"), col("sh64").as("ha"))
       val right = capped.select(col("word"), col("bucket"), col(idCol).as("id_b"), col("sh64").as("hb"))
+      // Hamming-verify BEFORE the pair-dedup shuffle (hamming is a pure
+      // function of the pair's hashes — every banded copy carries the
+      // same value, so the swap is identity on the output while the
+      // dropDuplicates exchange moves only ≤-radius pairs)
       left.join(right, Seq("word", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           Distances.hammingPacked(array(col("ha")), array(col("hb"))).as("hamming"))
-        .dropDuplicates("id_a", "id_b")
         .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("id_a", "id_b")
     }
     if (!expandDuplicates) repPairs
     else {
@@ -949,7 +966,8 @@ object Dedup {
       simHashNearDuplicates(df, idCol, textCol, maxHamming, maxBucket,
         expandDuplicates = false))
     val repComps = connectedComponents(repPairs, "id_a", "id_b", maxIter)
-    val members = memberFrame(df, idCol, col(textCol)).localCheckpoint(true)
+    // lazy checkpoint (r14) — see minHashComponents
+    val members = memberFrame(df, idCol, col(textCol)).localCheckpoint(false)
     val groups = members.groupBy(col("_ch"))
       .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_n"))
     val selfQual = groups.filter(col("_n") > 1)
@@ -1121,7 +1139,8 @@ object Dedup {
       maxBucket, logDroppedBuckets, candidates)
     if (!expandDuplicates) repPairs
     else {
-      val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
+      // lazy checkpoint (r14): one aggregate, consumers share one job
+      val reps = vecReps(df, idCol, vecCol).localCheckpoint(false)
       // vector-valued "content hash": the vector itself keys the groups
       val repCh = reps.select(col(idCol), col(vecCol).as("_ch"))
       val memCh = df.select(col(idCol), col(vecCol).as("_ch"))
@@ -1156,7 +1175,8 @@ object Dedup {
     val repPairs = cosineRepPairs(df, idCol, vecCol, maxCosineDistance, params,
       maxBucket, logDroppedBuckets, candidates)
     val repComps = connectedComponents(repPairs, "id_a", "id_b", maxIter)
-    val reps = vecReps(df, idCol, vecCol).localCheckpoint(true)
+    // lazy checkpoint (r14): one aggregate, consumers share one job
+    val reps = vecReps(df, idCol, vecCol).localCheckpoint(false)
     val selfQual = reps.filter(col("_n") > 1)
       .filter(round(Distances.cosineDistance(col(vecCol), col(vecCol)), 6)
         <= maxCosineDistance)

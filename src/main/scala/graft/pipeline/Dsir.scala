@@ -71,13 +71,13 @@ object Dsir {
 
   /** Exact integer micro-nat importance score as a COLUMN — the narrow
     * reusable form (gates should compare the integer, not the rounded
-    * double, so `micro >= 0` has no −0.0 edge). */
-  def microScore(textCol: Column, weightsMicro: Array[Long]): Column = {
-    val wlit = array(weightsMicro.map(lit(_)): _*)
-    aggregate(
-      Dedup.tokens(textCol), lit(0L),
-      (acc, t) => acc + element_at(wlit, (bucket(t, weightsMicro.length) + 1L).cast("int")))
-  }
+    * double, so `micro >= 0` has no −0.0 edge). One codegen pass
+    * ([[graft.functions.MicroSumExpr]], r14) — the previous
+    * `aggregate` HOF form was CodegenFallback and ran the scoring scan
+    * interpreted with an md5 per token per reference. Identical
+    * semantics incl. NULL propagation. */
+  def microScore(textCol: Column, weightsMicro: Array[Long]): Column =
+    graft.functions.MicroSumExpr(textCol, weightsMicro.toSeq)
 
   /** Per-document importance scores (in nats, micro-rounded) against a
     * frozen weight array: a pure narrow map — each token hashes into the

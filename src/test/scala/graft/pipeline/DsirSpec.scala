@@ -48,4 +48,29 @@ class DsirSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n${plan.take(600)}")
   }
+
+  test("micro_sum kernel matches the aggregate-HOF form bit-for-bit " +
+      "(null, empty, whitespace classes, unicode, case folding)") {
+    // the r14 optimization replaced the interpreted aggregate() scoring
+    // scan with the one-pass codegen MicroSumExpr; the old formulation is
+    // pinned here as the reference on adversarial inputs
+    val w = Array.tabulate(64)(b => (b * 7 - 93).toLong)
+    val rows = Seq(
+      (1L, "The quick BROWN fox"), (2L, ""), (3L, "   "),
+      (4L, null.asInstanceOf[String]),
+      (5L, "tab\tsep\nlines\randvt\fff"),
+      (6L, "café NAÏVE Über"), (7L, "İstanbul DİYOR"),
+      (8L, "a  b   c "), (9L, "😀 emoji 😀 twice"))
+      .toDF("doc_id", "text")
+    val wlit = array(w.map(lit(_)).toIndexedSeq: _*)
+    val oldForm = aggregate(
+      Dedup.tokens(col("text")), lit(0L),
+      (acc, t) => acc + element_at(wlit, (Dsir.bucket(t, w.length) + 1L).cast("int")))
+    val expected = rows.select(col("doc_id"), oldForm.as("s")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).sortBy(_._1)
+    val actual = rows.select(col("doc_id"),
+        Dsir.microScore(col("text"), w).as("s")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).sortBy(_._1)
+    assert(actual.toSeq === expected.toSeq)
+  }
 }

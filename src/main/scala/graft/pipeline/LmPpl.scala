@@ -40,17 +40,22 @@ object LmPpl {
         val c = counts.getOrElse(b, 0L)
         math.floor(math.log((c + add).toDouble) * 1e6 + 0.5).toLong
       }
-    val bigCounts = seed
-      .select(explode(bigrams(toks)).as("g"))
-      .select(Dsir.bucket(col("g"), buckets).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val ctxCounts = seed
-      .select(explode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
-        .as("t"))
-      .select(Dsir.bucket(col("t"), buckets).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    // ONE seed scan for both tables (r14: this ran as two separate
+    // explode+aggregate jobs over the same slice): bigram and context
+    // features explode together under a kind tag, the bounded (kind, b)
+    // grid comes back in one collect, and the two count maps split
+    // driver-side — bit-identical counts, half the passes and actions.
+    val n = greatest(size(toks) - 1, lit(0))
+    val tagged = concat(
+      transform(bigrams(toks), g => struct(lit(0).as("k"), g.as("v"))),
+      transform(slice(toks, lit(1), n), t => struct(lit(1).as("k"), t.as("v"))))
+    val grid = seed
+      .select(explode(tagged).as("kv"))
+      .select(col("kv")("k").as("k"), Dsir.bucket(col("kv")("v"), buckets).as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val bigCounts = grid.collect { case ((0, b), c) => b -> c }
+    val ctxCounts = grid.collect { case ((1, b), c) => b -> c }
     (freeze(bigCounts, 1L), freeze(ctxCounts, buckets.toLong))
   }
 
@@ -104,7 +109,11 @@ object LmPpl {
   def pplBuckets(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int): DataFrame = {
     val (num, den) = bigramLogTables(df, textCol, targetPred, buckets)
-    val scored = logPpl(df, idCol, textCol, num, den)
+    // lazy checkpoint: the percentile head() below materializes the
+    // scored blocks, and the returned bucket projection reads them —
+    // previously the full scoring pass (md5 per bigram, interpreted
+    // HOFs) ran TWICE, once for the cuts and once for the output
+    val scored = logPpl(df, idCol, textCol, num, den).localCheckpoint(false)
     val cuts = scored.agg(
       percentile(col("log_ppl"), lit(1.0 / 3)).as("c1"),
       percentile(col("log_ppl"), lit(2.0 / 3)).as("c2")).head()

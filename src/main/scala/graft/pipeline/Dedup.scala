@@ -599,14 +599,6 @@ object Dedup {
   def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
     MinHashSigExpr(transform(shinglesCol, s => xxhash64(s)), numHashes)
 
-  /** The per-band bucket keys of a signature: band i hashes lanes
-    * [i·rows, (i+1)·rows) — one 64-bit bucket id per band. */
-  private def bandBuckets(sigCol: Column, numHashes: Int, bands: Int): Column = {
-    val rows = numHashes / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(sigCol, b * lit(rows) + 1, lit(rows))))
-  }
-
   /** (id, band, bucket) MinHash-LSH banding rows for every eligible doc
     * (≥ 1 shingle) — the candidate-generation key, exposed standalone so
     * a PERSISTED bucket index can be built over a kept corpus (the
@@ -617,8 +609,8 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     df.select(col(idCol), ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
       .filter(size(col("_sh")) > 0)
-      .select(col(idCol),
-        posexplode(bandBuckets(MinHashSigExpr(col("_sh"), numHashes), numHashes, bands)))
+      .select(col(idCol), posexplode(
+        graft.functions.MinHashBandKeysExpr(col("_sh"), numHashes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
@@ -779,20 +771,27 @@ object Dedup {
     * group's representative (the cluster minimum id is also its group's
     * minimum), so rep bands semi-joined to survivor ids ARE the
     * survivors' bands. Signature path is all codegen kernels;
-    * eligibility = at least one shingle. Eager localCheckpoint: the
-    * kernel pass runs ONCE for every downstream consumer, blocks
-    * ContextCleaner-freed (no persist leak — r2 nit). */
+    * eligibility = at least one shingle. Lazily built (r14): the fused
+    * signature+band-key kernel has no per-band re-evaluation hazard, so
+    * the first consumer's exchange materializes the rows once; callers
+    * that fan the frame out across jobs (the streaming body) checkpoint
+    * the RETURNED frame. */
   def minHashRepBands(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val reps = repFrame(df, idCol, Seq(textCol), col(textCol))
-    val withSig = reps
+    // signature + band keys in ONE codegen kernel (r14,
+    // [[graft.functions.MinHashBandKeysExpr]] — bit-identical keys):
+    // the old shape materialized the signature column with a dedicated
+    // eager localCheckpoint job because the banding transform's lambda
+    // would otherwise re-evaluate the signature kernel once per band;
+    // the fused kernel has no such hazard, so the banded rows build
+    // lazily and the first consumer's exchange materializes them once.
+    reps
       .select(col(idCol), ShingleHashExpr(col(textCol), shingleSize).as("_sh"))
       .filter(size(col("_sh")) > 0)
-      .select(col(idCol), MinHashSigExpr(col("_sh"), numHashes).as("sig"))
-      .localCheckpoint(true)
-    withSig.select(
-      col(idCol), posexplode(bandBuckets(col("sig"), numHashes, bands)))
+      .select(col(idCol), posexplode(
+        graft.functions.MinHashBandKeysExpr(col("_sh"), numHashes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 

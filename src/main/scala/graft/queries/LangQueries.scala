@@ -53,7 +53,7 @@ object LangQueries {
       val d = table(s, dir, "documents")
       val w = PipelineQueries.qualityWeightsFor(s, dir)
       val (pred, _) = LangId.scoreCols(col("text"), modelFor(s, dir))
-      val profiled = d
+      val profiled = d.select(col("doc_id"), col("source"), col("text"))
         .withColumn("micro", graft.pipeline.Dsir.microScore(col("text"), w))
         .withColumn("lang_pred", pred)
         .localCheckpoint(true)

@@ -562,7 +562,7 @@ object PipelineQueries {
     "pipeline_e2e_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val w = qualityWeightsFor(s, dir)
-      val profiled = d
+      val profiled = d.select(col("doc_id"), col("source"), col("text"))
         .withColumn("micro", Dsir.microScore(col("text"), w))
         .withColumn("lang_id", TextStats.languageId(col("text")))
         .localCheckpoint(true)
@@ -711,8 +711,11 @@ object PipelineQueries {
     "pipeline_e2e" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       // stage 1: profile once (CSE), gate on quality + language — the
-      // pipeline_clean stage shape, materialized for the same reason
-      val profiled = d
+      // pipeline_clean stage shape, materialized for the same reason.
+      // Projected to the columns the chain consumes BEFORE the
+      // checkpoint (guide §2.3: project before materialization — the
+      // unused corpus columns otherwise ride the checkpointed blocks).
+      val profiled = d.select(col("doc_id"), col("source"), col("text"))
         .withColumn("quality", TextStats.qualityScore(col("text")))
         .withColumn("lang_id", TextStats.languageId(col("text")))
         .localCheckpoint(true)

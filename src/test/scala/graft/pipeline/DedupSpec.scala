@@ -104,6 +104,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("fused band-key kernel equals xxhash64(b, slice(sig)) bit-for-bit") {
+    // r14 replaced the transform-lambda banding (which forced an eager
+    // signature checkpoint) with MinHashBandKeysExpr; band keys must stay
+    // bit-identical — persisted bucket indexes and recall floors depend
+    // on the exact XxHash64 chaining
+    import graft.functions.{MinHashBandKeysExpr, MinHashSigExpr, ShingleHashExpr}
+    val (numHashes, bands) = (128, 32)
+    val rows = numHashes / bands
+    val docs = Seq((1L, "a b c d e f g"), (2L, "one two three four five"),
+      (3L, "x y z"), (4L, "a b c d e f g h i j k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), ShingleHashExpr(col("text"), 3).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .localCheckpoint(true)
+    val sig = MinHashSigExpr(col("_sh"), numHashes)
+    val oldKeys = transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(rows) + 1, lit(rows))))
+    val expected = docs.select(col("doc_id"), oldKeys.as("k")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val actual = docs.select(col("doc_id"),
+        MinHashBandKeysExpr(col("_sh"), numHashes, bands).as("k")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(actual.toSeq === expected.toSeq)
+  }
+
   test("hot-bucket skew: 10k identical docs collapse to one rep — zero rep-level candidates") {
     val boiler = (1L to 10000L).map(i => (i, base)).toDF("doc_id", "text")
     // rep-level shape (the 100 TB contract): one representative survives

@@ -61,11 +61,8 @@ object ImageDedup {
       auditName: String, bandBits: Int = 8): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val banded = bandRows(hashed, idCol, hashCol, bandBits)
-    val mayBind = Dedup.checkDrops(auditName, banded, Seq("word", "bucket"),
-      maxBucket, logDroppedBuckets, failOnCappedBuckets)
-    // the audited no-overflow case skips the row_number window entirely
-    val capped = if (!mayBind) banded
-      else Dedup.capBuckets(banded, Seq("word", "bucket"), idCol, maxBucket)
+    val capped = auditedOrCapped(banded, Seq("word", "bucket"), idCol,
+      maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName)
     val left = capped.select(col("word"), col("bucket"),
       col(idCol).as("id_a"), col(hashCol).as("ha"))
     val right = capped.select(col("word"), col("bucket"),
@@ -85,6 +82,34 @@ object ImageDedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Strict-audit / cap dispatch for the Hamming miners. Strict mode
+    * (`failOnCappedBuckets`) no longer runs a dedicated audit ACTION
+    * before mining (r14): the per-bucket count rides the SAME
+    * exchange+sort the candidate self-join needs (a count window over
+    * the join keys), and an anchored `assert_true` turns any bucket
+    * over `maxBucket` into the same loud mining-time failure — one
+    * driver action saved per strict mining call, zero extra shuffles.
+    * Non-strict callers keep the audited-skip / row_number-cap path
+    * unchanged (the cap needs the full per-bucket ranking anyway). */
+  private[pipeline] def auditedOrCapped(banded: DataFrame, keys: Seq[String],
+      idCol: String, maxBucket: Int, logDroppedBuckets: Boolean,
+      failOnCappedBuckets: Boolean, auditName: String): DataFrame =
+    if (failOnCappedBuckets) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      banded.withColumn("_bc", count(lit(1)).over(w))
+        .filter(assert_true(col("_bc") <= maxBucket, concat(
+          lit(s"$auditName: bucket cap $maxBucket binds ("), col("_bc"),
+          lit(" banded rows in one bucket) — this mining pass feeds an oracle " +
+            "that replays no cap; grow the blocking key space or raise maxBucket")))
+          .isNull)
+        .drop("_bc")
+    } else {
+      val mayBind = Dedup.checkDrops(auditName, banded, keys,
+        maxBucket, logDroppedBuckets, failEnabled = false)
+      if (!mayBind) banded
+      else Dedup.capBuckets(banded, keys, idCol, maxBucket)
+    }
 
   /** Banding explode shared by the batch miners and the streaming
     * perceptual-hash store: `(word, bucket, <idCol>, <hashCol>)`, one
@@ -121,11 +146,8 @@ object ImageDedup {
       s"combo banding is complete only to blocks - pick = ${blocks - pick}; " +
         s"got maxHamming = $maxHamming (raise blocks or lower pick)")
     val banded = comboBandRows(hashed, idCol, hashCol, blocks, pick)
-    val mayBind = Dedup.checkDrops(auditName, banded, Seq("band", "bkey"),
-      maxBucket, logDroppedBuckets, failOnCappedBuckets)
-    // the audited no-overflow case skips the row_number window entirely
-    val capped = if (!mayBind) banded
-      else Dedup.capBuckets(banded, Seq("band", "bkey"), idCol, maxBucket)
+    val capped = auditedOrCapped(banded, Seq("band", "bkey"), idCol,
+      maxBucket, logDroppedBuckets, failOnCappedBuckets, auditName)
     val left = capped.select(col("band"), col("bkey"),
       col(idCol).as("id_a"), col(hashCol).as("ha"))
     val right = capped.select(col("band"), col("bkey"),

@@ -83,10 +83,11 @@ object VideoDedup {
     val fset = frames0.getOrElse(
         frameHashFrame(videos, idCol, mediaCol).localCheckpoint(true))
       .select(col(idCol), col("fhash")).dropDuplicates(idCol, "fhash")
-    val mayBind = Dedup.checkDrops("video_frames", fset, Seq("fhash"),
-      maxBucket, logDroppedBuckets, failOnCappedBuckets)
-    val capped = if (!mayBind) fset
-      else Dedup.capBuckets(fset, Seq("fhash"), idCol, maxBucket)
+    // strict mode audits inline (ImageDedup.auditedOrCapped's shape): the
+    // per-hash count window rides the exchange the self-join needs — no
+    // dedicated audit action per call
+    val capped = ImageDedup.auditedOrCapped(fset, Seq("fhash"), idCol,
+      maxBucket, logDroppedBuckets, failOnCappedBuckets, "video_frames")
     val counts = capped.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val shared = capped.select(col("fhash"), col(idCol).as("id_a"))
       .join(capped.select(col("fhash"), col(idCol).as("id_b")), Seq("fhash"))

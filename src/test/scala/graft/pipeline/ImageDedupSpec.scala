@@ -100,6 +100,31 @@ class ImageDedupSpec extends SparkSpec {
     assert(hashed.select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("strict mode fails loudly at mining time when a bucket overflows " +
+      "(r14 inline window audit)") {
+    // 10 identical hashes share every bucket; maxBucket = 4 binds, and a
+    // strict caller must hear about it when the mining job runs
+    val rows = (1L to 10L).map(i => (i, 0x0123456789abcdefL)).toDF("id", "h")
+    val e = intercept[Exception] {
+      ImageDedup.hamming64NearDuplicates(rows, "id", "h", maxHamming = 8,
+        maxBucket = 4, logDroppedBuckets = false, failOnCappedBuckets = true,
+        auditName = "spec").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bucket cap")), messages(e).mkString(" | "))
+    // the combo miner shares the dispatch
+    val e2 = intercept[Exception] {
+      ImageDedup.hamming64NearDuplicatesCombo(rows, "id", "h", maxHamming = 8,
+        maxBucket = 4, failOnCappedBuckets = true).count()
+    }
+    assert(messages(e2).exists(_.contains("bucket cap")), messages(e2).mkString(" | "))
+    // non-strict mode still mines (cap = recall loss only)
+    ImageDedup.hamming64NearDuplicates(rows, "id", "h", maxHamming = 8,
+      maxBucket = 4, logDroppedBuckets = false, failOnCappedBuckets = false,
+      auditName = "spec").collect()
+  }
+
   test("miner finds planted near-dups, no false positives among distinct images") {
     val n = 120
     val rows = (0L until n.toLong).map(id =>

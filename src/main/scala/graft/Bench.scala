@@ -129,6 +129,16 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    // compact summary as the LAST stdout line (r14 verdict item 1): the
+    // driver keeps only a ~2 KB stdout tail, and the full line above is
+    // ~9.5 KB with its summary fields at the FRONT — every BENCH_r10..r14
+    // artifact captured a mid-JSON fragment and parsed null. This line
+    // carries the summary fields alone (the per-query map lives in the
+    // full line and in BENCH_full.json, pointed to by "queries_file") and
+    // fits any tail. Additive only: the full line and the file are
+    // byte-identical to the r13/r14 harness.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibration,"sched_calibration_sec":$schedCalibration,"serve_position":"front","normalized_total":$normalized,"sf":"$sfDir","cpus":$cpus,"reps":$reps,"n_queries":${all.size},"queries_file":"$out"}"""
+    println(compact)
     spark.stop()
   }
 

@@ -74,29 +74,24 @@ object LmPpl {
 
   /** Per-document log-perplexity against frozen tables: exact integer
     * micro-nat sums, divided once at the end. Documents with fewer than
-    * two tokens score 0 (no bigram evidence). */
+    * two tokens score 0 (no bigram evidence).
+    *
+    * One codegen pass ([[graft.functions.BigramPplExpr]], r15 — the
+    * LangId/DSIR kernel pattern applied to the last interpreted scorer):
+    * the previous `aggregate()` HOF pair was CodegenFallback, so the
+    * scoring scan ran interpreted with per-row token/bigram array
+    * materializations. Identical semantics incl. NULL → 0.0
+    * (`LmPplSpec` pins the old column formulation as reference). */
   def logPpl(df: DataFrame, idCol: String, textCol: String,
       numMicro: Array[Long], denMicro: Array[Long]): DataFrame = {
-    val b = numMicro.length
-    val numLit = array(numMicro.map(lit(_)): _*)
-    val denLit = array(denMicro.map(lit(_)): _*)
-    // the token array is materialized behind a projection boundary so
-    // the split runs ONCE per row, and each aggregate lambda touches
-    // only its own element plus the constant-folded weight literal
-    // (indexing the un-materialized split from inside a lambda was
-    // O(tokens²) per doc — 15.9 s vs 0.4 s for the key at sf0.1)
-    val nTok = greatest(size(col("_tks")) - 1, lit(0))
-    val numSum = aggregate(bigrams(col("_tks")), lit(0L),
-      (acc, g) => acc + element_at(numLit, (Dsir.bucket(g, b) + 1L).cast("int")))
-    val denSum = aggregate(slice(col("_tks"), lit(1), nTok), lit(0L),
-      (acc, t) => acc + element_at(denLit, (Dsir.bucket(t, b) + 1L).cast("int")))
+    val nm = graft.functions.BigramPplExpr(col(textCol),
+      numMicro.toSeq, denMicro.toSeq)
     // mean in MICRO-nat space with explicit floor(x+0.5): -micro and n
     // are exact integers, their IEEE quotient is identical on every
     // engine, and half-up at the micro boundary avoids the round(x, 6)
     // half-tie split (Spark HALF_UP vs DuckDB) that the r10 sf0.1 check
     // caught on 3/5000 docs
-    df.select(col(idCol), Dedup.tokens(col(textCol)).as("_tks"))
-      .select(col(idCol), nTok.as("_n"), (numSum - denSum).as("_micro"))
+    df.select(col(idCol), nm.getField("n").as("_n"), nm.getField("micro").as("_micro"))
       .select(col(idCol),
         when(col("_n") < 1, lit(0.0))
           .otherwise(floor(-col("_micro").cast("double")

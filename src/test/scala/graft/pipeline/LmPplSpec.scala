@@ -42,6 +42,45 @@ class LmPplSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("BigramPplExpr kernel equals the replaced HOF column formulation (r15)") {
+    // the r14 shape: token array materialized behind a projection, then
+    // aggregate() HOF sums over bigrams / context tokens — pinned here
+    // as the reference the codegen kernel must match bit-for-bit
+    def oldLogPpl(df: org.apache.spark.sql.DataFrame,
+        numMicro: Array[Long], denMicro: Array[Long]) = {
+      val b = numMicro.length
+      val numLit = array(numMicro.map(lit(_)): _*)
+      val denLit = array(denMicro.map(lit(_)): _*)
+      val nTok = greatest(size(col("_tks")) - 1, lit(0))
+      val numSum = aggregate(LmPpl.bigrams(col("_tks")), lit(0L),
+        (acc, g) => acc + element_at(numLit, (Dsir.bucket(g, b) + 1L).cast("int")))
+      val denSum = aggregate(slice(col("_tks"), lit(1), nTok), lit(0L),
+        (acc, t) => acc + element_at(denLit, (Dsir.bucket(t, b) + 1L).cast("int")))
+      df.select(col("doc_id"), Dedup.tokens(col("text")).as("_tks"))
+        .select(col("doc_id"), nTok.as("_n"), (numSum - denSum).as("_micro"))
+        .select(col("doc_id"),
+          when(col("_n") < 1, lit(0.0))
+            .otherwise(floor(-col("_micro").cast("double")
+              / col("_n").cast("double") + 0.5) / 1e6)
+            .as("log_ppl"))
+    }
+    val edge = Seq(
+      (0L, "spark stream window batch merge"),
+      (1L, "  leading and\ttab\nnewline vt\ffeed\rcr  spaced  "),
+      (2L, "MIXED Case TOKENS Mixed case tokens"),
+      (3L, "unicode élan ünïcode 中文 分词 étoile élan"),
+      (4L, "emoji 😀 pair 𝔘𝔫𝔦 surrogate 😀 emoji"),
+      (5L, ""), (6L, "one"), (7L, "one two"), (8L, null.asInstanceOf[String]),
+      (9L, "repeat repeat repeat repeat repeat"))
+      .toDF("doc_id", "text")
+    val (num, den) = LmPpl.bigramLogTables(corpus, "text", col("is_seed"), 256)
+    val kernel = LmPpl.logPpl(edge, "doc_id", "text", num, den)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = oldLogPpl(edge, num, den)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel == ref, s"kernel $kernel != reference $ref")
+  }
+
   test("tertile buckets cover all docs and follow score order") {
     val out = LmPpl.pplBuckets(corpus, "doc_id", "text", col("is_seed"), 256)
       .collect().map(r => (r.getDouble(1), r.getString(2)))

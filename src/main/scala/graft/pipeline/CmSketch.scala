@@ -19,9 +19,21 @@ import org.apache.spark.sql.functions._
 object CmSketch {
 
   /** Lowercased whitespace tokens (the corpus-frequency tokenizer —
-    * explicit class, no `\s`, so RE2/Java agree byte-for-byte). */
+    * explicit class, no `\s`, so RE2/Java agree byte-for-byte).
+    *
+    * `array_remove(.., "")`, NOT `filter(.., t => t =!= "")` (r15):
+    * identical output (split emits no nulls, so dropping `""` is the
+    * whole filter), but `filter` is a higher-order function —
+    * CodegenFallback — so the Generate's child expression evaluated
+    * interpreted per row; array_remove keeps the tokenize codegen'd.
+    * (Exchange reuse was NOT the issue: AQE's runtime stage cache
+    * already shared the word-count exchange between [[freqEstimates]]'
+    * two consumers even with the lambda — the r14 after-plan that
+    * suggested otherwise was the pre-execution AQE plan, which always
+    * prints duplicated subtrees; the EXECUTED plan shows the
+    * ReusedExchange. Captured in plans/r15/cms_freq_executed.txt.) */
   def tokens(textCol: Column): Column =
-    filter(split(lower(trim(textCol)), "[ \\t\\n\\x0B\\f\\r]+"), t => t =!= "")
+    array_remove(split(lower(trim(textCol)), "[ \\t\\n\\x0B\\f\\r]+"), "")
 
   /** Deterministic bucket of `tok` under hash row `h`. */
   def bucket(tok: Column, h: Int, width: Int): Column =

@@ -432,9 +432,16 @@ object Dedup {
     // r14: probe the local door with ONE bounded limit-collect instead of
     // a count+hash signature action FOLLOWED by a collect — on the
     // latency path (streaming micro-batches, toy-scale keys) the local
-    // door is the common case and the signature job was pure overhead;
-    // at corpus scale the limit short-circuits after the first partitions
-    // exceed the cap and the distributed loop proceeds exactly as before.
+    // door is the common case and the signature job was pure overhead.
+    // At corpus scale only the REDUCE side short-circuits (r14 advice):
+    // `edges` typically ends in a distinct/aggregate, so CollectLimit
+    // stops fetching reduce partitions past the cap but the upstream
+    // mining map stage still runs in full; the distributed loop then
+    // recomputes edges from scratch (they are not yet checkpointed).
+    // That one extra reduce-side pass is the price of skipping TWO
+    // dedicated actions in the common small-graph case — the callers on
+    // the distributed path (corpus-scale mining) pay it once per call,
+    // while every streaming micro-batch and *_dedup_keep key saves two.
     if (localMaxEdges > 0 && integralIds) {
       val cap = math.min(localMaxEdges, Int.MaxValue - 2L).toInt
       val probe = edges.limit(cap + 1).collect()

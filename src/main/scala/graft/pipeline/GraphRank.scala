@@ -80,6 +80,11 @@ object GraphRank {
     var ranks = adj.select(col("src").as(idCol)).distinct()
       .select(col(idCol), lit(1000000000L / n).as("rank_nano"))
     for (_ <- 1 to iterations) {
+      // invariant (r14 advice): with edgesWithinNodes=true a foreign dst
+      // endpoint can acquire a rank row here — it is INERT (never a src
+      // in adj, so it contributes to nobody) and drops at the final left
+      // join; an edit to adj construction must preserve that src
+      // semi-join property or re-enable the defensive node filter above
       val contrib = adj
         .join(ranks.withColumnRenamed(idCol, "src"), "src")
         .select(col("dst"), expr("rank_nano DIV deg").as("c"))

@@ -91,7 +91,21 @@ object ImageDedup {
     * over `maxBucket` into the same loud mining-time failure — one
     * driver action saved per strict mining call, zero extra shuffles.
     * Non-strict callers keep the audited-skip / row_number-cap path
-    * unchanged (the cap needs the full per-bucket ranking anyway). */
+    * unchanged (the cap needs the full per-bucket ranking anyway).
+    *
+    * Strict-mode contract (r14 advice note): the failure is guaranteed
+    * only when the mining output is actually CONSUMED — a
+    * short-circuiting consumer (limit / isEmpty / a pruned broadcast
+    * build side) can complete without evaluating the overflowing
+    * bucket's rows, where the pre-r14 dedicated audit always threw; and
+    * the error surfaces as a SparkException-wrapped `raise_error`, not
+    * a driver-side IllegalStateException. Every declared strict caller
+    * (the oracle-gated miners) consumes its full output, so the
+    * declared keys keep the unconditional guarantee; callers needing an
+    * unconditional audit on a short-circuiting consumer should run
+    * [[graft.pipeline.Dedup.checkDrops]] with `failEnabled = true`
+    * themselves. `logDroppedBuckets` is intentionally ignored in strict
+    * mode (nothing is ever dropped — overflow throws). */
   private[pipeline] def auditedOrCapped(banded: DataFrame, keys: Seq[String],
       idCol: String, maxBucket: Int, logDroppedBuckets: Boolean,
       failOnCappedBuckets: Boolean, auditName: String): DataFrame =

@@ -42,11 +42,29 @@ object Dedup {
     df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Rows surviving exact dedup (the representative per content hash). */
-  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.join(
-      exactGroups(df, idCol, contentCol).select(col("keep_id").as(idCol)),
-      idCol)
+  /** Rows surviving exact dedup (the representative per content hash).
+    *
+    * One exchange (r15, guide §2.4 "remove shuffles outright"): the
+    * min-id representative is a `row_number() <= 1` over the content
+    * hash, which Spark compiles with a map-side WindowGroupLimit — each
+    * map partition emits at most one row per hash BEFORE the shuffle
+    * (the same partial collapse the old aggregate had), so the hot-hash
+    * skew guarantee is preserved while the old shape's THREE exchanges
+    * (hash aggregate + both sides of the keep-id join) collapse to one.
+    * Identical rows out: ids are unique, so "row whose id is the
+    * group's min" ≡ "row whose id is in the keep_id set"; NULL content
+    * hashes group together in both shapes. [[exactGroups]] keeps the
+    * aggregate form for callers that need group metadata. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    // NULLS LAST + the isNotNull conjunct replicate the join shape's id
+    // edge semantics exactly: min() ignored null ids (a mixed group kept
+    // its smallest REAL id) and an all-null-id group produced a null
+    // keep_id that never equi-joined (group dropped)
+    val w = Window.partitionBy(md5(col(contentCol).cast("binary")))
+      .orderBy(col(idCol).asc_nulls_last)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 1 && col(idCol).isNotNull).drop("_rn")
+  }
 
   // ------------------------------------------------- normalized ("fuzzy-exact")
 

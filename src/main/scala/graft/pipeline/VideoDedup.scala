@@ -86,11 +86,23 @@ object VideoDedup {
     // strict mode audits inline (ImageDedup.auditedOrCapped's shape): the
     // per-hash count window rides the exchange the self-join needs — no
     // dedicated audit action per call
-    val capped = ImageDedup.auditedOrCapped(fset, Seq("fhash"), idCol,
+    val audited = ImageDedup.auditedOrCapped(fset, Seq("fhash"), idCol,
       maxBucket, logDroppedBuckets, failOnCappedBuckets, "video_frames")
-    val counts = capped.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
-    val shared = capped.select(col("fhash"), col(idCol).as("id_a"))
-      .join(capped.select(col("fhash"), col(idCol).as("id_b")), Seq("fhash"))
+    // r15 (the r14-verdict video_frame_overlap regression): the strict
+    // audit never DROPS a row — an over-cap bucket throws — so `audited`
+    // and `fset` hold identical rows whenever the query completes. The
+    // counts and the probe join side therefore read the un-windowed
+    // fset, and the count-window+assert rides ONE join side only (every
+    // join shape fully consumes it: an SMJ sorts it, a BHJ either builds
+    // from or streams it). The r14 shape put the window below all three
+    // consumers and the executed plan computed the sort+window chain 2–3
+    // times (AQE stage reuse shares the exchange, not the window above
+    // it). Non-strict mode is untouched: a binding cap really drops
+    // rows, so every consumer must read the capped frame.
+    val base = if (failOnCappedBuckets) fset else audited
+    val counts = base.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val shared = audited.select(col("fhash"), col(idCol).as("id_a"))
+      .join(base.select(col("fhash"), col(idCol).as("id_b")), Seq("fhash"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
     shared

@@ -101,6 +101,23 @@ class VideoDedupSpec extends SparkSpec {
       Map((1L, 2L) -> 0.5, (1L, 3L) -> 0.5, (2L, 3L) -> 1.0))
   }
 
+  test("strict frame-overlap audit still throws on overflow with the " +
+      "one-sided window (r15)") {
+    // hash 100 is shared by 5 clips; maxBucket = 4 binds. r15 moved the
+    // count-window+assert onto the LEFT join side only (counts and the
+    // probe side read the un-audited set — strict mode never drops
+    // rows), so this pins that the overflow still fails loudly.
+    val frames = (1L to 5L).map(i => (i, 100L)).toDF("doc_id", "fhash")
+    val e = intercept[Exception] {
+      VideoDedup.frameOverlapPairs(frames, "doc_id", "media",
+        minJaccard = 0.1, maxBucket = 4, failOnCappedBuckets = true,
+        frames0 = Some(frames)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bucket cap")), messages(e).mkString(" | "))
+  }
+
   test("miner finds planted clip pairs via the shared banding, no false positives") {
     val n = 120
     val rows = (0L until n.toLong).map(id =>

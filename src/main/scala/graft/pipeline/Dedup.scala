@@ -44,27 +44,24 @@ object Dedup {
 
   /** Rows surviving exact dedup (the representative per content hash).
     *
-    * One exchange (r15, guide §2.4 "remove shuffles outright"): the
-    * min-id representative is a `row_number() <= 1` over the content
-    * hash, which Spark compiles with a map-side WindowGroupLimit — each
-    * map partition emits at most one row per hash BEFORE the shuffle
-    * (the same partial collapse the old aggregate had), so the hot-hash
-    * skew guarantee is preserved while the old shape's THREE exchanges
-    * (hash aggregate + both sides of the keep-id join) collapse to one.
-    * Identical rows out: ids are unique, so "row whose id is the
-    * group's min" ≡ "row whose id is in the keep_id set"; NULL content
-    * hashes group together in both shapes. [[exactGroups]] keeps the
-    * aggregate form for callers that need group metadata. */
-  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    // NULLS LAST + the isNotNull conjunct replicate the join shape's id
-    // edge semantics exactly: min() ignored null ids (a mixed group kept
-    // its smallest REAL id) and an all-null-id group produced a null
-    // keep_id that never equi-joined (group dropped)
-    val w = Window.partitionBy(md5(col(contentCol).cast("binary")))
-      .orderBy(col(idCol).asc_nulls_last)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= 1 && col(idCol).isNotNull).drop("_rn")
-  }
+    * Shape note (r15, measured both ways): a `row_number() <= 1` window
+    * over the content hash computes the same survivors in ONE exchange
+    * (and Spark compiles the rank filter with a map-side
+    * WindowGroupLimit, preserving the hot-hash partial collapse), and
+    * measured 2.4× faster when exact() is TERMINAL (dedup_exact_keep).
+    * But inside the e2e chains it measured 0.85–1.01× (median ~0.91,
+    * interleaved same-JVM): the keep-id side of THIS join is a narrow
+    * hash aggregate that AQE broadcasts whenever it is small, so the
+    * full rows never shuffle and the chain's downstream
+    * (decontamination's broadcast probe) keeps the input partitioning,
+    * while the window form forces a full-row exchange+sort into every
+    * chain. Six chain consumers outweigh one terminal key — the join
+    * shape stays, and at corpus scale it degrades gracefully (AQE falls
+    * back to SMJ when keep-ids outgrow broadcast). */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.join(
+      exactGroups(df, idCol, contentCol).select(col("keep_id").as(idCol)),
+      idCol)
 
   // ------------------------------------------------- normalized ("fuzzy-exact")
 

@@ -25,37 +25,6 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L, 4L, 5L))
   }
 
-  test("exact dedup window form: equals the keep-id join shape and " +
-      "compiles with a map-side WindowGroupLimit (r15)") {
-    // the r15 one-exchange form must keep the exact rows of the replaced
-    // join shape (including full non-key columns), and the rn <= 1
-    // filter must compile to WindowGroupLimit so a hot content hash is
-    // collapsed map-side before the shuffle (the skew guarantee the old
-    // aggregate provided)
-    val joinShape = docs.join(
-      Dedup.exactGroups(docs, "doc_id", "text")
-        .select($"keep_id".as("doc_id")), "doc_id")
-      .select($"doc_id", $"text")
-    val windowShape = Dedup.exact(docs, "doc_id", "text")
-      .select($"doc_id", $"text")
-    assert(windowShape.exceptAll(joinShape).isEmpty &&
-      joinShape.exceptAll(windowShape).isEmpty)
-    val plan = Dedup.exact(docs, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), plan)
-    // null content hashes group together (one representative survives)
-    val withNulls = Seq((1L, null.asInstanceOf[String]),
-      (2L, null.asInstanceOf[String]), (3L, "x")).toDF("doc_id", "text")
-    assert(Dedup.exact(withNulls, "doc_id", "text")
-      .select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
-    // null-ID edges match the join shape: a mixed group keeps its
-    // smallest REAL id; an all-null-id group drops entirely
-    val nullIds = Seq((Option.empty[Long], "a"), (Some(7L), "a"),
-      (Option.empty[Long], "b"), (Option.empty[Long], "b")).toDF("doc_id", "text")
-    assert(Dedup.exact(nullIds, "doc_id", "text")
-      .select($"doc_id").as[Long].collect().toSeq === Seq(7L))
-  }
-
   test("normalized dedup collapses case/punctuation/whitespace variants") {
     val d = Seq(
       (1L, "Hello, World!"),
